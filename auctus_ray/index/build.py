@@ -1,0 +1,536 @@
+"""Index build pipeline: Parquet corpus -> sharded inverted index.
+
+The Ray-Data restatement of the reference's indexing pipeline
+(discover -> profile -> ES bulk index; profiler/profiler.py:90-160 +
+lib_core/datamart_core/common.py:369-467 in /root/reference), with
+Elasticsearch's internal Lucene machinery made explicit:
+
+  stage tokenize   read_parquet(group) -> map_batches(tokenize, Arrow,
+                   zero-copy) -> per-doc rows (key_hash, bucket, sha256,
+                   dl, terms[], tfs[]) -> checkpointed Parquet per input
+                   group (resumable partition unit)
+  stage bucket     tiny pre-aggregated pass -> per-bucket row counts +
+                   token totals -> docID offsets + global avgdl
+  stage docmap     groupby(bucket).map_groups -> dense deterministic
+                   docIDs (distributed rank, index/docid.py) -> forward
+                   map + tokenized doc table
+  stage postings   map_batches(explode) -> groupby(shard).map_groups ->
+                   per-shard vectorized posting-block encode (delta +
+                   varint + block max-score) -> one Parquet file per
+                   shard + per-shard term-stats partials
+                   [phase 1 of the salted two-phase term aggregation:
+                    shard = docID range acts as the salt, so a heavy
+                    term's postings are built by n_shards independent
+                    tasks instead of one straggler]
+  stage termstats  groupby(term) over the per-shard partials -> global
+                   df / n_blocks / max score component
+                   [phase 2: merges the salted partials; index-sized
+                    metadata only, postings blobs never reshuffled]
+  stage global     single-row global stats (N, avgdl, vocab, shards)
+
+Shards are docID ranges (like Elasticsearch's document-partitioned
+shards): every shard can score its documents for any query locally, so
+query fan-out is per-shard top-k + a final merge-sort reduce.
+
+Every stage writes to a temp dir then renames (atomic), and records a
+(stage, partition, fingerprint) line in manifest.jsonl — restart skips
+completed work (state/manifest.py).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Sum
+
+from auctus_ray.index.codec import encode_blocks
+from auctus_ray.index.docid import N_DOCID_BUCKETS, bucket_of, key_hash_array
+from auctus_ray.state.manifest import (
+    Manifest,
+    atomic_output_dir,
+    file_fingerprint,
+    fingerprint,
+)
+from auctus_ray.tokenize import tokenize_array
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    n_docs: int
+    n_tokens: int
+    avgdl: float
+    n_terms: int
+    n_shards: int
+    metrics: dict = field(default_factory=dict)
+
+
+# ---------------------------------------------------------------- tokenize
+
+
+def tokenize_batch(
+    batch: pa.Table,
+    *,
+    analyzer: str,
+    n_buckets: int,
+    content_col: str = "content",
+) -> pa.Table:
+    """Per-batch vectorized tokenize + per-doc tf + sha256 + key hash.
+
+    Pure function over a zero-copy Arrow batch; no per-row Python in the
+    token path (Arrow regex kernels + numpy run-length tf counting). The
+    sha256-per-row loop is C-speed hashlib and doubles as the per-row
+    invariant required by the graft contract.
+    """
+    n = batch.num_rows
+    content = batch[content_col].combine_chunks() if isinstance(
+        batch[content_col], pa.ChunkedArray
+    ) else batch[content_col]
+
+    toks = tokenize_array(content, analyzer)
+    lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False).astype(np.int64)
+
+    flat = toks.flatten()
+    if len(flat) > 0:
+        enc = flat.dictionary_encode()
+        idxs = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        order = np.lexsort((idxs, doc_rep))
+        d_s, t_s = doc_rep[order], idxs[order]
+        change = np.empty(d_s.size, dtype=bool)
+        change[0] = True
+        change[1:] = (d_s[1:] != d_s[:-1]) | (t_s[1:] != t_s[:-1])
+        starts = np.flatnonzero(change)
+        tf = np.diff(np.append(starts, d_s.size)).astype(np.int32)
+        u_doc = d_s[starts]
+        u_tok = t_s[starts]
+        terms_per_doc = np.bincount(u_doc, minlength=n)
+        offsets = np.concatenate([[0], np.cumsum(terms_per_doc)]).astype(np.int32)
+        term_values = enc.dictionary.take(pa.array(u_tok))
+        terms_list = pa.ListArray.from_arrays(pa.array(offsets), term_values)
+        tfs_list = pa.ListArray.from_arrays(pa.array(offsets), pa.array(tf))
+    else:
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        terms_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array([], type=pa.string())
+        )
+        tfs_list = pa.ListArray.from_arrays(
+            pa.array(offsets), pa.array([], type=pa.int32())
+        )
+
+    # sha256(content): the per-row invariant (reference analogue: sha1 cache
+    # keys, apiserver/profile.py:54-56; contract requires sha256)
+    sha = np.empty(n, dtype=object)
+    for i, s in enumerate(content.to_pylist()):
+        sha[i] = hashlib.sha256((s or "").encode()).hexdigest()
+
+    kh = key_hash_array(batch["repo"], batch["path"], batch["commit"])
+    buckets = bucket_of(kh, n_buckets).astype(np.int32)
+
+    return pa.table(
+        {
+            "key_hash": pa.array(kh),
+            "bucket": pa.array(buckets),
+            "repo": batch["repo"],
+            "path": batch["path"],
+            "commit": batch["commit"],
+            "lang": batch["lang"],
+            "sha256": pa.array(sha, type=pa.string()),
+            "dl": pa.array(lengths),
+            "terms": terms_list,
+            "tfs": tfs_list,
+        }
+    )
+
+
+# ---------------------------------------------------------------- docmap
+
+
+def _assign_doc_ids_group(group: pa.Table, *, offsets: dict[int, int]) -> pa.Table:
+    """Dense docIDs within one hash bucket (distributed rank leg)."""
+    kh = group["key_hash"].to_numpy(zero_copy_only=False)
+    repo = np.asarray(group["repo"].to_pylist(), dtype=object)
+    path = np.asarray(group["path"].to_pylist(), dtype=object)
+    commit = np.asarray(group["commit"].to_pylist(), dtype=object)
+    order = np.lexsort((commit, path, repo, kh))
+    # duplicate row-key check (identity must be unique; SURVEY.md §7.2)
+    rs, ps, cs, ks = repo[order], path[order], commit[order], kh[order]
+    dup = (ks[1:] == ks[:-1]) & (rs[1:] == rs[:-1]) & (ps[1:] == ps[:-1]) & (
+        cs[1:] == cs[:-1]
+    )
+    if dup.any():
+        i = int(np.flatnonzero(dup)[0])
+        raise ValueError(
+            f"duplicate corpus row key (repo,path,commit)=({rs[i]},{ps[i]},{cs[i]})"
+        )
+    bucket = int(group["bucket"][0].as_py())
+    doc_ids = np.empty(len(kh), dtype=np.int64)
+    doc_ids[order] = offsets[bucket] + np.arange(len(kh), dtype=np.int64)
+    out = group.drop_columns(["key_hash", "bucket"])
+    return out.add_column(0, "doc_id", pa.array(doc_ids))
+
+
+# ---------------------------------------------------------------- postings
+
+
+def explode_postings(batch: pa.Table, *, n_shards: int, n_docs: int) -> pa.Table:
+    """docmap rows -> exploded (shard, term, doc_id, tf, dl) posting rows."""
+    terms = batch["terms"].combine_chunks() if isinstance(
+        batch["terms"], pa.ChunkedArray
+    ) else batch["terms"]
+    tfs = batch["tfs"].combine_chunks() if isinstance(
+        batch["tfs"], pa.ChunkedArray
+    ) else batch["tfs"]
+    lengths = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
+    dl = batch["dl"].to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(doc_id, lengths)
+    dl_rep = np.repeat(dl, lengths)
+    shard = ((doc_rep.astype(np.uint64) * np.uint64(n_shards)) // np.uint64(n_docs)).astype(
+        np.int32
+    )
+    return pa.table(
+        {
+            "shard": pa.array(shard),
+            "term": terms.flatten(),
+            "doc_id": pa.array(doc_rep),
+            "tf": tfs.flatten(),
+            "dl": pa.array(dl_rep.astype(np.int32)),
+        }
+    )
+
+
+def encode_shard_group(
+    group: pa.Table, *, avgdl: float, postings_dir: str, termstats_dir: str
+) -> pa.Table:
+    """Encode ALL postings of one shard, vectorized over term runs.
+
+    Writes postings/shard=NNNNN.parquet and termstats partials, returns a
+    one-row summary (metrics: terms/sec, postings/sec — SURVEY.md §4.1).
+    """
+    t0 = time.time()
+    shard = int(group["shard"][0].as_py())
+    term_col = group["term"].combine_chunks() if isinstance(
+        group["term"], pa.ChunkedArray
+    ) else group["term"]
+    enc = term_col.dictionary_encode()
+    t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
+    dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
+
+    order = np.lexsort((doc_ids, t_idx))
+    t_s, d_s, tf_s, dl_s = t_idx[order], doc_ids[order], tfs[order], dls[order]
+    change = np.empty(t_s.size, dtype=bool)
+    if t_s.size:
+        change[0] = True
+        change[1:] = t_s[1:] != t_s[:-1]
+    starts = np.flatnonzero(change)
+    ends = np.append(starts[1:], t_s.size)
+
+    dictionary = enc.dictionary.to_pylist()
+    cols: dict[str, list] = {
+        "term": [],
+        "block_id": [],
+        "first_docid": [],
+        "last_docid": [],
+        "n": [],
+        "blob": [],
+        "max_tfnorm": [],
+    }
+    ts_cols: dict[str, list] = {"term": [], "df": [], "n_blocks": [], "max_tfnorm": []}
+    for s, e in zip(starts, ends):
+        term = dictionary[int(t_s[s])]
+        blocks = encode_blocks(d_s[s:e], tf_s[s:e], dl_s[s:e], avgdl)
+        nb = len(blocks["block_id"])
+        cols["term"].extend([term] * nb)
+        for k in ("block_id", "first_docid", "last_docid", "n", "blob", "max_tfnorm"):
+            cols[k].extend(blocks[k])
+        ts_cols["term"].append(term)
+        ts_cols["df"].append(int(e - s))
+        ts_cols["n_blocks"].append(nb)
+        ts_cols["max_tfnorm"].append(max(blocks["max_tfnorm"]))
+
+    blocks_table = pa.table(
+        {
+            "shard": pa.array([shard] * len(cols["term"]), pa.int32()),
+            "term": pa.array(cols["term"], pa.string()),
+            "block_id": pa.array(cols["block_id"], pa.int32()),
+            "first_docid": pa.array(cols["first_docid"], pa.int64()),
+            "last_docid": pa.array(cols["last_docid"], pa.int64()),
+            "n": pa.array(cols["n"], pa.int32()),
+            "blob": pa.array(cols["blob"], pa.binary()),
+            "max_tfnorm": pa.array(cols["max_tfnorm"], pa.float64()),
+        }
+    )
+    # sort rows by term so parquet row-group min/max stats prune term lookups
+    blocks_table = blocks_table.sort_by([("term", "ascending"), ("block_id", "ascending")])
+    ts_table = pa.table(
+        {
+            "shard": pa.array([shard] * len(ts_cols["term"]), pa.int32()),
+            "term": pa.array(ts_cols["term"], pa.string()),
+            "df": pa.array(ts_cols["df"], pa.int64()),
+            "n_blocks": pa.array(ts_cols["n_blocks"], pa.int64()),
+            "max_tfnorm": pa.array(ts_cols["max_tfnorm"], pa.float64()),
+        }
+    ).sort_by("term")
+
+    pf = os.path.join(postings_dir, f"shard={shard:05d}.parquet")
+    tf_path = os.path.join(termstats_dir, f"shard={shard:05d}.parquet")
+    _atomic_write_table(blocks_table, pf, row_group_size=4096)
+    _atomic_write_table(ts_table, tf_path)
+    secs = time.time() - t0
+    return pa.table(
+        {
+            "shard": pa.array([shard], pa.int32()),
+            "n_terms": pa.array([len(ts_cols["term"])], pa.int64()),
+            "n_postings": pa.array([int(t_s.size)], pa.int64()),
+            "bytes": pa.array([sum(len(b) for b in cols["blob"])], pa.int64()),
+            "seconds": pa.array([secs], pa.float64()),
+        }
+    )
+
+
+def _atomic_write_table(table: pa.Table, path: str, **kw) -> None:
+    tmp = path + ".tmp"
+    pq.write_table(table, tmp, **kw)
+    os.replace(tmp, path)
+
+
+# ---------------------------------------------------------------- driver
+
+
+def build_index(
+    input_paths: list[str] | str,
+    index_dir: str,
+    *,
+    analyzer: str = "code",
+    n_shards: int = 32,
+    n_buckets: int = N_DOCID_BUCKETS,
+    files_per_group: int = 8,
+    resume: bool = True,
+    tokenize_batch_size: int = 512,
+    tokenize_concurrency: int | None = None,
+) -> BuildResult:
+    """Run the full checkpointed build. Ray must already be initialized
+    by the caller (driver contract: this function never calls ray.init)."""
+    if isinstance(input_paths, str):
+        input_paths = sorted(
+            glob.glob(os.path.join(input_paths, "*.parquet"))
+            or glob.glob(os.path.join(input_paths, "**/*.parquet"), recursive=True)
+        )
+    if not input_paths:
+        raise ValueError("no input parquet files")
+    os.makedirs(index_dir, exist_ok=True)
+    man = Manifest(index_dir)
+    params_fp = fingerprint(analyzer, n_shards, n_buckets, "v1")
+    metrics: dict = {}
+
+    # ---- stage tokenize (per input-file group; the resumable unit) ----
+    groups = [
+        input_paths[i : i + files_per_group]
+        for i in range(0, len(input_paths), files_per_group)
+    ]
+    tokenized_dir = os.path.join(index_dir, "tokenized")
+    os.makedirs(tokenized_dir, exist_ok=True)
+    tok_fps = []
+    for gi, gfiles in enumerate(groups):
+        part = f"group={gi:04d}"
+        fp = fingerprint(file_fingerprint(gfiles), params_fp)
+        tok_fps.append(fp)
+        out_dir = os.path.join(tokenized_dir, part)
+        if resume and man.is_done("tokenize", part, fp) and os.path.exists(out_dir):
+            continue
+        t0 = time.time()
+        ds = ray.data.read_parquet(gfiles)
+        ds = ds.map_batches(
+            tokenize_batch,
+            fn_kwargs={"analyzer": analyzer, "n_buckets": n_buckets},
+            batch_format="pyarrow",
+            batch_size=tokenize_batch_size,
+            zero_copy_batch=True,
+            concurrency=tokenize_concurrency,
+        )
+        with atomic_output_dir(out_dir) as tmp:
+            ds.write_parquet(tmp)
+        man.mark(
+            "tokenize",
+            part,
+            fp,
+            "done",
+            {"tokenize_seconds": time.time() - t0, "files": len(gfiles)},
+        )
+
+    tok_all_fp = fingerprint(*tok_fps)
+
+    # ---- stage bucket stats (pre-aggregated partials -> tiny groupby) ----
+    def _bucket_partial(batch: pa.Table) -> pa.Table:
+        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        dl = batch["dl"].to_numpy(zero_copy_only=False)
+        cnt = np.bincount(b, minlength=0)
+        dls = np.bincount(b, weights=dl.astype(np.float64))
+        nz = np.flatnonzero(cnt)
+        return pa.table(
+            {
+                "bucket": pa.array(nz.astype(np.int32)),
+                "cnt": pa.array(cnt[nz].astype(np.int64)),
+                "dl_sum": pa.array(dls[nz].astype(np.int64)),
+            }
+        )
+
+    stats_path = os.path.join(index_dir, "bucket_stats.parquet")
+    fp = fingerprint(tok_all_fp, "bucket_stats")
+    if not (resume and man.is_done("bucket_stats", "all", fp) and os.path.exists(stats_path)):
+        t0 = time.time()
+        bs = (
+            ray.data.read_parquet(tokenized_dir, columns=["bucket", "dl"])
+            .map_batches(_bucket_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("bucket")
+            .aggregate(Sum("cnt", alias_name="cnt"), Sum("dl_sum", alias_name="dl_sum"))
+        )
+        tbl = pa.Table.from_pandas(bs.to_pandas())
+        _atomic_write_table(tbl, stats_path)
+        man.mark("bucket_stats", "all", fp, "done", {"bucket_stats_seconds": time.time() - t0})
+    bstats = pq.read_table(stats_path)
+    b_ids = bstats["bucket"].to_numpy(zero_copy_only=False)
+    b_cnt = bstats["cnt"].to_numpy(zero_copy_only=False)
+    b_dl = bstats["dl_sum"].to_numpy(zero_copy_only=False)
+    order = np.argsort(b_ids)
+    b_ids, b_cnt, b_dl = b_ids[order], b_cnt[order], b_dl[order]
+    n_docs = int(b_cnt.sum())
+    n_tokens = int(b_dl.sum())
+    avgdl = n_tokens / n_docs if n_docs else 0.0
+    offs = np.concatenate([[0], np.cumsum(b_cnt)[:-1]])
+    offsets = {int(b): int(o) for b, o in zip(b_ids, offs)}
+
+    # ---- stage docmap (distributed dense rank; forward map) ----
+    docmap_dir = os.path.join(index_dir, "docmap")
+    fp = fingerprint(tok_all_fp, "docmap", n_docs)
+    if not (resume and man.is_done("docmap", "all", fp) and os.path.exists(docmap_dir)):
+        t0 = time.time()
+        ds = ray.data.read_parquet(tokenized_dir)
+        dm = ds.groupby("bucket").map_groups(
+            _assign_doc_ids_group,
+            fn_kwargs={"offsets": offsets},
+            batch_format="pyarrow",
+        )
+        with atomic_output_dir(docmap_dir) as tmp:
+            dm.write_parquet(tmp)
+        man.mark("docmap", "all", fp, "done", {"docmap_seconds": time.time() - t0})
+
+    # ---- stage postings (phase 1: per-shard salted encode) ----
+    postings_dir = os.path.join(index_dir, "postings")
+    termstats_dir = os.path.join(index_dir, "termstats")
+    summary_path = os.path.join(index_dir, "shard_summary.parquet")
+    fp = fingerprint(tok_all_fp, "postings", n_shards, n_docs, round(avgdl, 9))
+    if not (resume and man.is_done("postings", "all", fp) and os.path.exists(summary_path)):
+        t0 = time.time()
+        for d in (postings_dir, termstats_dir):
+            os.makedirs(d, exist_ok=True)
+        ds = ray.data.read_parquet(docmap_dir, columns=["doc_id", "dl", "terms", "tfs"])
+        posts = ds.map_batches(
+            explode_postings,
+            fn_kwargs={"n_shards": n_shards, "n_docs": max(1, n_docs)},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        summaries = posts.groupby("shard").map_groups(
+            encode_shard_group,
+            fn_kwargs={
+                "avgdl": avgdl,
+                "postings_dir": postings_dir,
+                "termstats_dir": termstats_dir,
+            },
+            batch_format="pyarrow",
+        )
+        summary = pa.Table.from_pandas(summaries.to_pandas())
+        _atomic_write_table(summary, summary_path)
+        secs = time.time() - t0
+        n_post = int(summary["n_postings"].to_numpy(zero_copy_only=False).sum()) if summary.num_rows else 0
+        man.mark(
+            "postings",
+            "all",
+            fp,
+            "done",
+            {
+                "postings_seconds": secs,
+                "n_postings": n_post,
+                "postings_per_sec": n_post / secs if secs > 0 else 0.0,
+            },
+        )
+    summary = pq.read_table(summary_path)
+
+    # ---- stage termstats (phase 2: merge salted partials per term) ----
+    termstats_global_dir = os.path.join(index_dir, "term_stats")
+    fp = fingerprint(tok_all_fp, "termstats_global", n_shards)
+    if not (
+        resume and man.is_done("termstats", "all", fp) and os.path.exists(termstats_global_dir)
+    ):
+        t0 = time.time()
+        ts = (
+            ray.data.read_parquet(termstats_dir)
+            .groupby("term")
+            .aggregate(
+                Sum("df", alias_name="df"),
+                Sum("n_blocks", alias_name="n_blocks"),
+            )
+        )
+        with atomic_output_dir(termstats_global_dir) as tmp:
+            ts.write_parquet(tmp)
+        man.mark("termstats", "all", fp, "done", {"termstats_seconds": time.time() - t0})
+
+    n_terms = int(
+        sum(
+            pq.ParquetFile(p).metadata.num_rows
+            for p in glob.glob(os.path.join(termstats_global_dir, "*.parquet"))
+        )
+    )
+
+    # ---- stage global stats + skew metrics ----
+    gs_path = os.path.join(index_dir, "global_stats.parquet")
+    gs = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "n_shards": pa.array([n_shards], pa.int32()),
+            "analyzer": pa.array([analyzer], pa.string()),
+        }
+    )
+    _atomic_write_table(gs, gs_path)
+    if summary.num_rows:
+        per_shard = summary["n_postings"].to_numpy(zero_copy_only=False).astype(np.float64)
+        skew = float(per_shard.max() / per_shard.mean()) if per_shard.mean() > 0 else 1.0
+    else:
+        skew = 1.0
+    man.mark(
+        "global",
+        "all",
+        fingerprint(tok_all_fp, "global"),
+        "done",
+        {"shard_skew_max_over_mean": skew, "n_docs": n_docs, "n_terms": n_terms},
+    )
+
+    metrics = man.metrics()
+    metrics["shard_skew_max_over_mean"] = skew
+    return BuildResult(
+        index_dir=index_dir,
+        n_docs=n_docs,
+        n_tokens=n_tokens,
+        avgdl=avgdl,
+        n_terms=n_terms,
+        n_shards=n_shards,
+        metrics=metrics,
+    )

@@ -1,0 +1,400 @@
+"""BM25 query serving: block-skip WAND top-k over index shards.
+
+Replaces the reference's Elasticsearch query path — `multi_match` with
+`operator: and` over BM25-scored fields (apiserver/apiserver/search/
+__init__.py:67-79) and `TOP_K_SIZE=50` (search/base.py:1) — with an
+explicit DAAT scorer over our sharded Parquet index:
+
+  * shards are docID ranges (document-partitioned, as ES shards are), so
+    every shard scores its own documents completely and the global top-k
+    is a merge-sort reduce of per-shard top-k heaps;
+  * per (term, shard) posting lists are delta+varint blocks with skip
+    metadata (first/last docID) and per-block max-score components —
+    blocks that are skipped are never decoded;
+  * OR queries run WAND with suffix-max upper bounds (safe pruning: the
+    prune threshold is deflated by 1e-10 relative slack to absorb
+    float-summation order differences, so pruning can never change the
+    top-k — verified by rank-identity tests vs the brute-force oracle);
+  * AND queries run rarest-first conjunctive intersection with block
+    skipping;
+  * float discipline matches index/oracle.py: float64, contributions
+    summed in lexicographic term order, ties broken by ascending docID.
+
+Distributed serving: `BatchSearcher` is an actor-pool `map_batches`
+callable — the index loads once per actor (`__init__`), query batches
+stream through (`__call__`) — the reference's stateful-service pattern
+(Lazo server / GeoData resolver, SURVEY.md §2.3 T1/T2) in Ray Data form.
+"""
+
+from __future__ import annotations
+
+import glob
+import heapq
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from auctus_ray import B, K1
+from auctus_ray.index.codec import bm25_idf, decode_block
+from auctus_ray.tokenize import tokenize_text
+
+_PRUNE_SLACK = 1e-10  # relative; absorbs float sum-order differences
+
+
+class _PostingList:
+    """Iterator over one (term, shard) block list. Lazy block decode."""
+
+    __slots__ = (
+        "term",
+        "idf",
+        "first",
+        "last",
+        "ns",
+        "blobs",
+        "max_tfnorm",
+        "suffix_max",
+        "avgdl",
+        "bi",
+        "pos",
+        "_docs",
+        "_contrib",
+        "cur_doc",
+        "exhausted",
+    )
+
+    def __init__(self, term, idf, first, last, ns, blobs, max_tfnorm, avgdl):
+        self.term = term
+        self.idf = idf
+        self.first = first
+        self.last = last
+        self.ns = ns
+        self.blobs = blobs
+        self.max_tfnorm = max_tfnorm
+        self.suffix_max = np.maximum.accumulate(max_tfnorm[::-1])[::-1]
+        self.avgdl = avgdl
+        self.bi = -1
+        self.pos = 0
+        self._docs = None
+        self._contrib = None
+        self.cur_doc = -1
+        self.exhausted = False
+        self._load_block(0)
+
+    def _load_block(self, bi: int) -> None:
+        if bi >= len(self.blobs):
+            self.exhausted = True
+            self.cur_doc = np.iinfo(np.int64).max
+            return
+        if bi != self.bi:
+            doc_ids, tfs, dls = decode_block(self.blobs[bi], int(self.ns[bi]))
+            tf = tfs.astype(np.float64)
+            dl = dls.astype(np.float64)
+            tfn = tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
+            self._docs = doc_ids.astype(np.int64)
+            self._contrib = self.idf * tfn
+            self.bi = bi
+        self.pos = 0
+        self.cur_doc = int(self._docs[0])
+
+    def upper_bound(self) -> float:
+        """Max possible contribution for any doc >= cur_doc (safe)."""
+        if self.exhausted:
+            return 0.0
+        return self.idf * float(self.suffix_max[self.bi])
+
+    def cur_contrib(self) -> float:
+        return float(self._contrib[self.pos])
+
+    def next(self) -> None:
+        if self.exhausted:
+            return
+        self.pos += 1
+        if self.pos < self._docs.size:
+            self.cur_doc = int(self._docs[self.pos])
+        else:
+            self._load_block(self.bi + 1)
+
+    def advance_to(self, target: int) -> None:
+        """Move to first doc >= target; skipped blocks are never decoded."""
+        if self.exhausted or self.cur_doc >= target:
+            return
+        bi = self.bi
+        if target > self.last[bi]:
+            # block skip via metadata
+            bi = int(np.searchsorted(self.last, target, side="left"))
+            if bi >= len(self.blobs):
+                self.exhausted = True
+                self.cur_doc = np.iinfo(np.int64).max
+                return
+            self._load_block(bi)
+        self.pos = int(np.searchsorted(self._docs, target, side="left"))
+        if self.pos >= self._docs.size:  # can't happen if last[] correct
+            self._load_block(self.bi + 1)
+        else:
+            self.cur_doc = int(self._docs[self.pos])
+
+
+def _topk_push(heap, k, score, doc_id):
+    """Heap of (score, -doc_id): root = worst (lowest score, then largest doc)."""
+    if len(heap) < k:
+        heapq.heappush(heap, (score, -doc_id))
+        return
+    if (score, -doc_id) > heap[0]:
+        heapq.heapreplace(heap, (score, -doc_id))
+
+
+def _wand_shard(plists: list[_PostingList], k: int, heap: list) -> None:
+    """WAND over one shard's posting lists (OR semantics). Mutates heap."""
+    live = [p for p in plists if not p.exhausted]
+    while True:
+        live = [p for p in live if not p.exhausted]
+        if not live:
+            return
+        live.sort(key=lambda p: p.cur_doc)
+        theta = heap[0][0] if len(heap) >= k else -np.inf
+        # pivot selection with suffix-max upper bounds
+        ub = 0.0
+        pivot = -1
+        thr = theta * (1.0 - _PRUNE_SLACK) if theta > 0 else theta
+        for i, p in enumerate(live):
+            ub += p.upper_bound()
+            if ub > thr:
+                pivot = i
+                break
+        if pivot < 0:
+            return  # no doc can beat theta
+        pivot_doc = live[pivot].cur_doc
+        if live[0].cur_doc == pivot_doc:
+            # all iterators at/before pivot are positioned at pivot_doc
+            matching = [p for p in live if p.cur_doc == pivot_doc]
+            matching.sort(key=lambda p: p.term)  # float discipline
+            score = 0.0
+            for p in matching:
+                score += p.cur_contrib()
+            _topk_push(heap, k, score, pivot_doc)
+            for p in matching:
+                p.next()
+        else:
+            # advance an iterator strictly before pivot_doc (progress is
+            # guaranteed: live[0].cur_doc < pivot_doc in this branch);
+            # pick the one with the largest upper bound
+            behind = [p for p in live[:pivot] if p.cur_doc < pivot_doc]
+            cand = max(behind, key=lambda p: p.upper_bound())
+            cand.advance_to(pivot_doc)
+
+
+def _and_shard(plists: list[_PostingList], k: int, heap: list) -> None:
+    """Rarest-first conjunctive intersection with block skipping."""
+    if any(p.exhausted for p in plists):
+        return
+    order = sorted(plists, key=lambda p: sum(p.ns))  # rarest leader
+    by_term = sorted(plists, key=lambda p: p.term)
+    lead = order[0]
+    while not lead.cur_doc == np.iinfo(np.int64).max:
+        d = lead.cur_doc
+        ok = True
+        for p in order[1:]:
+            p.advance_to(d)
+            if p.exhausted or p.cur_doc != d:
+                ok = False
+                # leader jumps to the blocker's position
+                if not p.exhausted:
+                    lead.advance_to(p.cur_doc)
+                else:
+                    return
+                break
+        if ok:
+            score = 0.0
+            for p in by_term:  # float discipline: term-sorted accumulation
+                score += p.cur_contrib()
+            _topk_push(heap, k, score, d)
+            lead.next()
+        if lead.exhausted:
+            return
+
+
+class Searcher:
+    """Single-process searcher over a built index directory.
+
+    Loads global stats eagerly; per-(term, shard) posting blocks are read
+    on demand with Parquet row-group pruning (files are term-sorted with
+    small row groups) and cached. Used directly in tests and wrapped in
+    actor pools (`BatchSearcher`) for distributed serving.
+    """
+
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        gs = pq.read_table(os.path.join(index_dir, "global_stats.parquet"))
+        self.n_docs = int(gs["n_docs"][0].as_py())
+        self.avgdl = float(gs["avgdl"][0].as_py())
+        self.analyzer = gs["analyzer"][0].as_py()
+        self.n_shards = int(gs["n_shards"][0].as_py())
+        self.shard_files = sorted(
+            glob.glob(os.path.join(index_dir, "postings", "shard=*.parquet"))
+        )
+        self._term_stats_ds = pads.dataset(
+            os.path.join(index_dir, "term_stats"), format="parquet"
+        )
+        self._df_cache: dict[str, int] = {}
+        self._postings_cache: dict[tuple[str, str], list | None] = {}
+
+    # ---------------- term metadata ----------------
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        missing = [t for t in terms if t not in self._df_cache]
+        if missing:
+            t = self._term_stats_ds.to_table(
+                columns=["term", "df"],
+                filter=pc.field("term").isin(missing),
+            )
+            found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+            for m in missing:
+                self._df_cache[m] = int(found.get(m, 0))
+        return {t: self._df_cache[t] for t in terms}
+
+    # ---------------- postings ----------------
+
+    def _shard_postings(self, shard_file: str, terms: list[str]) -> dict[str, dict]:
+        """term -> block arrays for one shard (cached per term)."""
+        out = {}
+        missing = []
+        for t in terms:
+            key = (shard_file, t)
+            if key in self._postings_cache:
+                if self._postings_cache[key] is not None:
+                    out[t] = self._postings_cache[key]
+            else:
+                missing.append(t)
+        if missing:
+            tbl = pq.read_table(
+                shard_file,
+                filters=pc.field("term").isin(missing),
+                columns=["term", "block_id", "first_docid", "last_docid", "n", "blob", "max_tfnorm"],
+            )
+            tbl = tbl.sort_by([("term", "ascending"), ("block_id", "ascending")])
+            terms_np = np.asarray(tbl["term"].to_pylist(), dtype=object)
+            for t in missing:
+                mask = terms_np == t
+                if not mask.any():
+                    self._postings_cache[(shard_file, t)] = None
+                    continue
+                idx = np.flatnonzero(mask)
+                entry = {
+                    "first": tbl["first_docid"].to_numpy(zero_copy_only=False)[idx],
+                    "last": tbl["last_docid"].to_numpy(zero_copy_only=False)[idx],
+                    "n": tbl["n"].to_numpy(zero_copy_only=False)[idx],
+                    "blobs": [tbl["blob"][int(i)].as_py() for i in idx],
+                    "max_tfnorm": tbl["max_tfnorm"].to_numpy(zero_copy_only=False)[idx],
+                }
+                self._postings_cache[(shard_file, t)] = entry
+                out[t] = entry
+        return out
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        operator: str = "and",
+        algorithm: str = "wand",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k (doc_ids, scores), score desc then docID asc, float64."""
+        terms = sorted(set(tokenize_text(query, self.analyzer)))
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if not terms:
+            return empty
+        dfs = self.dfs(terms)
+        if operator == "and" and any(dfs[t] == 0 for t in terms):
+            return empty
+        terms = [t for t in terms if dfs[t] > 0]
+        if not terms:
+            return empty
+        idfs = {t: float(bm25_idf(float(dfs[t]), self.n_docs)) for t in terms}
+
+        heap: list = []
+        for sf in self.shard_files:
+            postings = self._shard_postings(sf, terms)
+            if operator == "and" and len(postings) < len(terms):
+                continue
+            if not postings:
+                continue
+            plists = [
+                _PostingList(
+                    t,
+                    idfs[t],
+                    e["first"],
+                    e["last"],
+                    e["n"],
+                    e["blobs"],
+                    e["max_tfnorm"],
+                    self.avgdl,
+                )
+                for t, e in sorted(postings.items())
+            ]
+            if operator == "and":
+                _and_shard(plists, k, heap)
+            elif algorithm == "wand":
+                _wand_shard(plists, k, heap)
+            else:  # exhaustive scan (baseline / verification)
+                self._scan_shard(plists, k, heap)
+        # final merge-sort reduce: heap -> (score desc, docID asc)
+        items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        doc_ids = np.array([-d for _, d in items], dtype=np.int64)
+        scores = np.array([s for s, _ in items], dtype=np.float64)
+        return doc_ids, scores
+
+    @staticmethod
+    def _scan_shard(plists: list[_PostingList], k: int, heap: list) -> None:
+        """Exhaustive DAAT scoring (no pruning) — verification baseline."""
+        plists = sorted(plists, key=lambda p: p.term)
+        scores: dict[int, float] = {}
+        for p in plists:  # term-sorted: per-doc sums accumulate in term order
+            while not p.exhausted:
+                d = p.cur_doc
+                scores[d] = scores.get(d, 0.0) + p.cur_contrib()
+                p.next()
+        for d, s in scores.items():
+            _topk_push(heap, k, s, d)
+
+    def topk_table(self, query_set: pa.Table, algorithm: str = "wand") -> pa.Table:
+        """TOPK_RESULT table for a QUERY_SET table (engine-side golden)."""
+        qids, ranks, dids, scs = [], [], [], []
+        for qid, q, k, op in zip(
+            query_set["qid"].to_pylist(),
+            query_set["query"].to_pylist(),
+            query_set["k"].to_pylist(),
+            query_set["operator"].to_pylist(),
+        ):
+            d, s = self.search(q, k=k, operator=op, algorithm=algorithm)
+            for r in range(d.size):
+                qids.append(qid)
+                ranks.append(r)
+                dids.append(int(d[r]))
+                scs.append(float(s[r]))
+        return pa.table(
+            {
+                "qid": pa.array(qids, pa.int64()),
+                "rank": pa.array(ranks, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "score": pa.array(scs, pa.float64()),
+            }
+        )
+
+
+class BatchSearcher:
+    """Actor-pool `map_batches` callable: index loaded once per actor
+    (__init__), query batches scored per __call__ — distributed query
+    serving as a Ray Data pipeline over a QUERY_SET dataset.
+    """
+
+    def __init__(self, index_dir: str, algorithm: str = "wand"):
+        self.searcher = Searcher(index_dir)
+        self.algorithm = algorithm
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.searcher.topk_table(batch, algorithm=self.algorithm)

@@ -1,0 +1,127 @@
+"""Per-partition checkpoint manifest: lineage, resume, metrics.
+
+Re-expresses the reference's durable-progress machinery — the `pending`
+ES index + AMQP acks + idempotent delete-then-reinsert
+(profiler/profiler.py:277-434, lib_core/datamart_core/common.py:522-563)
+and the flock-guarded write-temp-then-rename cache
+(lib_fslock/datamart_fslock/cache.py:32-120) — as plain files:
+
+  * every build stage/partition appends a JSON line
+    ``{stage, partition, fingerprint, status, metrics, seq}`` to
+    ``manifest.jsonl`` (single-writer: the build driver);
+  * outputs are written to a temp path then ``os.rename``d (atomic on one
+    filesystem), so a partition is either absent or complete;
+  * resume = skip (stage, partition) pairs whose latest record is
+    ``done`` with a matching fingerprint — stale fingerprints re-run
+    (the delete-then-reinsert idempotency, SURVEY.md §2.7 D5).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+
+
+def fingerprint(*parts) -> str:
+    """Stable fingerprint of inputs/params (order-sensitive)."""
+    h = hashlib.sha256()
+    for p in parts:
+        h.update(repr(p).encode())
+        h.update(b"\x00")
+    return h.hexdigest()[:16]
+
+
+def file_fingerprint(paths: list[str]) -> str:
+    """Fingerprint a list of input files by (path, size, mtime-free)."""
+    return fingerprint([(p, os.path.getsize(p)) for p in sorted(paths)])
+
+
+class Manifest:
+    def __init__(self, index_dir: str):
+        self.index_dir = index_dir
+        os.makedirs(index_dir, exist_ok=True)
+        self.path = os.path.join(index_dir, "manifest.jsonl")
+        self._records: dict[tuple[str, str], dict] = {}
+        self._seq = 0
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    rec = json.loads(line)
+                    self._records[(rec["stage"], rec["partition"])] = rec
+                    self._seq = max(self._seq, rec.get("seq", 0))
+
+    def is_done(self, stage: str, partition: str, fp: str) -> bool:
+        rec = self._records.get((stage, partition))
+        return bool(rec and rec["status"] == "done" and rec["fingerprint"] == fp)
+
+    def mark(
+        self,
+        stage: str,
+        partition: str,
+        fp: str,
+        status: str,
+        metrics: dict | None = None,
+    ) -> None:
+        self._seq += 1
+        rec = {
+            "stage": stage,
+            "partition": partition,
+            "fingerprint": fp,
+            "status": status,
+            "metrics": metrics or {},
+            "seq": self._seq,
+            "ts": time.time(),
+        }
+        self._records[(stage, partition)] = rec
+        with open(self.path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
+
+    def records(self) -> list[dict]:
+        return sorted(self._records.values(), key=lambda r: r["seq"])
+
+    def metrics(self) -> dict:
+        """Aggregate build metrics across done stages."""
+        out: dict = {}
+        for rec in self._records.values():
+            if rec["status"] != "done":
+                continue
+            for k, v in rec["metrics"].items():
+                if isinstance(v, (int, float)):
+                    out[k] = out.get(k, 0) + v
+                else:
+                    out[k] = v
+        return out
+
+
+def atomic_output_dir(final_dir: str):
+    """Context manager: yields a temp dir, renames to final_dir on success.
+
+    Same write-temp-then-rename discipline as the reference's fslock cache.
+    """
+
+    class _Ctx:
+        def __enter__(self_inner):
+            self_inner.tmp = final_dir + ".tmp"
+            if os.path.exists(self_inner.tmp):
+                shutil.rmtree(self_inner.tmp)
+            os.makedirs(self_inner.tmp, exist_ok=True)
+            return self_inner.tmp
+
+        def __exit__(self_inner, exc_type, exc, tb):
+            if exc_type is None:
+                if os.path.exists(final_dir):
+                    shutil.rmtree(final_dir)
+                os.rename(self_inner.tmp, final_dir)
+            else:
+                shutil.rmtree(self_inner.tmp, ignore_errors=True)
+            return False
+
+    return _Ctx()

@@ -1,0 +1,96 @@
+"""Code-aware tokenization, vectorized over Arrow string arrays.
+
+Mirrors the reference analyzer semantics:
+  * ES chain ``standard tokenizer -> lowercase`` for indexed text
+    (coordinator/coordinator/elasticsearch.yml:2-31 in /root/reference)
+  * Auctus's own identifier splitter ``expand_attribute_name``
+    (lib_profiler/datamart_profiler/core.py:100-123): split on
+    punctuation/whitespace, at digit<->alpha boundaries, and at
+    lower->UPPER camelCase boundaries.
+
+Two analyzers:
+  * ``code``   — the full chain above (camelCase/digit sub-splitting), used
+                 for the source-code corpus. Oracle and engine share this
+                 exact function, so rank-identity is testable.
+  * ``simple`` — lowercase + runs of [a-z0-9]; exactly expressible in
+                 DuckDB as ``regexp_extract_all(lower(x), '[a-z0-9]+')``,
+                 used for pipelines that are cross-checked by SQL oracles.
+
+All functions are pure and deterministic. The Arrow implementations use
+pyarrow.compute kernels only (no per-row Python in the hot path).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# lower|digit -> UPPER boundary; alpha -> digit; digit -> alpha
+_RE_CAMEL = r"([a-z0-9])([A-Z])"
+_RE_ALPHA_DIGIT = r"([A-Za-z])([0-9])"
+_RE_DIGIT_ALPHA = r"([0-9])([A-Za-z])"
+_SPLIT_PATTERN = r"[^a-z0-9]+"
+
+_PY_CAMEL = re.compile(_RE_CAMEL)
+_PY_ALPHA_DIGIT = re.compile(_RE_ALPHA_DIGIT)
+_PY_DIGIT_ALPHA = re.compile(_RE_DIGIT_ALPHA)
+_PY_TOKEN = re.compile(r"[a-z0-9]+")
+
+ANALYZERS = ("code", "simple")
+
+
+def tokenize_array(arr: pa.Array | pa.ChunkedArray, analyzer: str = "code") -> pa.Array:
+    """Tokenize a string array -> ListArray<string> of terms (vectorized).
+
+    Null inputs are treated as empty strings (no tokens) — the reference
+    coerces missing cells to '' (lib_profiler core.py:199, na_filter=False).
+    """
+    arr = pc.fill_null(arr, "")
+    if analyzer == "code":
+        x = pc.replace_substring_regex(arr, pattern=_RE_CAMEL, replacement=r"\1 \2")
+        x = pc.replace_substring_regex(x, pattern=_RE_ALPHA_DIGIT, replacement=r"\1 \2")
+        x = pc.replace_substring_regex(x, pattern=_RE_DIGIT_ALPHA, replacement=r"\1 \2")
+    elif analyzer == "simple":
+        x = arr
+    else:
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    x = pc.utf8_lower(x)
+    toks = pc.split_pattern_regex(x, pattern=_SPLIT_PATTERN)
+    # split leaves empty strings at the edges (e.g. leading separator);
+    # drop them with a vectorized list filter: flatten -> mask -> rebuild.
+    return _drop_empty_tokens(toks)
+
+
+def _drop_empty_tokens(list_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
+    flat = list_arr.flatten()
+    keep = pc.not_equal(flat, "")
+    # new offsets = prefix sum of kept counts per list
+    import numpy as np
+
+    offsets = list_arr.offsets.to_numpy(zero_copy_only=False)
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    kept_cum = np.concatenate([[0], np.cumsum(keep_np)])
+    new_offsets = kept_cum[offsets - offsets[0]].astype(np.int32)
+    new_values = flat.filter(keep)
+    return pa.ListArray.from_arrays(pa.array(new_offsets, type=pa.int32()), new_values)
+
+
+def tokenize_text(text: str, analyzer: str = "code") -> list[str]:
+    """Pure-Python single-string tokenizer — same semantics as tokenize_array.
+
+    Used by the query layer and the brute-force oracle so engine and oracle
+    share one tokenization definition (SURVEY.md §7.2).
+    """
+    if text is None:
+        return []
+    if analyzer == "code":
+        text = _PY_CAMEL.sub(r"\1 \2", text)
+        text = _PY_ALPHA_DIGIT.sub(r"\1 \2", text)
+        text = _PY_DIGIT_ALPHA.sub(r"\1 \2", text)
+    elif analyzer != "simple":
+        raise ValueError(f"unknown analyzer {analyzer!r}")
+    return _PY_TOKEN.findall(text.lower())
