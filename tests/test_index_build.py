@@ -1,0 +1,150 @@
+"""Build pipeline: docID determinism, forward map, sha256 invariant,
+global stats, manifest checkpointing + resume."""
+
+import glob
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from auctus_ray.index.docid import assign_doc_ids_local
+
+
+def _read_dir(d):
+    return pa.concat_tables(
+        [pq.read_table(p) for p in sorted(glob.glob(os.path.join(d, "**/*.parquet"), recursive=True))]
+    )
+
+
+def test_docids_match_local_reference(built_index, small_corpus):
+    """Distributed dense rank == single-process rank (bit-identical)."""
+    d, paths = small_corpus
+    corpus = pa.concat_tables([pq.read_table(p) for p in paths])
+    expected = assign_doc_ids_local(corpus)
+    docmap = _read_dir(os.path.join(built_index.index_dir, "docmap"))
+    got = {}
+    for r, p, c, did in zip(
+        docmap["repo"].to_pylist(),
+        docmap["path"].to_pylist(),
+        docmap["commit"].to_pylist(),
+        docmap["doc_id"].to_pylist(),
+    ):
+        got[(r, p, c)] = did
+    for i in range(corpus.num_rows):
+        key = (
+            corpus["repo"][i].as_py(),
+            corpus["path"][i].as_py(),
+            corpus["commit"][i].as_py(),
+        )
+        assert got[key] == expected[i]
+    # dense: exactly 0..N-1
+    ids = np.sort(docmap["doc_id"].to_numpy(zero_copy_only=False))
+    assert (ids == np.arange(corpus.num_rows)).all()
+
+
+def test_sha256_per_row_invariant(built_index, small_corpus):
+    """The per-row invariant from the graft contract: sha256(content)."""
+    import hashlib
+
+    d, paths = small_corpus
+    corpus = pa.concat_tables([pq.read_table(p) for p in paths])
+    docmap = _read_dir(os.path.join(built_index.index_dir, "docmap"))
+    by_key = {
+        (r, p, c): s
+        for r, p, c, s in zip(
+            docmap["repo"].to_pylist(),
+            docmap["path"].to_pylist(),
+            docmap["commit"].to_pylist(),
+            docmap["sha256"].to_pylist(),
+        )
+    }
+    for i in range(corpus.num_rows):
+        key = (
+            corpus["repo"][i].as_py(),
+            corpus["path"][i].as_py(),
+            corpus["commit"][i].as_py(),
+        )
+        expect = hashlib.sha256(
+            (corpus["content"][i].as_py() or "").encode()
+        ).hexdigest()
+        assert by_key[key] == expect
+
+
+def test_global_stats_vs_oracle(built_index, oracle_small):
+    assert built_index.n_docs == oracle_small.n_docs
+    assert built_index.avgdl == pytest.approx(oracle_small.avgdl, rel=0, abs=0)
+    # df per term matches oracle for a sample of terms
+    import pyarrow.dataset as pads
+    import pyarrow.compute as pc
+
+    ts = pads.dataset(
+        os.path.join(built_index.index_dir, "term_stats"), format="parquet"
+    )
+    sample_terms = ["the", "def", "license", "get", "rareterm10x"]
+    t = ts.to_table(filter=pc.field("term").isin(sample_terms))
+    dfs = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+    for term in sample_terms:
+        expect = len(oracle_small.postings.get(term, {}))
+        assert dfs.get(term, 0) == expect, term
+
+
+def test_resume_skips_completed_stages(ray_session, tiny_corpus, tmp_path):
+    """Kill-and-resume: a second build over the same inputs re-runs nothing
+    (fingerprints match); a build after deleting one stage re-runs only it."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.state.manifest import Manifest
+
+    d, paths = tiny_corpus
+    idx = str(tmp_path / "idx")
+    r1 = build_index(paths, idx, n_shards=4, files_per_group=2)
+    man1 = Manifest(idx)
+    seqs1 = {(r["stage"], r["partition"]): r["seq"] for r in man1.records()}
+
+    r2 = build_index(paths, idx, n_shards=4, files_per_group=2)
+    man2 = Manifest(idx)
+    # tokenize/bucket/docmap/postings/termstats records unchanged (skipped);
+    # only the cheap 'global' summary is re-stamped
+    for key, seq in seqs1.items():
+        if key[0] != "global":
+            assert man2._records[key]["seq"] == seq, key
+    assert r2.n_docs == r1.n_docs and r2.n_terms == r1.n_terms
+
+    # simulate a crash that lost the postings stage -> only it re-runs
+    import shutil
+
+    os.remove(os.path.join(idx, "shard_summary.parquet"))
+    r3 = build_index(paths, idx, n_shards=4, files_per_group=2)
+    man3 = Manifest(idx)
+    assert man3._records[("postings", "all")]["seq"] > seqs1[("postings", "all")]
+    for key, seq in seqs1.items():
+        if key[0] in ("tokenize", "bucket_stats", "docmap"):
+            assert man3._records[key]["seq"] == seq, key
+    assert r3.n_terms == r1.n_terms
+
+
+def test_build_metrics_present(built_index):
+    m = built_index.metrics
+    assert m["n_postings"] > 0
+    assert m["postings_per_sec"] > 0
+    assert "shard_skew_max_over_mean" in m
+    assert m["shard_skew_max_over_mean"] < 3.0  # docID-range salting bounds skew
+
+
+def test_duplicate_row_key_rejected(ray_session, tmp_path):
+    from auctus_ray.index.build import build_index
+
+    t = pa.table(
+        {
+            "repo": ["a/b", "a/b"],
+            "path": ["x.py", "x.py"],
+            "commit": ["c1", "c1"],
+            "lang": ["python", "python"],
+            "content": ["def f", "def g"],
+        }
+    )
+    p = str(tmp_path / "dup.parquet")
+    pq.write_table(t, p)
+    with pytest.raises(Exception, match="duplicate"):
+        build_index([p], str(tmp_path / "idx2"), n_shards=2)

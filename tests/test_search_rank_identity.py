@@ -1,0 +1,106 @@
+"""THE correctness gate: engine top-k must be rank-identical to the
+brute-force oracle — same docIDs, bit-identical float64 BM25 scores,
+ties broken by ascending docID — on the reference query set, for both
+the WAND path (pruned) and the exhaustive scan path."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from auctus_ray.index.search import BatchSearcher, Searcher
+from auctus_ray.sources.code_corpus import generate_query_set
+
+
+@pytest.fixture(scope="module")
+def searcher(built_index):
+    return Searcher(built_index.index_dir)
+
+
+def _queries():
+    qs = generate_query_set()
+    return list(
+        zip(
+            qs["qid"].to_pylist(),
+            qs["query"].to_pylist(),
+            qs["k"].to_pylist(),
+            qs["operator"].to_pylist(),
+        )
+    )
+
+
+@pytest.mark.parametrize("algorithm", ["wand", "scan"])
+def test_rank_identity_all_queries(searcher, oracle_small, algorithm):
+    for qid, q, k, op in _queries():
+        od, oscore = oracle_small.search(q, k=k, operator=op)
+        ed, escore = searcher.search(q, k=k, operator=op, algorithm=algorithm)
+        assert len(od) == len(ed), (qid, q)
+        assert (od == ed).all(), (qid, q, od[:5], ed[:5])
+        # bit-identical float64 (shared float discipline, SURVEY.md §7.4)
+        assert (oscore == escore).all(), (qid, q)
+
+
+def test_scores_sorted_and_ties_by_docid(searcher):
+    d, s = searcher.search("the license", k=50, operator="or")
+    assert (np.diff(s) <= 0).all()
+    for i in range(len(s) - 1):
+        if s[i] == s[i + 1]:
+            assert d[i] < d[i + 1]
+
+
+def test_absent_term_and_empty_query(searcher):
+    d, s = searcher.search("zzznotaterm", k=10, operator="and")
+    assert d.size == 0
+    d, s = searcher.search("zzznotaterm the", k=10, operator="and")
+    assert d.size == 0  # conjunctive: any missing term -> empty
+    d, s = searcher.search("", k=10)
+    assert d.size == 0
+    d, s = searcher.search("!!!", k=10)
+    assert d.size == 0
+
+
+def test_or_with_missing_term_matches_present_term(searcher, oracle_small):
+    od, osc = oracle_small.search("zzznotaterm license", k=10, operator="or")
+    ed, esc = searcher.search("zzznotaterm license", k=10, operator="or")
+    assert (od == ed).all() and (osc == esc).all()
+    assert ed.size > 0
+
+
+def test_k_larger_than_matches(searcher, oracle_small):
+    od, osc = oracle_small.search("rareterm10x", k=50, operator="and")
+    ed, esc = searcher.search("rareterm10x", k=50, operator="and")
+    assert len(ed) == len(od) and len(ed) >= 1
+    assert (od == ed).all() and (osc == esc).all()
+
+
+def test_camelcase_query_matches_after_split(searcher, oracle_small):
+    """'getHttpResponse' splits to [get, http, response] — reference
+    expand_attribute_name semantics applied at query time too."""
+    ed, _ = searcher.search("getHttpResponse", k=10, operator="and")
+    od, _ = oracle_small.search("getHttpResponse", k=10, operator="and")
+    assert (ed == od).all()
+
+
+def test_batch_searcher_actor_pool(ray_session, built_index, oracle_small):
+    """Distributed query serving: QUERY_SET dataset -> actor-pool
+    map_batches -> TOPK_RESULT dataset; equals oracle row-for-row."""
+    import ray.data
+
+    qs = generate_query_set()
+    ds = ray.data.from_arrow(qs)
+    out = ds.map_batches(
+        BatchSearcher,
+        fn_constructor_kwargs={"index_dir": built_index.index_dir},
+        batch_format="pyarrow",
+        batch_size=8,
+        concurrency=2,
+    )
+    got = out.to_pandas().sort_values(["qid", "rank"]).reset_index(drop=True)
+    expect = (
+        oracle_small.topk_table(qs)
+        .to_pandas()
+        .sort_values(["qid", "rank"])
+        .reset_index(drop=True)
+    )
+    pa_got = pa.Table.from_pandas(got)
+    pa_expect = pa.Table.from_pandas(expect)
+    assert pa_got.equals(pa_expect)
