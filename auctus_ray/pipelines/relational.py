@@ -1,0 +1,458 @@
+"""Relational operator pipelines over the TPC-H-ish testdata tables.
+
+Each pipeline re-expresses a reference operator family (SURVEY.md §2) as
+a Ray Data transform chain, and ships with an ANSI-SQL oracle (SQL dict)
+the driver runs via DuckDB — row-count + schema + value-hash must match.
+
+Float discipline for oracle comparability: monetary aggregates are
+converted to integer cents (CAST(ROUND(x*100) AS BIGINT)) BEFORE
+summation in both engines, so results are exact int64 and hash-stable;
+means/stddevs are returned as exact integer moments (n, sum, sumsq).
+
+Reference citations per pipeline are in the docstrings.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Max, Min, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+def _cents(arr) -> pa.Array:
+    """double dollars -> exact int64 cents (round-half-away, both engines)."""
+    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+
+
+# ---------------------------------------------------------------- Q: pricing summary
+
+
+def pricing_summary(sf_dir: str):
+    """A1/A9-style grouped aggregation with map-side partial aggregation:
+    per-batch combine -> tiny groupby (SURVEY.md §4 'pre-aggregate before
+    the shuffle'). Reference analogue: post-join group-agg semantics
+    (lib_augmentation/augmentation.py:250-336)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty": pc.cast(batch["l_quantity"], pa.int64()),
+                "price_cents": _cents(batch["l_extendedprice"]),
+            }
+        )
+        g = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("qty", "sum"), ("price_cents", "sum"), ("qty", "count")]
+        )
+        return g.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "count_order"]
+        )
+
+    ds = _read(
+        sf_dir,
+        "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    out = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sum_price_cents", alias_name="sum_price_cents"),
+            Sum("count_order", alias_name="count_order"),
+        )
+    )
+    return out
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(ROUND(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+       COUNT(*) AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# ---------------------------------------------------------------- Q: revenue by nation
+
+
+def revenue_by_nation(sf_dir: str):
+    """Broadcast hash join (J1 pattern): customer+nation are small sides
+    -> ray.put once, dict lookup inside map_batches over orders; then
+    pre-aggregated groupby. Reference: equi-join + group-agg
+    (lib_augmentation/augmentation.py:376-624)."""
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    cust_nation = {
+        int(c): n
+        for c, k in zip(cust["c_custkey"], cust["c_nationkey"])
+        for n in [nation.set_index("n_nationkey")["n_name"].to_dict().get(int(k))]
+    }
+    ref = ray.put(cust_nation)
+
+    class JoinAgg:
+        def __init__(self):
+            self.lookup = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+            names = np.array([self.lookup.get(int(k), "") for k in keys], dtype=object)
+            cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+            t = pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "cents": pa.array(cents),
+                }
+            )
+            g = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
+            return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+        .groupby("n_name")
+        .aggregate(
+            Sum("revenue_cents", alias_name="revenue_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n.n_name,
+       CAST(SUM(CAST(ROUND(o.o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+       COUNT(*) AS n_orders
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+# ---------------------------------------------------------------- Q: top-k orders
+
+
+def top_orders(sf_dir: str, k: int = 50):
+    """K1: distributed top-k = sort desc + limit, deterministic tiebreak
+    by key (reference TOP_K_SIZE=50, apiserver/search/base.py:1)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "o_custkey": batch["o_custkey"],
+                "price_cents": _cents(batch["o_totalprice"]),
+            }
+        )
+
+    return (
+        ds.map_batches(with_cents, batch_format="pyarrow", zero_copy_batch=True)
+        .sort(["price_cents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+SQL_TOP_ORDERS = """
+SELECT o_orderkey, o_custkey, CAST(ROUND(o_totalprice*100) AS BIGINT) AS price_cents
+FROM orders
+ORDER BY price_cents DESC, o_orderkey ASC
+LIMIT 50
+"""
+
+
+# ---------------------------------------------------------------- Q: distinct counts
+
+
+def distinct_counts(sf_dir: str):
+    """A5/D3: exact distinct counts via per-batch unique partials merged
+    on the driver (the partial+final sketch pattern, SURVEY.md §2.5 A4)."""
+    ds = _read(sf_dir, "lineitem", columns=["l_partkey", "l_suppkey", "l_returnflag"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "col": pa.array(
+                    ["l_partkey"] * len(pc.unique(batch["l_partkey"]))
+                    + ["l_suppkey"] * len(pc.unique(batch["l_suppkey"]))
+                    + ["l_returnflag"] * len(pc.unique(batch["l_returnflag"])),
+                    pa.string(),
+                ),
+                "val": pa.array(
+                    [str(v) for v in pc.unique(batch["l_partkey"]).to_pylist()]
+                    + [str(v) for v in pc.unique(batch["l_suppkey"]).to_pylist()]
+                    + [str(v) for v in pc.unique(batch["l_returnflag"]).to_pylist()],
+                    pa.string(),
+                ),
+            }
+        )
+
+    uniq = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["col", "val"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("col")
+        .aggregate(Count(alias_name="n_distinct"))
+    )
+    return uniq
+
+
+SQL_DISTINCT_COUNTS = """
+SELECT col, n_distinct FROM (
+  SELECT 'l_partkey' AS col, COUNT(DISTINCT l_partkey) AS n_distinct FROM lineitem
+  UNION ALL
+  SELECT 'l_suppkey', COUNT(DISTINCT l_suppkey) FROM lineitem
+  UNION ALL
+  SELECT 'l_returnflag', COUNT(DISTINCT l_returnflag) FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------- Q: union with schema alignment
+
+
+def union_projection(sf_dir: str):
+    """J4/D1: union with schema alignment (projection to a shared schema,
+    then bag concat) — reference union augmentation
+    (lib_augmentation/augmentation.py:627-764). Aggregated to per-source
+    totals so the result is small and exact."""
+    orders = _read(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+    lines = _read(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice"])
+
+    def proj_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["o_orderkey"],
+                "amount_cents": _cents(b["o_totalprice"]),
+                "src": pa.array(["order"] * b.num_rows, pa.string()),
+            }
+        )
+
+    def proj_lines(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "key": b["l_orderkey"],
+                "amount_cents": _cents(b["l_extendedprice"]),
+                "src": pa.array(["line"] * b.num_rows, pa.string()),
+            }
+        )
+
+    u = orders.map_batches(proj_orders, batch_format="pyarrow").union(
+        lines.map_batches(proj_lines, batch_format="pyarrow")
+    )
+    return u.groupby("src").aggregate(
+        Count(alias_name="n_rows"),
+        Sum("amount_cents", alias_name="total_cents"),
+        Min("key", alias_name="min_key"),
+        Max("key", alias_name="max_key"),
+    )
+
+
+SQL_UNION_PROJECTION = """
+WITH u AS (
+  SELECT o_orderkey AS key, CAST(ROUND(o_totalprice*100) AS BIGINT) AS amount_cents,
+         'order' AS src FROM orders
+  UNION ALL
+  SELECT l_orderkey, CAST(ROUND(l_extendedprice*100) AS BIGINT), 'line' FROM lineitem
+)
+SELECT src, COUNT(*) AS n_rows, CAST(SUM(amount_cents) AS BIGINT) AS total_cents,
+       MIN(key) AS min_key, MAX(key) AS max_key
+FROM u GROUP BY src
+"""
+
+
+# ---------------------------------------------------------------- Q: anti join
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 200000.0):
+    """J10 anti-join: broadcast the keyset of customers holding a
+    large order, filter the customer table inside map_batches (semi/anti
+    join via broadcast — ray_guide pattern; reference deletion sweep
+    socrata_discovery.py:66-98). The price threshold keeps the result
+    non-empty on the synthetic data (every customer has some order)."""
+    okeys = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def partial_keys(b: pa.Table) -> pa.Table:
+        big = b.filter(pc.greater_equal(b["o_totalprice"], min_price))
+        return pa.table({"k": pc.unique(big["o_custkey"])})
+
+    key_parts = okeys.map_batches(partial_keys, batch_format="pyarrow").take_all()
+    with_orders = set()
+    for row in key_parts:
+        with_orders.add(int(row["k"]))
+    ref = ray.put(np.array(sorted(with_orders), dtype=np.int64))
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        c = batch["c_custkey"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, c)
+        pos = np.clip(pos, 0, len(keys) - 1)
+        mask = keys[pos] != c
+        return batch.filter(pa.array(mask))
+
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_custkey, c_nationkey FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 200000.0
+)
+"""
+
+
+# ---------------------------------------------------------------- Q: temporal bucketing
+
+
+def orders_per_month(sf_dir: str):
+    """J3/A6: temporal bucket keys (strftime month) + counts — the
+    reference's resolution-aligned keys (lib_profiler/temporal.py:15-33)."""
+    ds = _read(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        month = pc.strftime(batch["o_orderdate"], format="%Y-%m")
+        t = pa.table({"month": month, "cents": _cents(batch["o_totalprice"])})
+        g = t.group_by("month").aggregate([("cents", "sum"), ("cents", "count")])
+        return g.rename_columns(["month", "total_cents", "n_orders"])
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("month")
+        .aggregate(
+            Sum("total_cents", alias_name="total_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+
+SQL_ORDERS_PER_MONTH = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents,
+       COUNT(*) AS n_orders
+FROM orders GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- Q: moments (mean/stddev as exact ints)
+
+
+def quantity_moments(sf_dir: str):
+    """A1 mean/stddev via exact integer moments (n, sum, sumsq): the
+    reference's two-pass mean_stddev (lib_profiler/numerical.py:17-35)
+    restated as a single-pass distributed moment aggregation; the float
+    mean/σ are derived from these exact ints by the consumer."""
+    ds = _read(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "s": q,
+                "s2": pc.multiply(q, q),
+            }
+        )
+        g = t.group_by("l_returnflag").aggregate(
+            [("s", "sum"), ("s2", "sum"), ("s", "count")]
+        )
+        return g.rename_columns(["l_returnflag", "sum_qty", "sumsq_qty", "n"])
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("l_returnflag")
+        .aggregate(
+            Sum("sum_qty", alias_name="sum_qty"),
+            Sum("sumsq_qty", alias_name="sumsq_qty"),
+            Sum("n", alias_name="n"),
+        )
+    )
+
+
+SQL_QUANTITY_MOMENTS = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS BIGINT)*CAST(l_quantity AS BIGINT)) AS BIGINT) AS sumsq_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------- Q: events tumbling window
+
+
+def events_tumbling_window(sf_dir: str):
+    """Streaming-shaped: tumbling 1-hour windows per event_type — the
+    ordered-log groupby restatement of windowed aggregation (ray_guide
+    'Streaming-shaped workloads'; reference has no true streaming, §2.9)."""
+    ds = _read(sf_dir, "events", columns=["ts", "event_type", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        hour = pc.strftime(batch["ts"], format="%Y-%m-%d %H:00:00")
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "window_start": hour,
+                "value_milli": pc.cast(
+                    pc.round(pc.multiply(batch["value"], 1000.0)), pa.int64()
+                ),
+            }
+        )
+        g = t.group_by(["event_type", "window_start"]).aggregate(
+            [("value_milli", "sum"), ("value_milli", "count")]
+        )
+        return g.rename_columns(["event_type", "window_start", "sum_value_milli", "n_events"])
+
+    return (
+        ds.map_batches(bucket, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(["event_type", "window_start"])
+        .aggregate(
+            Sum("sum_value_milli", alias_name="sum_value_milli"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+SQL_EVENTS_TUMBLING_WINDOW = """
+SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS window_start,
+       CAST(SUM(CAST(ROUND(value*1000) AS BIGINT)) AS BIGINT) AS sum_value_milli,
+       COUNT(*) AS n_events
+FROM events GROUP BY 1, 2
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "revenue_by_nation": revenue_by_nation,
+    "top_orders": top_orders,
+    "distinct_counts": distinct_counts,
+    "union_projection": union_projection,
+    "customers_without_orders": customers_without_orders,
+    "orders_per_month": orders_per_month,
+    "quantity_moments": quantity_moments,
+    "events_tumbling_window": events_tumbling_window,
+}
+
+SQL = {
+    "pricing_summary": SQL_PRICING_SUMMARY,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_orders": SQL_TOP_ORDERS,
+    "distinct_counts": SQL_DISTINCT_COUNTS,
+    "union_projection": SQL_UNION_PROJECTION,
+    "customers_without_orders": SQL_CUSTOMERS_WITHOUT_ORDERS,
+    "orders_per_month": SQL_ORDERS_PER_MONTH,
+    "quantity_moments": SQL_QUANTITY_MOMENTS,
+    "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
+}

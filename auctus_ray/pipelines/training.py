@@ -1,0 +1,223 @@
+"""Training-data-pipeline queries: dedup, similarity search, text stats.
+
+SQL-expressible ones ship a DuckDB oracle; the sketch-based ones
+(MinHash-LSH, SimHash, fingerprints, LSH-ANN) are rows-only checks for
+the driver and get exact oracles in pytest instead (planted duplicates).
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from auctus_ray.functions.ann import brute_force_topk, lsh_topk
+from auctus_ray.functions.dedup import (
+    content_hash_batch,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    simhash_near_dup_pairs,
+    verify_pairs_jaccard,
+)
+from auctus_ray.functions.textstats import (
+    LangId,
+    QualityScorer,
+    fingerprint_batch,
+    token_stats_batch,
+)
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    )
+
+
+# ---------------------------------------------------------------- exact dedup
+
+
+def dedup_exact_groups(sf_dir: str):
+    """Exact dedup by content hash: hash-partitioned groupby; keeper =
+    min doc_id (D2/D5 semantics, deterministic)."""
+    hashed = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        content_hash_batch, batch_format="pyarrow"
+    )
+    return hashed.groupby("content_sha256").aggregate(
+        Min("doc_id", alias_name="keeper_id"),
+        Count(alias_name="n_copies"),
+    )
+
+
+SQL_DEDUP_EXACT_GROUPS = """
+SELECT sha256(text) AS content_sha256, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text
+"""
+
+
+# ---------------------------------------------------------------- near-dup (rows-only)
+
+
+def near_dup_minhash(sf_dir: str):
+    """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.8.
+    Rows-only driver check; exact oracle in tests/test_functions.py."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, n_perm=64, k_shingle=5)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.8)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        j6 = np.floor(j * 1e6 + 0.5) / 1e6
+        return batch.set_column(
+            batch.schema.get_field_index("jaccard"), "jaccard", pa.array(j6)
+        )
+
+    return verified.map_batches(round6, batch_format="pyarrow")
+
+
+def near_dup_simhash(sf_dir: str):
+    """SimHash near-dup pairs (hamming <= 3). Rows-only driver check."""
+    return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+
+
+# ---------------------------------------------------------------- ANN
+
+
+def _query_vectors(sf_dir: str, vec_ids=(0, 1)) -> np.ndarray:
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    by_id = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
+    flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
+    dim = flat.size // t.num_rows
+    mat = flat.reshape(t.num_rows, dim)
+    return np.stack([mat[by_id[v]] for v in vec_ids])
+
+
+def ann_cosine_topk(sf_dir: str):
+    """Brute-force cosine top-10 for query vectors (vec_id 0 and 1):
+    broadcast query matrix, per-batch numpy matmul, local top-k, merge."""
+    q = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = brute_force_topk(ds, q, k=10)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        c6 = np.floor(c * 1e6 + 0.5) / 1e6
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine": pa.array(c6, pa.float64()),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+SQL_ANN_COSINE_TOPK = """
+WITH q AS (
+  SELECT CAST(0 AS BIGINT) AS query_id, embedding AS qv FROM embeddings WHERE vec_id = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), embedding FROM embeddings WHERE vec_id = 1
+),
+sims AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(q.qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS cosine
+  FROM embeddings e CROSS JOIN q
+),
+ranked AS (
+  SELECT query_id, vec_id, cosine,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+  FROM sims
+)
+SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine
+FROM ranked WHERE rn <= 10
+"""
+
+
+def ann_lsh_topk(sf_dir: str):
+    """LSH-bucketed ANN (approximate; rows-only driver check — recall is
+    judged in pytest against the brute-force baseline)."""
+    q = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return lsh_topk(ds, q, k=10, n_planes=8)
+
+
+# ---------------------------------------------------------------- text stats
+
+
+def text_token_stats(sf_dir: str):
+    """Exact per-doc token/char/digit counts (SQL-checkable)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        token_stats_batch, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+SQL_TEXT_TOKEN_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       length(text) AS n_chars,
+       len(regexp_extract_all(text, '[0-9]')) AS n_digits
+FROM documents
+"""
+
+
+def text_quality(sf_dir: str):
+    """Quality metrics per doc (length / stopword / punctuation counts) —
+    actor-pool stage (stopword set compiled once per actor)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        QualityScorer, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+SQL_TEXT_QUALITY = """
+SELECT doc_id,
+       len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens,
+       length(text) AS n_chars,
+       len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+                       x -> x IN ('a','and','for','in','is','it','of','that','the','to')))
+         AS stop_cnt,
+       len(regexp_extract_all(text, '[^\\w\\s]')) AS punct_cnt
+FROM documents
+"""
+
+
+def lang_id(sf_dir: str):
+    """Stopword-profile language ID (rows-only; heuristic)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+    )
+
+
+def doc_fingerprints(sf_dir: str):
+    """Rolling-hash document fingerprints + sha256 (rows-only)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+QUERIES = {
+    "dedup_exact_groups": dedup_exact_groups,
+    "near_dup_minhash": near_dup_minhash,
+    "near_dup_simhash": near_dup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "lang_id": lang_id,
+    "doc_fingerprints": doc_fingerprints,
+}
+
+SQL = {
+    "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "text_token_stats": SQL_TEXT_TOKEN_STATS,
+    "text_quality": SQL_TEXT_QUALITY,
+}
