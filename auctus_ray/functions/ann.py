@@ -138,7 +138,7 @@ def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, dim: int | None = None,
             "id_col": id_col, "vec_col": vec_col,
         },
         batch_format="pyarrow",
-        concurrency=2,
+        concurrency=(1, 2),
     )
     cand = bucketed.map_batches(
         lambda b: b.filter(

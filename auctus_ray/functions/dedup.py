@@ -130,7 +130,7 @@ def minhash_signatures(ds, n_perm: int = 128, k_shingle: int = 5, seed: int = 89
         },
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or (1, 4),
     )
 
 
@@ -238,7 +238,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=2)
+    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
 
 
 # -------------------------------------------------------------- simhash
@@ -290,7 +290,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=4,
+        concurrency=(1, 4),
         batch_size=256,
     )
 

@@ -60,7 +60,7 @@ class ImageDecoder:
         # deterministic fake: blake2b-seeded values, unit-normalized
         h = hashlib.blake2b(payload or b"", digest_size=8 * self.feature_dim).digest()
         v = np.frombuffer(h, dtype=np.uint64).astype(np.float64)
-        v = (v / 2**64) * 2 - 1
+        v = (v / 2.0**64) * 2 - 1
         n = np.linalg.norm(v)
         return v / n if n else v
 
@@ -115,7 +115,7 @@ class FrameSampler:
 
 
 def decode_features(ds, kind: str = "image", feature_dim: int = 16,
-                    concurrency: int = 2, batch_size: int = 64):
+                    concurrency=(1, 2), batch_size: int = 64):
     """Media dataset -> feature dataset via the actor-pool decoder.
     Small batch_size on purpose: payload rows are wide."""
     return ds.map_batches(

@@ -120,7 +120,7 @@ def revenue_by_nation(sf_dir: str):
 
     ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
     return (
-        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=2)
+        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 2))
         .groupby("n_name")
         .aggregate(
             Sum("revenue_cents", alias_name="revenue_cents"),
@@ -275,12 +275,12 @@ FROM u GROUP BY src
 # ---------------------------------------------------------------- Q: anti join
 
 
-def customers_without_orders(sf_dir: str, min_price: float = 200000.0):
+def customers_without_orders(sf_dir: str, min_price: float = 300000.0):
     """J10 anti-join: broadcast the keyset of customers holding a
     large order, filter the customer table inside map_batches (semi/anti
     join via broadcast — ray_guide pattern; reference deletion sweep
     socrata_discovery.py:66-98). The price threshold keeps the result
-    non-empty on the synthetic data (every customer has some order)."""
+    non-empty on the synthetic data at every test scale factor."""
     okeys = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial_keys(b: pa.Table) -> pa.Table:
@@ -309,7 +309,7 @@ SQL_CUSTOMERS_WITHOUT_ORDERS = """
 SELECT c_custkey, c_nationkey FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 200000.0
+  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice >= 300000.0
 )
 """
 

@@ -173,7 +173,7 @@ def text_quality(sf_dir: str):
     """Quality metrics per doc (length / stopword / punctuation counts) —
     actor-pool stage (stopword set compiled once per actor)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        QualityScorer, batch_format="pyarrow", batch_size=256, concurrency=2
+        QualityScorer, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
 
 
@@ -192,7 +192,7 @@ FROM documents
 def lang_id(sf_dir: str):
     """Stopword-profile language ID (rows-only; heuristic)."""
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        LangId, batch_format="pyarrow", batch_size=256, concurrency=2
+        LangId, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
 
 

@@ -1,0 +1,215 @@
+"""Training-data operators: dedup oracles with planted duplicates, ANN
+recall vs brute force, multimodal plumbing, text stats."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+@pytest.fixture(scope="module")
+def dup_docs(ray_session):
+    """60 docs: 3 exact-dup clusters, 2 near-dup pairs, rest unique."""
+    import ray.data
+
+    rng = np.random.Generator(np.random.PCG64(7))
+    vocab = [f"w{i}" for i in range(200)]
+    texts, ids = [], []
+    base = {}
+    for i in range(60):
+        ids.append(i)
+        if i in (10, 11, 12):  # exact dups of doc 9
+            texts.append(base[9])
+        elif i in (20, 21):  # exact dups of doc 19
+            texts.append(base[19])
+        elif i == 30:  # near dup of 29: one token changed
+            toks = base[29].split()
+            toks[5] = "changedtoken"
+            texts.append(" ".join(toks))
+        elif i == 40:  # near dup of 39: two tokens changed
+            toks = base[39].split()
+            toks[3], toks[7] = "xx1", "xx2"
+            texts.append(" ".join(toks))
+        else:
+            t = " ".join(rng.choice(vocab, 40))
+            base[i] = t
+            texts.append(t)
+    table = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    return ray.data.from_arrow(table), table
+
+
+def test_exact_dedup(dup_docs):
+    from auctus_ray.functions.dedup import exact_dedup
+
+    ds, table = dup_docs
+    out = exact_dedup(ds).to_pandas()
+    # 60 rows, 5 dups removed (10,11,12,20,21) -> 55 keepers
+    assert len(out) == 55
+    assert 9 in set(out["doc_id"]) and 10 not in set(out["doc_id"])
+    assert 19 in set(out["doc_id"]) and 21 not in set(out["doc_id"])
+
+
+def test_minhash_lsh_finds_planted_near_dups(dup_docs):
+    from auctus_ray.functions.dedup import (
+        jaccard,
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_jaccard,
+    )
+
+    ds, table = dup_docs
+    sigs = minhash_signatures(ds, n_perm=64, k_shingle=3)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16)
+    verified = verify_pairs_jaccard(pairs, ds, threshold=0.5, k=3).to_pandas()
+    found = set(zip(verified["id_a"], verified["id_b"]))
+    # exact dup clusters must be found
+    assert (9, 10) in found and (9, 11) in found and (10, 11) in found
+    assert (19, 20) in found
+    # near-dup with one changed token (high jaccard)
+    texts = dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
+    assert jaccard(texts[29], texts[30], 3) >= 0.5
+    assert (29, 30) in found
+    # all reported pairs truly exceed the threshold (no false positives)
+    for a, b, j in zip(verified["id_a"], verified["id_b"], verified["jaccard"]):
+        assert jaccard(texts[a], texts[b], 3) == pytest.approx(j)
+        assert j >= 0.5
+
+
+def test_simhash_near_dups(dup_docs):
+    from auctus_ray.functions.dedup import simhash_near_dup_pairs, SimHasher
+
+    ds, table = dup_docs
+    out = simhash_near_dup_pairs(ds, max_hamming=3).to_pandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    assert (9, 10) in found  # exact dup -> hamming 0
+    # verify reported hamming distances are exact
+    texts = dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
+    for a, b, h in zip(out["id_a"], out["id_b"], out["hamming"]):
+        ha, hb = SimHasher.simhash64(texts[a]), SimHasher.simhash64(texts[b])
+        assert bin(ha ^ hb).count("1") == h
+
+
+def test_ann_brute_force_exact(ray_session):
+    """Brute-force distributed top-k == single-process numpy top-k."""
+    import ray.data
+
+    from auctus_ray.functions.ann import brute_force_topk
+
+    rng = np.random.Generator(np.random.PCG64(3))
+    n, d = 500, 16
+    mat = rng.standard_normal((n, d))
+    ids = np.arange(n, dtype=np.int64)
+    flat = pa.array(mat.astype(np.float32).ravel(), pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    table = pa.table(
+        {"vec_id": pa.array(ids), "embedding": pa.ListArray.from_arrays(offs, flat)}
+    )
+    ds = ray.data.from_arrow(table).repartition(4)
+    q = mat[:3].astype(np.float32).astype(np.float64)
+    out = (
+        brute_force_topk(ds, q, k=10)
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+    )
+    # single-process reference on the same float32-rounded data
+    m64 = mat.astype(np.float32).astype(np.float64)
+    m64n = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sims = qn @ m64n.T
+    for qi in range(3):
+        sub = out[out["query_id"] == qi]
+        expect_idx = np.lexsort((ids, -sims[qi]))[:10]
+        assert list(sub["vec_id"]) == list(ids[expect_idx])
+        assert np.allclose(sub["cosine"].values, sims[qi][expect_idx], rtol=0, atol=0)
+
+
+def test_ann_lsh_recall(ray_session):
+    """LSH-bucketed ANN must recall the (self-similar) top hit and keep
+    reasonable overlap with brute force."""
+    import ray.data
+
+    from auctus_ray.functions.ann import brute_force_topk, lsh_topk
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n, d = 400, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    flat = pa.array(mat.ravel(), pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offs, flat),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    q = mat[:2].astype(np.float64)
+    bf = brute_force_topk(ds, q, k=5).to_pandas()
+    ann = lsh_topk(ds, q, k=5, n_planes=6).to_pandas()
+    for qi in range(2):
+        bf_ids = list(bf[bf["query_id"] == qi]["vec_id"])
+        ann_ids = list(ann[ann["query_id"] == qi]["vec_id"])
+        assert qi in ann_ids  # the identical vector is always in its own bucket
+        assert len(set(bf_ids) & set(ann_ids)) >= 1
+
+
+def test_multimodal_plumbing(ray_session):
+    """Decode plumbing: schema in/out, actor pool, frame explode, and the
+    fail-fast stub for missing decoders."""
+    import ray.data
+
+    from auctus_ray.functions.multimodal import (
+        DecodeUnavailable,
+        FrameSampler,
+        ImageDecoder,
+        decode_features,
+        make_fake_media_table,
+    )
+
+    media = make_fake_media_table(n=24)
+    ds = ray.data.from_arrow(media)
+    feats = decode_features(ds, feature_dim=8).to_pandas()
+    assert len(feats) == 24
+    assert all(len(v) == 8 for v in feats["features"])
+    # determinism: same payload -> same features
+    d1 = ImageDecoder(feature_dim=8)
+    p = media["payload"][0].as_py()
+    assert np.allclose(d1._features(p), d1._features(p))
+    # frame sampling explodes rows
+    frames = ds.map_batches(
+        FrameSampler, fn_constructor_kwargs={"n_frames": 4},
+        batch_format="pyarrow", concurrency=2,
+    ).to_pandas()
+    assert len(frames) == 24 * 4
+    with pytest.raises(DecodeUnavailable):
+        ImageDecoder(fake=False)
+
+
+def test_quality_and_langid(ray_session):
+    import ray.data
+
+    from auctus_ray.functions.textstats import LangId, QualityScorer
+
+    table = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "the cat and the dog, in a house!",
+                    "le chat et la porte est pour un une",
+                    "der hund und die katze ist ein",
+                    "",
+                ]
+            ),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    q = ds.map_batches(QualityScorer, batch_format="pyarrow", concurrency=1).to_pandas()
+    row0 = q[q["doc_id"] == 0].iloc[0]
+    assert row0["n_tokens"] == 8
+    assert row0["stop_cnt"] == 5  # the, and, the, in, a
+    lid = LangId()
+    assert lid.predict(table["text"][0].as_py()) == "en"
+    assert lid.predict(table["text"][1].as_py()) == "fr"
+    assert lid.predict(table["text"][2].as_py()) == "de"
+    assert lid.predict("") == "und"
