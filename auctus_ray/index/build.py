@@ -8,33 +8,38 @@ Elasticsearch's internal Lucene machinery made explicit:
   stage tokenize   read_parquet(group) -> map_batches(tokenize, Arrow,
                    zero-copy) -> per-doc rows (key_hash, bucket, sha256,
                    dl, terms[], tfs[]) -> checkpointed Parquet per input
-                   group (resumable partition unit)
-  stage bucket     tiny pre-aggregated pass -> per-bucket row counts +
-                   token totals -> docID offsets + global avgdl
-  stage docmap     groupby(bucket).map_groups -> dense deterministic
-                   docIDs (distributed rank, index/docid.py) -> forward
-                   map + tokenized doc table
-  stage postings   map_batches(explode) -> groupby(shard).map_groups ->
-                   per-shard vectorized posting-block encode (delta +
-                   varint + block max-score) -> one Parquet file per
-                   shard + per-shard term-stats partials
-                   [phase 1 of the salted two-phase term aggregation:
-                    shard = docID range acts as the salt, so a heavy
-                    term's postings are built by n_shards independent
-                    tasks instead of one straggler]
-  stage termstats  groupby(term) over the per-shard partials -> global
-                   df / n_blocks / max score component
-                   [phase 2: merges the salted partials; index-sized
-                    metadata only, postings blobs never reshuffled]
+                   group (the resumable partition unit)
+  stage bucket     pre-aggregated narrow pass (bucket, dl columns only)
+                   -> per-bucket row counts + token totals -> docID
+                   offsets (driver prefix sum) + global avgdl
+  stage encode     THE wide shuffle: groupby(bucket).map_groups — each
+                   bucket task (a) dense-ranks its rows into
+                   deterministic docIDs (distributed rank,
+                   index/docid.py), (b) writes its forward-map slice,
+                   (c) explodes postings in memory and (d) encodes
+                   delta+varint posting blocks with skip metadata and
+                   per-block max-score, writing one shard file
+                   (shard == docID-range bucket). This is phase 1 of
+                   the salted two-phase term aggregation: the docID
+                   range is the salt, so a heavy term ("the", "def",
+                   "license") is built by n_buckets independent tasks
+                   instead of one straggler.
+  stage termstats  groupby(term) over the per-shard df partials ->
+                   global df / n_blocks (phase 2: merges the salted
+                   partials; only index-sized metadata reshuffles,
+                   postings blobs never move again)
   stage global     single-row global stats (N, avgdl, vocab, shards)
 
 Shards are docID ranges (like Elasticsearch's document-partitioned
-shards): every shard can score its documents for any query locally, so
-query fan-out is per-shard top-k + a final merge-sort reduce.
+shards): every shard scores its own documents for any query, so query
+fan-out is per-shard top-k + a final merge-sort reduce (index/search.py).
+One wide shuffle total: the tokenized rows move once, into their bucket.
 
-Every stage writes to a temp dir then renames (atomic), and records a
+Every stage writes to a temp path then renames (atomic) and records a
 (stage, partition, fingerprint) line in manifest.jsonl — restart skips
-completed work (state/manifest.py).
+completed work (state/manifest.py). At 10^12-file scale the knobs are
+n_buckets (bounds per-task memory: corpus_tokens / n_buckets) and
+files_per_group (tokenize checkpoint granularity); all stages stream.
 """
 
 from __future__ import annotations
@@ -154,17 +159,18 @@ def tokenize_batch(
     )
 
 
-# ---------------------------------------------------------------- docmap
+# ---------------------------------------------------------------- encode (the wide stage)
 
 
-def _assign_doc_ids_group(group: pa.Table, *, offsets: dict[int, int]) -> pa.Table:
-    """Dense docIDs within one hash bucket (distributed rank leg)."""
+def _assign_doc_ids_group(group: pa.Table, offsets: dict[int, int]) -> np.ndarray:
+    """Dense docIDs within one hash bucket (distributed rank leg).
+    Bit-identical to index/docid.py assign_doc_ids_local over the union
+    of buckets. Raises on duplicate (repo, path, commit) keys."""
     kh = group["key_hash"].to_numpy(zero_copy_only=False)
     repo = np.asarray(group["repo"].to_pylist(), dtype=object)
     path = np.asarray(group["path"].to_pylist(), dtype=object)
     commit = np.asarray(group["commit"].to_pylist(), dtype=object)
     order = np.lexsort((commit, path, repo, kh))
-    # duplicate row-key check (identity must be unique; SURVEY.md §7.2)
     rs, ps, cs, ks = repo[order], path[order], commit[order], kh[order]
     dup = (ks[1:] == ks[:-1]) & (rs[1:] == rs[:-1]) & (ps[1:] == ps[:-1]) & (
         cs[1:] == cs[:-1]
@@ -177,61 +183,58 @@ def _assign_doc_ids_group(group: pa.Table, *, offsets: dict[int, int]) -> pa.Tab
     bucket = int(group["bucket"][0].as_py())
     doc_ids = np.empty(len(kh), dtype=np.int64)
     doc_ids[order] = offsets[bucket] + np.arange(len(kh), dtype=np.int64)
-    out = group.drop_columns(["key_hash", "bucket"])
-    return out.add_column(0, "doc_id", pa.array(doc_ids))
+    return doc_ids
 
 
-# ---------------------------------------------------------------- postings
+def encode_bucket_group(
+    group: pa.Table,
+    *,
+    offsets: dict[int, int],
+    avgdl: float,
+    docmap_dir: str,
+    postings_dir: str,
+    termstats_dir: str,
+) -> pa.Table:
+    """One bucket = one shard: rank docIDs, write the forward-map slice,
+    explode + encode postings, write the shard file. Returns a one-row
+    summary with build metrics (terms/sec, postings/sec)."""
+    t0 = time.time()
+    shard = int(group["bucket"][0].as_py())
+    doc_ids = _assign_doc_ids_group(group, offsets)
 
-
-def explode_postings(batch: pa.Table, *, n_shards: int, n_docs: int) -> pa.Table:
-    """docmap rows -> exploded (shard, term, doc_id, tf, dl) posting rows."""
-    terms = batch["terms"].combine_chunks() if isinstance(
-        batch["terms"], pa.ChunkedArray
-    ) else batch["terms"]
-    tfs = batch["tfs"].combine_chunks() if isinstance(
-        batch["tfs"], pa.ChunkedArray
-    ) else batch["tfs"]
-    lengths = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_id = batch["doc_id"].to_numpy(zero_copy_only=False)
-    dl = batch["dl"].to_numpy(zero_copy_only=False)
-    doc_rep = np.repeat(doc_id, lengths)
-    dl_rep = np.repeat(dl, lengths)
-    shard = ((doc_rep.astype(np.uint64) * np.uint64(n_shards)) // np.uint64(n_docs)).astype(
-        np.int32
-    )
-    return pa.table(
+    # forward map slice (docID -> identity + sha256 + dl), docID-sorted
+    fwd = pa.table(
         {
-            "shard": pa.array(shard),
-            "term": terms.flatten(),
-            "doc_id": pa.array(doc_rep),
-            "tf": tfs.flatten(),
-            "dl": pa.array(dl_rep.astype(np.int32)),
+            "doc_id": pa.array(doc_ids),
+            "repo": group["repo"],
+            "path": group["path"],
+            "commit": group["commit"],
+            "lang": group["lang"],
+            "sha256": group["sha256"],
+            "dl": group["dl"],
         }
     )
+    fwd = fwd.sort_by("doc_id")
+    _atomic_write_table(fwd, os.path.join(docmap_dir, f"bucket={shard:05d}.parquet"))
 
-
-def encode_shard_group(
-    group: pa.Table, *, avgdl: float, postings_dir: str, termstats_dir: str
-) -> pa.Table:
-    """Encode ALL postings of one shard, vectorized over term runs.
-
-    Writes postings/shard=NNNNN.parquet and termstats partials, returns a
-    one-row summary (metrics: terms/sec, postings/sec — SURVEY.md §4.1).
-    """
-    t0 = time.time()
-    shard = int(group["shard"][0].as_py())
-    term_col = group["term"].combine_chunks() if isinstance(
-        group["term"], pa.ChunkedArray
-    ) else group["term"]
-    enc = term_col.dictionary_encode()
+    # explode postings in memory (numpy; no second shuffle)
+    terms = group["terms"].combine_chunks() if isinstance(
+        group["terms"], pa.ChunkedArray
+    ) else group["terms"]
+    tfs_col = group["tfs"].combine_chunks() if isinstance(
+        group["tfs"], pa.ChunkedArray
+    ) else group["tfs"]
+    lengths = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
+    dl = group["dl"].to_numpy(zero_copy_only=False)
+    doc_rep = np.repeat(doc_ids, lengths).astype(np.uint64)
+    dl_rep = np.repeat(dl, lengths).astype(np.uint64)
+    tf_flat = np.asarray(tfs_col.flatten()).astype(np.uint64)
+    term_flat = terms.flatten()
+    enc = term_flat.dictionary_encode()
     t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    doc_ids = group["doc_id"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    tfs = group["tf"].to_numpy(zero_copy_only=False).astype(np.uint64)
-    dls = group["dl"].to_numpy(zero_copy_only=False).astype(np.uint64)
 
-    order = np.lexsort((doc_ids, t_idx))
-    t_s, d_s, tf_s, dl_s = t_idx[order], doc_ids[order], tfs[order], dls[order]
+    order = np.lexsort((doc_rep, t_idx))
+    t_s, d_s, tf_s, dl_s = t_idx[order], doc_rep[order], tf_flat[order], dl_rep[order]
     change = np.empty(t_s.size, dtype=bool)
     if t_s.size:
         change[0] = True
@@ -241,13 +244,8 @@ def encode_shard_group(
 
     dictionary = enc.dictionary.to_pylist()
     cols: dict[str, list] = {
-        "term": [],
-        "block_id": [],
-        "first_docid": [],
-        "last_docid": [],
-        "n": [],
-        "blob": [],
-        "max_tfnorm": [],
+        "term": [], "block_id": [], "first_docid": [], "last_docid": [],
+        "n": [], "blob": [], "max_tfnorm": [],
     }
     ts_cols: dict[str, list] = {"term": [], "df": [], "n_blocks": [], "max_tfnorm": []}
     for s, e in zip(starts, ends):
@@ -274,7 +272,7 @@ def encode_shard_group(
             "max_tfnorm": pa.array(cols["max_tfnorm"], pa.float64()),
         }
     )
-    # sort rows by term so parquet row-group min/max stats prune term lookups
+    # term-sorted rows -> parquet row-group min/max stats prune term lookups
     blocks_table = blocks_table.sort_by([("term", "ascending"), ("block_id", "ascending")])
     ts_table = pa.table(
         {
@@ -286,14 +284,16 @@ def encode_shard_group(
         }
     ).sort_by("term")
 
-    pf = os.path.join(postings_dir, f"shard={shard:05d}.parquet")
-    tf_path = os.path.join(termstats_dir, f"shard={shard:05d}.parquet")
-    _atomic_write_table(blocks_table, pf, row_group_size=4096)
-    _atomic_write_table(ts_table, tf_path)
+    _atomic_write_table(
+        blocks_table, os.path.join(postings_dir, f"shard={shard:05d}.parquet"),
+        row_group_size=4096,
+    )
+    _atomic_write_table(ts_table, os.path.join(termstats_dir, f"shard={shard:05d}.parquet"))
     secs = time.time() - t0
     return pa.table(
         {
             "shard": pa.array([shard], pa.int32()),
+            "n_docs": pa.array([group.num_rows], pa.int64()),
             "n_terms": pa.array([len(ts_cols["term"])], pa.int64()),
             "n_postings": pa.array([int(t_s.size)], pa.int64()),
             "bytes": pa.array([sum(len(b) for b in cols["blob"])], pa.int64()),
@@ -316,15 +316,21 @@ def build_index(
     index_dir: str,
     *,
     analyzer: str = "code",
-    n_shards: int = 32,
+    n_shards: int | None = None,
     n_buckets: int = N_DOCID_BUCKETS,
-    files_per_group: int = 8,
+    files_per_group: int = 64,
     resume: bool = True,
     tokenize_batch_size: int = 512,
     tokenize_concurrency: int | None = None,
 ) -> BuildResult:
     """Run the full checkpointed build. Ray must already be initialized
-    by the caller (driver contract: this function never calls ray.init)."""
+    by the caller (driver contract: this function never calls ray.init).
+
+    ``n_shards`` is accepted for API compatibility and, when given, sets
+    ``n_buckets`` (shard == docID bucket in this design).
+    """
+    if n_shards is not None:
+        n_buckets = n_shards
     if isinstance(input_paths, str):
         input_paths = sorted(
             glob.glob(os.path.join(input_paths, "*.parquet"))
@@ -334,8 +340,7 @@ def build_index(
         raise ValueError("no input parquet files")
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    params_fp = fingerprint(analyzer, n_shards, n_buckets, "v1")
-    metrics: dict = {}
+    params_fp = fingerprint(analyzer, n_buckets, "v2")
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [
@@ -346,7 +351,7 @@ def build_index(
     os.makedirs(tokenized_dir, exist_ok=True)
     tok_fps = []
     for gi, gfiles in enumerate(groups):
-        part = f"group={gi:04d}"
+        part = f"group-{gi:04d}"
         fp = fingerprint(file_fingerprint(gfiles), params_fp)
         tok_fps.append(fp)
         out_dir = os.path.join(tokenized_dir, part)
@@ -365,10 +370,7 @@ def build_index(
         with atomic_output_dir(out_dir) as tmp:
             ds.write_parquet(tmp)
         man.mark(
-            "tokenize",
-            part,
-            fp,
-            "done",
+            "tokenize", part, fp, "done",
             {"tokenize_seconds": time.time() - t0, "files": len(gfiles)},
         )
 
@@ -414,41 +416,23 @@ def build_index(
     offs = np.concatenate([[0], np.cumsum(b_cnt)[:-1]])
     offsets = {int(b): int(o) for b, o in zip(b_ids, offs)}
 
-    # ---- stage docmap (distributed dense rank; forward map) ----
+    # ---- stage encode (ONE wide shuffle: rank + forward map + postings) ----
     docmap_dir = os.path.join(index_dir, "docmap")
-    fp = fingerprint(tok_all_fp, "docmap", n_docs)
-    if not (resume and man.is_done("docmap", "all", fp) and os.path.exists(docmap_dir)):
-        t0 = time.time()
-        ds = ray.data.read_parquet(tokenized_dir)
-        dm = ds.groupby("bucket").map_groups(
-            _assign_doc_ids_group,
-            fn_kwargs={"offsets": offsets},
-            batch_format="pyarrow",
-        )
-        with atomic_output_dir(docmap_dir) as tmp:
-            dm.write_parquet(tmp)
-        man.mark("docmap", "all", fp, "done", {"docmap_seconds": time.time() - t0})
-
-    # ---- stage postings (phase 1: per-shard salted encode) ----
     postings_dir = os.path.join(index_dir, "postings")
     termstats_dir = os.path.join(index_dir, "termstats")
     summary_path = os.path.join(index_dir, "shard_summary.parquet")
-    fp = fingerprint(tok_all_fp, "postings", n_shards, n_docs, round(avgdl, 9))
-    if not (resume and man.is_done("postings", "all", fp) and os.path.exists(summary_path)):
+    fp = fingerprint(tok_all_fp, "encode", n_buckets, n_docs, round(avgdl, 9))
+    if not (resume and man.is_done("encode", "all", fp) and os.path.exists(summary_path)):
         t0 = time.time()
-        for d in (postings_dir, termstats_dir):
+        for d in (docmap_dir, postings_dir, termstats_dir):
             os.makedirs(d, exist_ok=True)
-        ds = ray.data.read_parquet(docmap_dir, columns=["doc_id", "dl", "terms", "tfs"])
-        posts = ds.map_batches(
-            explode_postings,
-            fn_kwargs={"n_shards": n_shards, "n_docs": max(1, n_docs)},
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        )
-        summaries = posts.groupby("shard").map_groups(
-            encode_shard_group,
+        ds = ray.data.read_parquet(tokenized_dir)
+        summaries = ds.groupby("bucket").map_groups(
+            encode_bucket_group,
             fn_kwargs={
+                "offsets": offsets,
                 "avgdl": avgdl,
+                "docmap_dir": docmap_dir,
                 "postings_dir": postings_dir,
                 "termstats_dir": termstats_dir,
             },
@@ -458,28 +442,27 @@ def build_index(
         _atomic_write_table(summary, summary_path)
         secs = time.time() - t0
         n_post = int(summary["n_postings"].to_numpy(zero_copy_only=False).sum()) if summary.num_rows else 0
+        n_trm = int(summary["n_terms"].to_numpy(zero_copy_only=False).sum()) if summary.num_rows else 0
         man.mark(
-            "postings",
-            "all",
-            fp,
-            "done",
+            "encode", "all", fp, "done",
             {
-                "postings_seconds": secs,
+                "encode_seconds": secs,
                 "n_postings": n_post,
                 "postings_per_sec": n_post / secs if secs > 0 else 0.0,
+                "terms_per_sec": n_trm / secs if secs > 0 else 0.0,
             },
         )
     summary = pq.read_table(summary_path)
 
     # ---- stage termstats (phase 2: merge salted partials per term) ----
     termstats_global_dir = os.path.join(index_dir, "term_stats")
-    fp = fingerprint(tok_all_fp, "termstats_global", n_shards)
+    fp = fingerprint(tok_all_fp, "termstats_global", n_buckets)
     if not (
         resume and man.is_done("termstats", "all", fp) and os.path.exists(termstats_global_dir)
     ):
         t0 = time.time()
         ts = (
-            ray.data.read_parquet(termstats_dir)
+            ray.data.read_parquet(termstats_dir, columns=["term", "df", "n_blocks"])
             .groupby("term")
             .aggregate(
                 Sum("df", alias_name="df"),
@@ -505,7 +488,7 @@ def build_index(
             "n_tokens": pa.array([n_tokens], pa.int64()),
             "avgdl": pa.array([avgdl], pa.float64()),
             "n_terms": pa.array([n_terms], pa.int64()),
-            "n_shards": pa.array([n_shards], pa.int32()),
+            "n_shards": pa.array([n_buckets], pa.int32()),
             "analyzer": pa.array([analyzer], pa.string()),
         }
     )
@@ -516,10 +499,7 @@ def build_index(
     else:
         skew = 1.0
     man.mark(
-        "global",
-        "all",
-        fingerprint(tok_all_fp, "global"),
-        "done",
+        "global", "all", fingerprint(tok_all_fp, "global"), "done",
         {"shard_skew_max_over_mean": skew, "n_docs": n_docs, "n_terms": n_terms},
     )
 
@@ -531,6 +511,6 @@ def build_index(
         n_tokens=n_tokens,
         avgdl=avgdl,
         n_terms=n_terms,
-        n_shards=n_shards,
+        n_shards=n_buckets,
         metrics=metrics,
     )

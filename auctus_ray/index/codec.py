@@ -142,6 +142,30 @@ def decode_block(blob: bytes, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarra
     return doc_ids, inter[1::3], inter[2::3]
 
 
+def decode_blocks_concat(
+    blobs: list[bytes], ns: np.ndarray
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode ALL blocks of a posting list in one varint pass.
+
+    One numpy call instead of one per block (per-call overhead dominates
+    short queries). Delta chains restart at each block, so the global
+    cumsum is corrected by subtracting the carry at each block boundary
+    (segmented cumsum).
+    """
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    inter = varint_decode(b"".join(blobs), total * 3)
+    deltas = inter[0::3]
+    gcs = np.cumsum(deltas, dtype=np.uint64)
+    if len(blobs) > 1:
+        bounds = np.cumsum(ns)[:-1]  # first index of blocks 1..k-1
+        carry = np.concatenate([[np.uint64(0)], gcs[bounds - 1]])
+        doc_ids = gcs - np.repeat(carry, ns)
+    else:
+        doc_ids = gcs
+    return doc_ids, inter[1::3], inter[2::3]
+
+
 def _tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
     """BM25 tf-normalization component (idf-free), float64."""
     return tf / (tf + K1 * (1.0 - B + B * dl / avgdl))

@@ -39,7 +39,7 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from auctus_ray import B, K1
-from auctus_ray.index.codec import bm25_idf, decode_block
+from auctus_ray.index.codec import bm25_idf, decode_block, decode_blocks_concat
 from auctus_ray.tokenize import tokenize_text
 
 _PRUNE_SLACK = 1e-10  # relative; absorbs float sum-order differences
@@ -301,7 +301,7 @@ class Searcher:
         query: str,
         k: int = 10,
         operator: str = "and",
-        algorithm: str = "wand",
+        algorithm: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), score desc then docID asc, float64."""
         terms = sorted(set(tokenize_text(query, self.analyzer)))
@@ -323,6 +323,20 @@ class Searcher:
                 continue
             if not postings:
                 continue
+            alg = algorithm
+            if alg == "auto":
+                # conjunctive queries with a rare leader win from skip-based
+                # intersection (decodes ~df_min blocks); everything else is
+                # fastest fully vectorized (numpy decode + accumulate)
+                if operator == "and" and len(postings) > 1:
+                    dfs_here = [int(e["n"].sum()) for e in postings.values()]
+                    alg = "wand" if min(dfs_here) * 10 < max(dfs_here) else "scan"
+                else:
+                    alg = "scan"
+            if alg == "scan":
+                entries = [(t, idfs[t], e) for t, e in postings.items()]
+                self._scan_shard_vectorized(entries, self.avgdl, k, heap, operator)
+                continue
             plists = [
                 _PostingList(
                     t,
@@ -338,10 +352,8 @@ class Searcher:
             ]
             if operator == "and":
                 _and_shard(plists, k, heap)
-            elif algorithm == "wand":
+            else:
                 _wand_shard(plists, k, heap)
-            else:  # exhaustive scan (baseline / verification)
-                self._scan_shard(plists, k, heap)
         # final merge-sort reduce: heap -> (score desc, docID asc)
         items = sorted(heap, key=lambda x: (-x[0], -x[1]))
         doc_ids = np.array([-d for _, d in items], dtype=np.int64)
@@ -361,7 +373,52 @@ class Searcher:
         for d, s in scores.items():
             _topk_push(heap, k, s, d)
 
-    def topk_table(self, query_set: pa.Table, algorithm: str = "wand") -> pa.Table:
+    @staticmethod
+    def _scan_shard_vectorized(
+        term_entries: list[tuple[str, float, dict]], avgdl: float, k: int,
+        heap: list, operator: str,
+    ) -> None:
+        """Vectorized exhaustive evaluation of one shard: decode every
+        block of the query terms (numpy varint), np.unique the candidate
+        docIDs, accumulate contributions per term in lexicographic term
+        order (identical float discipline to the oracle), then push
+        survivors into the shared top-k heap.
+
+        Cost is O(P log P) for P postings of the query terms in this
+        shard — the fast path when P is moderate; WAND wins when P >> k
+        (block skipping avoids most decodes)."""
+        decoded = []
+        for term, idf, e in sorted(term_entries, key=lambda x: x[0]):
+            cached = e.get("_decoded")
+            if cached is None:
+                d, tf, dl = decode_blocks_concat(e["blobs"], e["n"])
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
+                tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
+                cached = (d.astype(np.int64), tfn)
+                e["_decoded"] = cached  # idf-free; entry dict is the LRU unit
+            d64, tfn = cached
+            decoded.append((d64, idf * tfn))
+        all_docs = np.concatenate([d for d, _ in decoded])
+        uniq, inv_start = np.unique(all_docs, return_inverse=True)
+        scores = np.zeros(uniq.size, dtype=np.float64)
+        counts = np.zeros(uniq.size, dtype=np.int32)
+        pos = 0
+        for docs, contrib in decoded:  # already term-sorted
+            inv = inv_start[pos : pos + docs.size]
+            scores[inv] += contrib
+            counts[inv] += 1
+            pos += docs.size
+        if operator == "and":
+            mask = counts == len(decoded)
+            uniq, scores = uniq[mask], scores[mask]
+        # vectorized shard-local top-k (score desc, docID asc), then merge
+        kk = min(k, uniq.size)
+        order = np.lexsort((uniq, -scores))[:kk]
+        for i in order:
+            _topk_push(heap, k, float(scores[i]), int(uniq[i]))
+
+    def topk_table(self, query_set: pa.Table, algorithm: str = "auto") -> pa.Table:
         """TOPK_RESULT table for a QUERY_SET table (engine-side golden)."""
         qids, ranks, dids, scs = [], [], [], []
         for qid, q, k, op in zip(
@@ -392,7 +449,7 @@ class BatchSearcher:
     serving as a Ray Data pipeline over a QUERY_SET dataset.
     """
 
-    def __init__(self, index_dir: str, algorithm: str = "wand"):
+    def __init__(self, index_dir: str, algorithm: str = "auto"):
         self.searcher = Searcher(index_dir)
         self.algorithm = algorithm
 

@@ -1,0 +1,251 @@
+#!/usr/bin/env python
+"""Benchmark harness. Prints ONE JSON line with headline timings.
+
+Default: full bench over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+with ray.init(num_cpus=$RAY_GRAFT_CPUS, default 32):
+  * build_code_index  — index build over a deterministic synthetic code
+    corpus (the north-rule input shape; cached generation, timed build)
+  * query_set_wall    — BM25 query-set execution over that index,
+    plus p50/p99 per-query latency (ms) as side fields
+  * docs_bm25         — documents-table index build + BM25 top-k
+  * pricing_summary / dedup_exact / ann_cosine — representative pipelines
+
+--scaling: run the INDEX BUILD alone at num_cpus=8 and num_cpus=32 in
+fresh subprocesses on the same corpus and print throughput at both plus
+scaling efficiency = (T_8 / T_32) / (32/8). Results land in
+BENCH/scaling.json (the evidence for the two-cluster-size criterion).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "40000"))
+MEAN_TOKENS = int(os.environ.get("GRAFT_BENCH_MEAN_TOKENS", "200"))
+MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # full | build
+N_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "32"))
+
+
+def _corpus_dir() -> str:
+    d = f"/tmp/auctus_bench_corpus_{BENCH_DOCS}_{MEAN_TOKENS}"
+    marker = os.path.join(d, "DONE")
+    if not os.path.exists(marker):
+        from auctus_ray.sources.code_corpus import generate_corpus
+
+        shutil.rmtree(d, ignore_errors=True)
+        generate_corpus(
+            d, n_rows=BENCH_DOCS, rows_per_file=max(500, BENCH_DOCS // 64),
+            mean_tokens=MEAN_TOKENS,
+        )
+        open(marker, "w").write("ok")
+    return d
+
+
+def _init_ray():
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NUM_CPUS,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+
+def _build_code_index(corpus_dir: str) -> tuple[float, dict]:
+    from auctus_ray.index.build import build_index
+
+    idx_dir = f"/tmp/auctus_bench_index_{BENCH_DOCS}_{MEAN_TOKENS}_{NUM_CPUS}"
+    shutil.rmtree(idx_dir, ignore_errors=True)
+    paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    t0 = time.time()
+    res = build_index(
+        paths, idx_dir, analyzer="code", n_shards=N_SHARDS,
+        files_per_group=len(paths),  # one fully-parallel wave for the bench
+    )
+    dt = time.time() - t0
+    return dt, {
+        "index_dir": idx_dir,
+        "n_docs": res.n_docs,
+        "n_tokens": res.n_tokens,
+        "n_terms": res.n_terms,
+        "docs_per_sec": res.n_docs / dt,
+        "tokens_per_sec": res.n_tokens / dt,
+        "shard_skew": res.metrics.get("shard_skew_max_over_mean"),
+        "postings_per_sec": res.metrics.get("postings_per_sec"),
+    }
+
+
+def _query_bench(index_dir: str, repeats: int = 5) -> tuple[float, dict]:
+    import numpy as np
+
+    from auctus_ray.index.search import Searcher
+    from auctus_ray.sources.code_corpus import generate_query_set
+
+    s = Searcher(index_dir)
+    qs = generate_query_set()
+    rows = list(
+        zip(qs["query"].to_pylist(), qs["k"].to_pylist(), qs["operator"].to_pylist())
+    )
+    # warm the caches once (index file reads), then measure
+    for q, k, op in rows:
+        s.search(q, k=k, operator=op)
+    lat = []
+    t0 = time.time()
+    for _ in range(repeats):
+        for q, k, op in rows:
+            t1 = time.time()
+            s.search(q, k=k, operator=op)
+            lat.append(time.time() - t1)
+    wall = time.time() - t0
+    lat_ms = np.array(lat) * 1000
+    return wall, {
+        "queries_per_sec": len(lat) / wall,
+        "p50_ms": float(np.percentile(lat_ms, 50)),
+        "p99_ms": float(np.percentile(lat_ms, 99)),
+    }
+
+
+def run_full() -> dict:
+    queries: dict[str, float] = {}
+    extra: dict = {}
+
+    corpus = _corpus_dir()
+    dt, info = _build_code_index(corpus)
+    queries["build_code_index"] = round(dt, 3)
+    extra["build"] = {k: (round(v, 1) if isinstance(v, float) else v) for k, v in info.items() if k != "index_dir"}
+
+    qwall, qinfo = _query_bench(info["index_dir"])
+    queries["query_set_wall"] = round(qwall, 3)
+    extra["query"] = {k: round(v, 2) for k, v in qinfo.items()}
+
+    from auctus_ray.pipelines import fulltext, relational, training
+
+    # documents-table flagship (index build + top-k)
+    shutil.rmtree("/tmp/auctus_ray_cache", ignore_errors=True)
+    t0 = time.time()
+    fulltext.bm25_topk_or(SF_DIR)
+    queries["docs_bm25"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    relational.pricing_summary(SF_DIR).to_pandas()
+    queries["pricing_summary"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    training.dedup_exact_groups(SF_DIR).to_pandas()
+    queries["dedup_exact"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    training.near_dup_minhash(SF_DIR).to_pandas()
+    queries["near_dup_minhash"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    training.ann_cosine_topk(SF_DIR).to_pandas()
+    queries["ann_cosine_topk"] = round(time.time() - t0, 3)
+
+    return {
+        "metric": "auctus_ray index build + BM25 query + pipeline wall time",
+        "value": round(sum(queries.values()), 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        **extra,
+    }
+
+
+def run_build_only() -> dict:
+    corpus = _corpus_dir()
+    dt, info = _build_code_index(corpus)
+    return {
+        "metric": "index build",
+        "value": round(dt, 3),
+        "unit": "sec",
+        "queries": {"build_code_index": round(dt, 3)},
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+        "docs_per_sec": round(info["docs_per_sec"], 1),
+        "tokens_per_sec": round(info["tokens_per_sec"], 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same build at 8 and 32 CPUs in fresh processes (two 'cluster sizes')."""
+    _corpus_dir()  # generate once so both runs share warm input
+
+    def sub(ncpu: int) -> dict:
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_MODE="build",
+            GRAFT_BENCH_DOCS=str(BENCH_DOCS),
+            GRAFT_BENCH_MEAN_TOKENS=str(MEAN_TOKENS),
+        )
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    # warm OS page cache with an untimed low-cpu run? The corpus is small;
+    # the first subprocess warms it for the second — run lo first, then hi,
+    # then lo again and keep the better lo (cache-fair).
+    r_lo1 = sub(lo)
+    r_hi = sub(hi)
+    r_lo2 = sub(lo)
+    t_lo = min(r_lo1["value"], r_lo2["value"])
+    t_hi = r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    result = {
+        "metric": "indexing-throughput scaling (two parallelism levels)",
+        "value": round(eff, 3),
+        "unit": "efficiency",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo2.get("docs_per_sec"),
+        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "n_docs": BENCH_DOCS,
+        "scaling_efficiency": round(eff, 3),
+    }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    return result
+
+
+def main():
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+        return
+    _init_ray()
+    try:
+        if MODE == "build":
+            print(json.dumps(run_build_only()))
+        else:
+            print(json.dumps(run_full()))
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()

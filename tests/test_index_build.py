@@ -117,7 +117,7 @@ def test_resume_skips_completed_stages(ray_session, tiny_corpus, tmp_path):
     os.remove(os.path.join(idx, "shard_summary.parquet"))
     r3 = build_index(paths, idx, n_shards=4, files_per_group=2)
     man3 = Manifest(idx)
-    assert man3._records[("postings", "all")]["seq"] > seqs1[("postings", "all")]
+    assert man3._records[("encode", "all")]["seq"] > seqs1[("encode", "all")]
     for key, seq in seqs1.items():
         if key[0] in ("tokenize", "bucket_stats", "docmap"):
             assert man3._records[key]["seq"] == seq, key

@@ -28,7 +28,7 @@ def _queries():
     )
 
 
-@pytest.mark.parametrize("algorithm", ["wand", "scan"])
+@pytest.mark.parametrize("algorithm", ["auto", "wand", "scan"])
 def test_rank_identity_all_queries(searcher, oracle_small, algorithm):
     for qid, q, k, op in _queries():
         od, oscore = oracle_small.search(q, k=k, operator=op)
