@@ -59,7 +59,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Sum
 
-from auctus_ray.index.codec import encode_blocks
+from auctus_ray.index.codec import encode_shard_postings
 from auctus_ray.index.docid import N_DOCID_BUCKETS, bucket_of, key_hash_array
 from auctus_ray.state.manifest import (
     Manifest,
@@ -162,7 +162,9 @@ def tokenize_batch(
 # ---------------------------------------------------------------- encode (the wide stage)
 
 
-def _assign_doc_ids_group(group: pa.Table, offsets: dict[int, int]) -> np.ndarray:
+def _assign_doc_ids_group(
+    group: pa.Table, offsets: dict[int, int], bucket: int | None = None
+) -> np.ndarray:
     """Dense docIDs within one hash bucket (distributed rank leg).
     Bit-identical to index/docid.py assign_doc_ids_local over the union
     of buckets. Raises on duplicate (repo, path, commit) keys."""
@@ -180,7 +182,8 @@ def _assign_doc_ids_group(group: pa.Table, offsets: dict[int, int]) -> np.ndarra
         raise ValueError(
             f"duplicate corpus row key (repo,path,commit)=({rs[i]},{ps[i]},{cs[i]})"
         )
-    bucket = int(group["bucket"][0].as_py())
+    if bucket is None:
+        bucket = int(group["bucket"][0].as_py())
     doc_ids = np.empty(len(kh), dtype=np.int64)
     doc_ids[order] = offsets[bucket] + np.arange(len(kh), dtype=np.int64)
     return doc_ids
@@ -194,13 +197,14 @@ def encode_bucket_group(
     docmap_dir: str,
     postings_dir: str,
     termstats_dir: str,
+    bucket: int | None = None,
 ) -> pa.Table:
     """One bucket = one shard: rank docIDs, write the forward-map slice,
     explode + encode postings, write the shard file. Returns a one-row
     summary with build metrics (terms/sec, postings/sec)."""
     t0 = time.time()
-    shard = int(group["bucket"][0].as_py())
-    doc_ids = _assign_doc_ids_group(group, offsets)
+    shard = int(group["bucket"][0].as_py()) if bucket is None else bucket
+    doc_ids = _assign_doc_ids_group(group, offsets, bucket=shard)
 
     # forward map slice (docID -> identity + sha256 + dl), docID-sorted
     fwd = pa.table(
@@ -226,61 +230,52 @@ def encode_bucket_group(
     ) else group["tfs"]
     lengths = pc.list_value_length(terms).to_numpy(zero_copy_only=False).astype(np.int64)
     dl = group["dl"].to_numpy(zero_copy_only=False)
-    doc_rep = np.repeat(doc_ids, lengths).astype(np.uint64)
-    dl_rep = np.repeat(dl, lengths).astype(np.uint64)
-    tf_flat = np.asarray(tfs_col.flatten()).astype(np.uint64)
+    doc_rep = np.repeat(doc_ids, lengths)
+    dl_rep = np.repeat(dl.astype(np.int32), lengths)
+    tf_flat = np.asarray(tfs_col.flatten())  # int32
     term_flat = terms.flatten()
     enc = term_flat.dictionary_encode()
-    t_idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    t_idx = enc.indices.to_numpy(zero_copy_only=False)  # int32
 
-    order = np.lexsort((doc_rep, t_idx))
-    t_s, d_s, tf_s, dl_s = t_idx[order], doc_rep[order], tf_flat[order], dl_rep[order]
-    change = np.empty(t_s.size, dtype=bool)
-    if t_s.size:
-        change[0] = True
-        change[1:] = t_s[1:] != t_s[:-1]
-    starts = np.flatnonzero(change)
-    ends = np.append(starts[1:], t_s.size)
+    # single composite-key sort: (term_code, local docID) packs into one
+    # int64 (bucket-local docIDs are dense < 2^32 by construction);
+    # (term, doc) pairs are unique so a non-stable sort is deterministic
+    base = int(doc_ids.min()) if doc_ids.size else 0
+    local = (doc_rep - base).astype(np.int64)
+    key = (t_idx.astype(np.int64) << np.int64(32)) | local
+    order = np.argsort(key)
+    t_s = t_idx[order].astype(np.int64)
+    d_s = doc_rep[order].astype(np.uint64)
+    tf_s = tf_flat[order].astype(np.uint64)
+    dl_s = dl_rep[order].astype(np.uint64)
 
-    dictionary = enc.dictionary.to_pylist()
-    cols: dict[str, list] = {
-        "term": [], "block_id": [], "first_docid": [], "last_docid": [],
-        "n": [], "blob": [], "max_tfnorm": [],
-    }
-    ts_cols: dict[str, list] = {"term": [], "df": [], "n_blocks": [], "max_tfnorm": []}
-    for s, e in zip(starts, ends):
-        term = dictionary[int(t_s[s])]
-        blocks = encode_blocks(d_s[s:e], tf_s[s:e], dl_s[s:e], avgdl)
-        nb = len(blocks["block_id"])
-        cols["term"].extend([term] * nb)
-        for k in ("block_id", "first_docid", "last_docid", "n", "blob", "max_tfnorm"):
-            cols[k].extend(blocks[k])
-        ts_cols["term"].append(term)
-        ts_cols["df"].append(int(e - s))
-        ts_cols["n_blocks"].append(nb)
-        ts_cols["max_tfnorm"].append(max(blocks["max_tfnorm"]))
+    encoded = encode_shard_postings(t_s, d_s, tf_s, dl_s, avgdl)
+    term_of_block = enc.dictionary.take(pa.array(encoded["term_code"]))
+    term_of_term = enc.dictionary.take(pa.array(encoded["t_term_code"]))
 
+    nblocks = len(encoded["block_id"])
     blocks_table = pa.table(
         {
-            "shard": pa.array([shard] * len(cols["term"]), pa.int32()),
-            "term": pa.array(cols["term"], pa.string()),
-            "block_id": pa.array(cols["block_id"], pa.int32()),
-            "first_docid": pa.array(cols["first_docid"], pa.int64()),
-            "last_docid": pa.array(cols["last_docid"], pa.int64()),
-            "n": pa.array(cols["n"], pa.int32()),
-            "blob": pa.array(cols["blob"], pa.binary()),
-            "max_tfnorm": pa.array(cols["max_tfnorm"], pa.float64()),
+            "shard": pa.array(np.full(nblocks, shard, dtype=np.int32)),
+            "term": term_of_block,
+            "block_id": pa.array(encoded["block_id"]),
+            "first_docid": pa.array(encoded["first_docid"]),
+            "last_docid": pa.array(encoded["last_docid"]),
+            "n": pa.array(encoded["n"]),
+            "blob": encoded["blobs"],
+            "max_tfnorm": pa.array(encoded["max_tfnorm"]),
         }
     )
     # term-sorted rows -> parquet row-group min/max stats prune term lookups
     blocks_table = blocks_table.sort_by([("term", "ascending"), ("block_id", "ascending")])
+    nterms = len(encoded["t_df"])
     ts_table = pa.table(
         {
-            "shard": pa.array([shard] * len(ts_cols["term"]), pa.int32()),
-            "term": pa.array(ts_cols["term"], pa.string()),
-            "df": pa.array(ts_cols["df"], pa.int64()),
-            "n_blocks": pa.array(ts_cols["n_blocks"], pa.int64()),
-            "max_tfnorm": pa.array(ts_cols["max_tfnorm"], pa.float64()),
+            "shard": pa.array(np.full(nterms, shard, dtype=np.int32)),
+            "term": term_of_term,
+            "df": pa.array(encoded["t_df"]),
+            "n_blocks": pa.array(encoded["t_n_blocks"]),
+            "max_tfnorm": pa.array(encoded["t_max_tfnorm"]),
         }
     ).sort_by("term")
 
@@ -290,13 +285,14 @@ def encode_bucket_group(
     )
     _atomic_write_table(ts_table, os.path.join(termstats_dir, f"shard={shard:05d}.parquet"))
     secs = time.time() - t0
+    total_bytes = encoded["blobs"].nbytes if nblocks else 0
     return pa.table(
         {
             "shard": pa.array([shard], pa.int32()),
             "n_docs": pa.array([group.num_rows], pa.int64()),
-            "n_terms": pa.array([len(ts_cols["term"])], pa.int64()),
+            "n_terms": pa.array([nterms], pa.int64()),
             "n_postings": pa.array([int(t_s.size)], pa.int64()),
-            "bytes": pa.array([sum(len(b) for b in cols["blob"])], pa.int64()),
+            "bytes": pa.array([int(total_bytes)], pa.int64()),
             "seconds": pa.array([secs], pa.float64()),
         }
     )
@@ -340,7 +336,7 @@ def build_index(
         raise ValueError("no input parquet files")
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    params_fp = fingerprint(analyzer, n_buckets, "v2")
+    params_fp = fingerprint(analyzer, n_buckets, "v3")
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [
@@ -368,7 +364,10 @@ def build_index(
             concurrency=tokenize_concurrency,
         )
         with atomic_output_dir(out_dir) as tmp:
-            ds.write_parquet(tmp)
+            # hive-partitioned by bucket: the wide "shuffle" happens on
+            # the filesystem — the encode stage reads each bucket's files
+            # directly instead of moving rows through the object store
+            ds.write_parquet(tmp, partition_cols=["bucket"])
         man.mark(
             "tokenize", part, fp, "done",
             {"tokenize_seconds": time.time() - t0, "files": len(gfiles)},
@@ -378,7 +377,8 @@ def build_index(
 
     # ---- stage bucket stats (pre-aggregated partials -> tiny groupby) ----
     def _bucket_partial(batch: pa.Table) -> pa.Table:
-        b = batch["bucket"].to_numpy(zero_copy_only=False)
+        # bucket is a hive partition column -> may arrive as string
+        b = pc.cast(batch["bucket"], pa.int32()).to_numpy(zero_copy_only=False)
         dl = batch["dl"].to_numpy(zero_copy_only=False)
         cnt = np.bincount(b, minlength=0)
         dls = np.bincount(b, weights=dl.astype(np.float64))
@@ -416,29 +416,89 @@ def build_index(
     offs = np.concatenate([[0], np.cumsum(b_cnt)[:-1]])
     offsets = {int(b): int(o) for b, o in zip(b_ids, offs)}
 
-    # ---- stage encode (ONE wide shuffle: rank + forward map + postings) ----
+    # ---- stage encode (filesystem shuffle: per-bucket rank + forward map
+    # + postings; resumable per bucket) ----
     docmap_dir = os.path.join(index_dir, "docmap")
     postings_dir = os.path.join(index_dir, "postings")
     termstats_dir = os.path.join(index_dir, "termstats")
     summary_path = os.path.join(index_dir, "shard_summary.parquet")
     fp = fingerprint(tok_all_fp, "encode", n_buckets, n_docs, round(avgdl, 9))
+    bucket_files: dict[int, list[str]] = {}
+    for p in glob.glob(os.path.join(tokenized_dir, "*", "bucket=*", "*.parquet")):
+        b = int(os.path.basename(os.path.dirname(p)).split("=", 1)[1])
+        bucket_files.setdefault(b, []).append(p)
+    all_buckets = sorted(bucket_files)
+
     if not (resume and man.is_done("encode", "all", fp) and os.path.exists(summary_path)):
         t0 = time.time()
         for d in (docmap_dir, postings_dir, termstats_dir):
             os.makedirs(d, exist_ok=True)
-        ds = ray.data.read_parquet(tokenized_dir)
-        summaries = ds.groupby("bucket").map_groups(
-            encode_bucket_group,
-            fn_kwargs={
-                "offsets": offsets,
-                "avgdl": avgdl,
-                "docmap_dir": docmap_dir,
-                "postings_dir": postings_dir,
-                "termstats_dir": termstats_dir,
-            },
-            batch_format="pyarrow",
+        pending = [
+            b
+            for b in all_buckets
+            if not (resume and man.is_done("encode", f"bucket={b:05d}", fp))
+        ]
+        if pending:
+            files_ref = ray.put({b: sorted(bucket_files[b]) for b in pending})
+
+            def _encode_from_files(batch: pa.Table) -> pa.Table:
+                files_by_bucket = ray.get(files_ref)
+                outs = []
+                for b in batch["bucket"].to_pylist():
+                    tbl = pa.concat_tables(
+                        [pq.read_table(f) for f in files_by_bucket[int(b)]]
+                    ).combine_chunks()
+                    outs.append(
+                        encode_bucket_group(
+                            tbl,
+                            offsets=offsets,
+                            avgdl=avgdl,
+                            docmap_dir=docmap_dir,
+                            postings_dir=postings_dir,
+                            termstats_dir=termstats_dir,
+                            bucket=int(b),
+                        )
+                    )
+                return pa.concat_tables(outs)
+
+            summaries = (
+                ray.data.from_arrow(
+                    pa.table({"bucket": pa.array(pending, pa.int32())})
+                )
+                .repartition(len(pending))
+                .map_batches(
+                    _encode_from_files, batch_format="pyarrow", batch_size=1
+                )
+            )
+            for row in summaries.to_pandas().to_dict("records"):
+                man.mark(
+                    "encode",
+                    f"bucket={int(row['shard']):05d}",
+                    fp,
+                    "done",
+                    {k: (float(v) if k == "seconds" else int(v)) for k, v in row.items()},
+                )
+        # assemble the stage summary from per-bucket manifest records
+        recs = [
+            r["metrics"]
+            for r in man.records()
+            if r["stage"] == "encode"
+            and r["partition"].startswith("bucket=")
+            and r["fingerprint"] == fp
+        ]
+        summary = pa.Table.from_pylist(
+            [
+                {
+                    "shard": int(m["shard"]),
+                    "n_docs": int(m["n_docs"]),
+                    "n_terms": int(m["n_terms"]),
+                    "n_postings": int(m["n_postings"]),
+                    "bytes": int(m["bytes"]),
+                    "seconds": float(m["seconds"]),
+                }
+                for m in recs
+            ]
         )
-        summary = pa.Table.from_pandas(summaries.to_pandas())
         _atomic_write_table(summary, summary_path)
         secs = time.time() - t0
         n_post = int(summary["n_postings"].to_numpy(zero_copy_only=False).sum()) if summary.num_rows else 0

@@ -27,27 +27,67 @@ BLOCK_SIZE = 128
 
 
 def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a uint64 array, vectorized."""
+    """LEB128-encode a uint64 array, vectorized.
+
+    Byte-matrix formulation: an (n, W) uint8 matrix of 7-bit groups
+    (W = max groups needed by any value) flattened through a row-major
+    boolean mask — no variable-count np.repeat (which is slow and
+    allocation-heavy under concurrent tasks).
+    """
     v = np.ascontiguousarray(values, dtype=np.uint64)
     if v.size == 0:
         return b""
-    # number of 7-bit groups per value (at least 1)
+    ngroups = _varint_ngroups(v)
+    # chunked (cache-sized) encode: temporaries stay in L2, which matters
+    # because concurrent tasks share limited DRAM bandwidth
+    parts = []
+    CH = 1 << 16
+    for s in range(0, v.size, CH):
+        parts.append(_varint_encode_chunk(v[s : s + CH], ngroups[s : s + CH]))
+    return b"".join(parts) if len(parts) > 1 else parts[0]
+
+
+def _varint_ngroups(v: np.ndarray) -> np.ndarray:
+    """Bytes (7-bit groups) each value needs, as int8."""
     nbits = np.maximum(1, 64 - _clz64(v))
-    ngroups = (nbits + 6) // 7
-    total = int(ngroups.sum())
-    out = np.empty(total, dtype=np.uint8)
-    ends = np.cumsum(ngroups)
-    starts = ends - ngroups
-    # position of each output byte within its value
-    pos = np.arange(total, dtype=np.int64) - np.repeat(starts, ngroups)
-    vals = np.repeat(v, ngroups)
-    shifted = (vals >> (pos.astype(np.uint64) * np.uint64(7))) & np.uint64(0x7F)
-    out[:] = shifted.astype(np.uint8)
-    # continuation bit on all but the last byte of each value
-    is_last = np.zeros(total, dtype=bool)
-    is_last[ends - 1] = True
-    out[~is_last] |= 0x80
-    return out.tobytes()
+    return ((nbits + 6) // 7).astype(np.int8)
+
+
+def _varint_ngroups_any(v: np.ndarray) -> np.ndarray:
+    """ngroups for uint32 or uint64 input (uint32: cheap frexp path)."""
+    if v.dtype == np.uint32:
+        bl = np.frexp(v.astype(np.float64))[1]  # exact bit length for < 2^32
+        return np.maximum(1, (bl + 6) // 7).astype(np.int8)
+    return _varint_ngroups(v)
+
+
+def _varint_encode_chunk_any(v: np.ndarray, ngroups: np.ndarray) -> bytes:
+    width = int(ngroups.max())
+    if v.dtype == np.uint32:
+        js = np.arange(width, dtype=np.uint32) * np.uint32(7)
+        mat = ((v[:, None] >> js[None, :]) & np.uint32(0x7F)).astype(np.uint8)
+    else:
+        js = np.arange(width, dtype=np.uint64) * np.uint64(7)
+        mat = ((v[:, None] >> js[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    col = np.arange(width, dtype=np.int8)[None, :]
+    keep = col < ngroups[:, None]
+    mat |= ((col < (ngroups[:, None] - 1)) * np.uint8(0x80))
+    return mat[keep].tobytes()
+
+
+def _varint_encode_chunk(v: np.ndarray, ngroups: np.ndarray) -> bytes:
+    width = int(ngroups.max())
+    if int(v.max()) < 2**32:
+        v = v.astype(np.uint32)
+        js = np.arange(width, dtype=np.uint32) * np.uint32(7)
+        mat = ((v[:, None] >> js[None, :]) & np.uint32(0x7F)).astype(np.uint8)
+    else:
+        js = np.arange(width, dtype=np.uint64) * np.uint64(7)
+        mat = ((v[:, None] >> js[None, :]) & np.uint64(0x7F)).astype(np.uint8)
+    col = np.arange(width, dtype=np.int8)[None, :]
+    keep = col < ngroups[:, None]
+    mat |= ((col < (ngroups[:, None] - 1)) * np.uint8(0x80))
+    return mat[keep].tobytes()
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:
@@ -164,6 +204,140 @@ def decode_blocks_concat(
     else:
         doc_ids = gcs
     return doc_ids, inter[1::3], inter[2::3]
+
+
+def encode_shard_postings(
+    t_codes: np.ndarray,
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    block_size: int = BLOCK_SIZE,
+) -> dict:
+    """Encode ALL postings of a shard in one vectorized pass.
+
+    Input arrays must be sorted by (t_codes, doc_ids). Produces the same
+    per-(term, block) blobs as encode_blocks called per term (delta chain
+    restarts at each block), but with a single varint pass and reduceat
+    metadata — no per-term Python loop, no allocation storm under
+    concurrent tasks.
+
+    Returns dict with per-block arrays (term_code, block_id, first_docid,
+    last_docid, n, max_tfnorm), a pyarrow BinaryArray `blobs` sliced
+    zero-copy from the single encoded buffer, and per-term arrays
+    (term_code_of_term, df, n_blocks, term_max_tfnorm).
+    """
+    import pyarrow as pa
+
+    n = doc_ids.size
+    doc_ids = np.ascontiguousarray(doc_ids, dtype=np.uint64)
+    tfs = np.ascontiguousarray(tfs, dtype=np.uint64)
+    dls = np.ascontiguousarray(dls, dtype=np.uint64)
+    if n == 0:
+        return {
+            "term_code": np.empty(0, np.int64),
+            "block_id": np.empty(0, np.int32),
+            "first_docid": np.empty(0, np.int64),
+            "last_docid": np.empty(0, np.int64),
+            "n": np.empty(0, np.int32),
+            "max_tfnorm": np.empty(0, np.float64),
+            "blobs": pa.array([], type=pa.binary()),
+            "t_term_code": np.empty(0, np.int64),
+            "t_df": np.empty(0, np.int64),
+            "t_n_blocks": np.empty(0, np.int64),
+            "t_max_tfnorm": np.empty(0, np.float64),
+        }
+
+    # term runs (block-granular metadata only; nothing posting-sized
+    # beyond three streaming passes — DRAM traffic is the scaling limit
+    # for concurrent encode tasks)
+    change = np.empty(n, dtype=bool)
+    change[0] = True
+    change[1:] = t_codes[1:] != t_codes[:-1]
+    term_starts = np.flatnonzero(change)
+    term_lens = np.diff(np.append(term_starts, n))
+
+    # block starts derived at block granularity (~n/128 entries)
+    nb_per_term = ((term_lens + block_size - 1) // block_size).astype(np.int64)
+    total_blocks = int(nb_per_term.sum())
+    first_block_of_term = np.concatenate([[0], np.cumsum(nb_per_term)[:-1]])
+    block_ids = (
+        np.arange(total_blocks, dtype=np.int64)
+        - np.repeat(first_block_of_term, nb_per_term)
+    )
+    block_starts = np.repeat(term_starts, nb_per_term) + block_ids * block_size
+    term_end_of_block = np.repeat(term_starts + term_lens, nb_per_term)
+    block_ends = np.minimum(block_starts + block_size, term_end_of_block)
+    block_lens = (block_ends - block_starts).astype(np.int32)
+
+    # deltas: one global diff pass, then fix-up at the (few) block starts
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[0] = doc_ids[0]
+    np.subtract(doc_ids[1:], doc_ids[:-1], out=deltas[1:])
+    deltas[block_starts] = doc_ids[block_starts]
+
+    # chunked interleave + varint encode (cache-resident temporaries),
+    # accumulating per-block byte lengths as we go
+    use32 = bool(doc_ids.max() < 2**32 and tfs.max() < 2**32 and dls.max() < 2**32)
+    parts: list[bytes] = []
+    blob_lens = np.zeros(total_blocks, dtype=np.int64)
+    CH_BLOCKS = 512  # 512 blocks x 128 postings x 3 values ~ cache-sized
+    for bs in range(0, total_blocks, CH_BLOCKS):
+        be = min(bs + CH_BLOCKS, total_blocks)
+        lo = int(block_starts[bs])
+        hi = int(block_ends[be - 1])
+        m = hi - lo
+        if use32:
+            inter = np.empty((m, 3), dtype=np.uint32)
+            inter[:, 0] = deltas[lo:hi]
+            inter[:, 1] = tfs[lo:hi]
+            inter[:, 2] = dls[lo:hi]
+        else:
+            inter = np.empty((m, 3), dtype=np.uint64)
+            inter[:, 0] = deltas[lo:hi]
+            inter[:, 1] = tfs[lo:hi]
+            inter[:, 2] = dls[lo:hi]
+        flat = inter.ravel()
+        ng = _varint_ngroups_any(flat)
+        parts.append(_varint_encode_chunk_any(flat, ng))
+        # per-block byte lengths within this chunk
+        ng3 = ng.astype(np.int64).reshape(m, 3).sum(axis=1)
+        cuts = (block_starts[bs:be] - lo).astype(np.int64)
+        blob_lens[bs:be] = np.add.reduceat(ng3, cuts)
+    buf = b"".join(parts)
+
+    blob_offsets64 = np.concatenate([[0], np.cumsum(blob_lens)])
+    if blob_offsets64[-1] >= 2**31:
+        # one shard encodes >2 GiB of postings: raise n_buckets instead
+        raise ValueError(
+            "shard postings exceed 2 GiB; increase n_buckets (shard count)"
+        )
+    blob_offsets = blob_offsets64.astype(np.int32)
+    # zero-copy BinaryArray over the single encoded buffer
+    blobs = pa.Array.from_buffers(
+        pa.binary(), total_blocks,
+        [None, pa.py_buffer(blob_offsets.tobytes()), pa.py_buffer(buf)],
+    )
+
+    tfn = _tfnorm(tfs.astype(np.float64), dls.astype(np.float64), avgdl)
+    block_max = np.maximum.reduceat(tfn, block_starts)
+    term_max = np.maximum.reduceat(tfn, term_starts)
+    blocks_per_term = nb_per_term
+    block_ids = block_ids.astype(np.int32)
+
+    return {
+        "term_code": t_codes[block_starts],
+        "block_id": block_ids,
+        "first_docid": doc_ids[block_starts].astype(np.int64),
+        "last_docid": doc_ids[block_ends - 1].astype(np.int64),
+        "n": block_lens,
+        "max_tfnorm": block_max,
+        "blobs": blobs,
+        "t_term_code": t_codes[term_starts],
+        "t_df": term_lens.astype(np.int64),
+        "t_n_blocks": blocks_per_term.astype(np.int64),
+        "t_max_tfnorm": term_max,
+    }
 
 
 def _tfnorm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:

@@ -65,6 +65,35 @@ def generate_corpus(
     return paths
 
 
+def generate_corpus_ray(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 89,
+    rows_per_file: int = 5000,
+    mean_tokens: int = 120,
+) -> list[str]:
+    """Parallel generation via Ray tasks. Bit-identical output to
+    generate_corpus with the same rows_per_file: every file is a pure
+    function of (seed, start, end). Ray must already be initialized."""
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+    spans = [
+        (s, min(s + rows_per_file, n_rows)) for s in range(0, n_rows, rows_per_file)
+    ]
+
+    @ray.remote
+    def _gen(start: int, end: int) -> str:
+        table = _make_rows(start, end, seed, mean_tokens)
+        p = os.path.join(out_dir, f"corpus-{start:08d}.parquet")
+        tmp = p + ".tmp"
+        pq.write_table(table, tmp)
+        os.replace(tmp, p)
+        return p
+
+    return sorted(ray.get([_gen.remote(s, e) for s, e in spans]))
+
+
 def _make_rows(start: int, end: int, seed: int, mean_tokens: int) -> pa.Table:
     n = end - start
     idx = np.arange(start, end)

@@ -31,25 +31,44 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "40000"))
+BENCH_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "320000"))
 MEAN_TOKENS = int(os.environ.get("GRAFT_BENCH_MEAN_TOKENS", "200"))
 MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # full | build
 N_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "32"))
 
 
-def _corpus_dir() -> str:
+def _corpus_dir(use_ray: bool = True) -> str:
     d = f"/tmp/auctus_bench_corpus_{BENCH_DOCS}_{MEAN_TOKENS}"
     marker = os.path.join(d, "DONE")
     if not os.path.exists(marker):
-        from auctus_ray.sources.code_corpus import generate_corpus
+        import ray
+
+        from auctus_ray.sources.code_corpus import generate_corpus, generate_corpus_ray
 
         shutil.rmtree(d, ignore_errors=True)
-        generate_corpus(
-            d, n_rows=BENCH_DOCS, rows_per_file=max(500, BENCH_DOCS // 64),
-            mean_tokens=MEAN_TOKENS,
-        )
+        rows_per_file = max(500, BENCH_DOCS // 64)
+        if use_ray and ray.is_initialized():
+            generate_corpus_ray(
+                d, n_rows=BENCH_DOCS, rows_per_file=rows_per_file,
+                mean_tokens=MEAN_TOKENS,
+            )
+        else:
+            generate_corpus(
+                d, n_rows=BENCH_DOCS, rows_per_file=rows_per_file,
+                mean_tokens=MEAN_TOKENS,
+            )
         open(marker, "w").write("ok")
     return d
+
+
+def _warmup_ray():
+    """Untimed: spawn the worker pool + JIT the hot kernels so the timed
+    build measures indexing, not cluster startup."""
+    import ray.data
+
+    ray.data.range(NUM_CPUS * 4, override_num_blocks=NUM_CPUS * 2).map_batches(
+        lambda b: b, batch_format="pyarrow"
+    ).materialize()
 
 
 def _init_ray():
@@ -75,6 +94,7 @@ def _build_code_index(corpus_dir: str) -> tuple[float, dict]:
     idx_dir = f"/tmp/auctus_bench_index_{BENCH_DOCS}_{MEAN_TOKENS}_{NUM_CPUS}"
     shutil.rmtree(idx_dir, ignore_errors=True)
     paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    _warmup_ray()
     t0 = time.time()
     res = build_index(
         paths, idx_dir, analyzer="code", n_shards=N_SHARDS,
@@ -188,7 +208,11 @@ def run_build_only() -> dict:
 
 def run_scaling() -> dict:
     """Same build at 8 and 32 CPUs in fresh processes (two 'cluster sizes')."""
-    _corpus_dir()  # generate once so both runs share warm input
+    _init_ray()
+    _corpus_dir()  # generate once (parallel) so both runs share warm input
+    import ray
+
+    ray.shutdown()
 
     def sub(ncpu: int) -> dict:
         env = dict(
@@ -204,7 +228,8 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     # warm OS page cache with an untimed low-cpu run? The corpus is small;
     # the first subprocess warms it for the second — run lo first, then hi,
     # then lo again and keep the better lo (cache-fair).
@@ -218,10 +243,12 @@ def run_scaling() -> dict:
         "metric": "indexing-throughput scaling (two parallelism levels)",
         "value": round(eff, 3),
         "unit": "efficiency",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo2.get("docs_per_sec"),
-        "docs_per_sec_32": r_hi.get("docs_per_sec"),
+        "cpus_lo": lo,
+        "cpus_hi": hi,
+        "sec_lo": t_lo,
+        "sec_hi": t_hi,
+        "docs_per_sec_lo": r_lo2.get("docs_per_sec"),
+        "docs_per_sec_hi": r_hi.get("docs_per_sec"),
         "n_docs": BENCH_DOCS,
         "scaling_efficiency": round(eff, 3),
     }
