@@ -375,19 +375,30 @@ def build_index(
 
     tok_all_fp = fingerprint(*tok_fps)
 
-    # ---- stage bucket stats (pre-aggregated partials -> tiny groupby) ----
-    def _bucket_partial(batch: pa.Table) -> pa.Table:
-        # bucket is a hive partition column -> may arrive as string
-        b = pc.cast(batch["bucket"], pa.int32()).to_numpy(zero_copy_only=False)
-        dl = batch["dl"].to_numpy(zero_copy_only=False)
-        cnt = np.bincount(b, minlength=0)
-        dls = np.bincount(b, weights=dl.astype(np.float64))
-        nz = np.flatnonzero(cnt)
+    # ---- stage bucket stats (distributed over file paths: footer row
+    # counts + the tiny dl column per file; a Dataset scan would pay
+    # discovery + per-fragment overhead on thousands of small shuffle
+    # files for a 2-column pass) ----
+    def _file_stats(batch: pa.Table) -> pa.Table:
+        buckets, cnts, dl_sums = [], [], []
+        for f, b in zip(batch["file"].to_pylist(), batch["bucket"].to_pylist()):
+            pf = pq.ParquetFile(f)
+            buckets.append(b)
+            cnts.append(pf.metadata.num_rows)
+            dl_sums.append(
+                int(
+                    np.sum(
+                        pf.read(columns=["dl"])["dl"].to_numpy(zero_copy_only=False)
+                    )
+                )
+                if pf.metadata.num_rows
+                else 0
+            )
         return pa.table(
             {
-                "bucket": pa.array(nz.astype(np.int32)),
-                "cnt": pa.array(cnt[nz].astype(np.int64)),
-                "dl_sum": pa.array(dls[nz].astype(np.int64)),
+                "bucket": pa.array(buckets, pa.int32()),
+                "cnt": pa.array(cnts, pa.int64()),
+                "dl_sum": pa.array(dl_sums, pa.int64()),
             }
         )
 
@@ -395,13 +406,29 @@ def build_index(
     fp = fingerprint(tok_all_fp, "bucket_stats")
     if not (resume and man.is_done("bucket_stats", "all", fp) and os.path.exists(stats_path)):
         t0 = time.time()
-        bs = (
-            ray.data.read_parquet(tokenized_dir, columns=["bucket", "dl"])
-            .map_batches(_bucket_partial, batch_format="pyarrow", zero_copy_batch=True)
-            .groupby("bucket")
-            .aggregate(Sum("cnt", alias_name="cnt"), Sum("dl_sum", alias_name="dl_sum"))
+        shuffle_files = sorted(
+            glob.glob(os.path.join(tokenized_dir, "*", "bucket=*", "*.parquet"))
         )
-        tbl = pa.Table.from_pandas(bs.to_pandas())
+        items = [
+            {
+                "file": f,
+                "bucket": int(os.path.basename(os.path.dirname(f)).split("=", 1)[1]),
+            }
+            for f in shuffle_files
+        ]
+        partials = (
+            ray.data.from_items(items)
+            .map_batches(_file_stats, batch_format="pyarrow", batch_size=64)
+            .to_pandas()
+        )
+        agg = partials.groupby("bucket", as_index=False).sum()
+        tbl = pa.table(
+            {
+                "bucket": pa.array(agg["bucket"].to_numpy().astype(np.int32)),
+                "cnt": pa.array(agg["cnt"].to_numpy().astype(np.int64)),
+                "dl_sum": pa.array(agg["dl_sum"].to_numpy().astype(np.int64)),
+            }
+        )
         _atomic_write_table(tbl, stats_path)
         man.mark("bucket_stats", "all", fp, "done", {"bucket_stats_seconds": time.time() - t0})
     bstats = pq.read_table(stats_path)
