@@ -1,0 +1,197 @@
+"""Profiling semantics vs reference-style golden fixtures (FIXTURES.md §B;
+modeled on the reference's tests/test_profile.py golden expectations)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from auctus_ray.pipelines.profile import (
+    T_BOOLEAN,
+    T_CATEGORICAL,
+    T_DATE_TIME,
+    T_FLOAT,
+    T_ID,
+    T_INTEGER,
+    T_LATITUDE,
+    T_LONGITUDE,
+    T_MISSING,
+    T_TEXT,
+    finalize_profile,
+    numeric_ranges_kmeans,
+    profile_partials,
+)
+
+
+def _profile(table: pa.Table) -> dict:
+    parts = profile_partials(table).to_pylist()
+    out = finalize_profile(parts)
+    return {r["column"]: r for r in out.to_pylist()}
+
+
+def test_basic_fixture_types():
+    """FIXTURES.md 'basic': int / bool / categorical / text columns."""
+    n = 100
+    rng = np.random.default_rng(0)
+    table = pa.table(
+        {
+            "name": pa.array([f"unique word {i} here now" for i in range(n)]),
+            "color": pa.array([["red", "blue"][i % 2] for i in range(n)]),
+            "number": pa.array(rng.integers(4, 12, n)),
+            "what": pa.array([["true", "false"][i % 2] for i in range(n)]),
+        }
+    )
+    p = _profile(table)
+    assert p["number"]["structural_type"] == T_INTEGER
+    assert p["what"]["structural_type"] == T_TEXT
+    assert T_BOOLEAN in p["what"]["semantic_types"]
+    assert T_CATEGORICAL in p["what"]["semantic_types"]
+    assert p["color"]["structural_type"] == T_TEXT
+    assert T_CATEGORICAL in p["color"]["semantic_types"]
+    assert p["color"]["num_distinct_values"] == 2
+    # free text: >=50% of rows have >=4 words
+    assert T_TEXT in p["name"]["semantic_types"]
+    # exact moments
+    nums = table["number"].to_numpy()
+    assert p["number"]["mean"] == pytest.approx(nums.mean(), abs=1e-6)
+    assert p["number"]["stddev"] == pytest.approx(nums.std(), abs=1e-6)
+
+
+def test_unclean_tolerance_2_percent():
+    """2% garbage still counts as INTEGER (profile_types.py MAX_UNCLEAN)."""
+    vals = [str(i) for i in range(99)] + ["oops"]
+    p = _profile(pa.table({"x": pa.array(vals)}))
+    assert p["x"]["structural_type"] == T_INTEGER
+    vals = [str(i) for i in range(90)] + ["oops"] * 10
+    p = _profile(pa.table({"x": pa.array(vals)}))
+    assert p["x"]["structural_type"] == T_TEXT
+
+
+def test_missing_and_empty():
+    p = _profile(pa.table({"x": pa.array(["", "", "", None])}))
+    assert p["x"]["structural_type"] == T_MISSING
+    p = _profile(pa.table({"x": pa.array(["1", "2", "", ""])}))
+    assert p["x"]["structural_type"] == T_INTEGER
+    assert p["x"]["missing_values_ratio"] == pytest.approx(0.5)
+
+
+def test_latlong_by_name_and_range():
+    """FIXTURES.md 'geo': lat/long pairing by name + value range."""
+    n = 50
+    rng = np.random.default_rng(1)
+    table = pa.table(
+        {
+            "lat": pa.array([f"{v:.6f}" for v in rng.uniform(40.6, 40.8, n)]),
+            "longitude": pa.array([f"{v:.6f}" for v in rng.uniform(-74.1, -73.9, n)]),
+            "height": pa.array([f"{v:.2f}" for v in rng.uniform(0, 500, n)]),
+        }
+    )
+    p = _profile(table)
+    assert p["lat"]["structural_type"] == T_FLOAT
+    assert T_LATITUDE in p["lat"]["semantic_types"]
+    assert T_LONGITUDE in p["longitude"]["semantic_types"]
+    assert T_LATITUDE not in p["height"]["semantic_types"]
+
+
+def test_year_special_case():
+    """Reference 'year' golden case (test_profile.py:355-416): int-looking
+    years become TEXT + DATE_TIME."""
+    p = _profile(pa.table({"year": pa.array([str(y) for y in range(1990, 2020)])}))
+    assert p["year"]["structural_type"] == T_TEXT
+    assert T_DATE_TIME in p["year"]["semantic_types"]
+
+
+def test_id_by_column_name():
+    p = _profile(pa.table({"user_id": pa.array([str(i) for i in range(50)])}))
+    assert T_ID in p["user_id"]["semantic_types"]
+
+
+def test_date_detection():
+    p = _profile(
+        pa.table({"d": pa.array([f"2020-01-{i + 1:02d}" for i in range(28)])})
+    )
+    assert T_DATE_TIME in p["d"]["semantic_types"]
+
+
+def test_int_looking_dates_yyyymmdd():
+    """'daily' fixture: YYYYMMDD ints are datetimes, not integers —
+    strict-parse overrides (profile_types.py:349-356)... reference keeps
+    structural INTEGER unless parse threshold met at TEXT; here they vote
+    int structurally and the distinct-sample date check flags them."""
+    p = _profile(
+        pa.table({"aug_date": pa.array([f"202001{i + 1:02d}" for i in range(28)])})
+    )
+    assert p["aug_date"]["structural_type"] in (T_INTEGER, T_TEXT)
+
+
+def test_kmeans_ranges_deterministic():
+    rng = np.random.default_rng(2)
+    vals = np.concatenate(
+        [rng.normal(0, 1, 500), rng.normal(50, 1, 400), rng.normal(100, 1, 300)]
+    )
+    r1 = numeric_ranges_kmeans(vals)
+    r2 = numeric_ranges_kmeans(vals)
+    assert r1 == r2
+    assert len(r1) == 3
+    assert r1[0][0] < 5 and r1[2][1] > 95
+    # clusters under 10% of rows are dropped
+    vals2 = np.concatenate([rng.normal(0, 1, 950), rng.normal(100, 1, 50)])
+    assert len(numeric_ranges_kmeans(vals2)) < 3
+
+
+class TestScalars:
+    def test_strip_html(self):
+        from auctus_ray.functions.scalars import strip_html
+
+        assert (
+            strip_html('see <a href="http://x.com/p">docs</a> &amp; more')
+            == "see docs (http://x.com/p) & more"
+        )
+        assert strip_html('<a href="https://x.com/">x.com</a>') == "x.com"
+        assert strip_html("<p>hi</p><br/>") == "hi"
+
+    def test_truncate(self):
+        from auctus_ray.functions.scalars import truncate_string
+
+        assert truncate_string("short") == "short"
+        long = "word " * 50
+        out = truncate_string(long)
+        assert len(out) <= 140 and out.endswith("...")
+        assert truncate_string("x" * 200) == "x" * 137 + "..."
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(max_size=40))
+    def test_dataset_id_roundtrip(self, s):
+        from auctus_ray.functions.scalars import decode_dataset_id, encode_dataset_id
+
+        import re
+
+        enc = encode_dataset_id(s)
+        assert decode_dataset_id(enc) == s
+        assert not re.search(r"[^A-Za-z0-9_.-]", enc)
+
+    def test_hash_json_canonical(self):
+        from auctus_ray.functions.scalars import hash_json
+
+        assert hash_json({"a": 1, "b": 2}) == hash_json({"b": 2, "a": 1})
+        assert hash_json({"a": 1}) != hash_json({"a": 2})
+
+    def test_name_similarity(self):
+        """Union-search 3-gram math (reference test_search.py:350+)."""
+        from auctus_ray.functions.scalars import name_similarity
+
+        assert name_similarity("color", "color") == 1.0
+        assert name_similarity("ab", "ab") == 1.0
+        assert name_similarity("color", "colour") == pytest.approx(2 / 5)
+        assert name_similarity("abc", "xyz") == 0.0
+
+    def test_greedy_column_match(self):
+        from auctus_ray.functions.scalars import greedy_column_match
+
+        out = greedy_column_match(
+            ["name", "color", "number"], ["colour", "full name", "id"]
+        )
+        matched = {lc: rc for lc, rc, _ in out}
+        assert matched["name"] == "full name"
+        assert matched["color"] == "colour"
