@@ -135,7 +135,8 @@ def profile_partials(batch: pa.Table, *, distinct_cap: int = 4096) -> pa.Table:
 
 
 _DATE_LIKE = re.compile(
-    r"^\d{4}[-/]\d{1,2}[-/]\d{1,2}([ T]\d{2}:\d{2}(:\d{2})?)?$|^\d{8}$"
+    # note: Arrow strftime('%S') emits fractional seconds (".000000")
+    r"^\d{4}[-/]\d{1,2}[-/]\d{1,2}([ T]\d{2}:\d{2}(:\d{2}(\.\d{1,9})?)?)?$|^\d{8}$"
 )
 
 
