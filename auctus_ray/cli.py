@@ -1,0 +1,211 @@
+"""Command-line entry points (ray-job-submittable).
+
+    python -m auctus_ray.cli build  --input DIR --index DIR [--analyzer code]
+                                    [--shards 32] [--no-resume]
+    python -m auctus_ray.cli query  --index DIR --query "..." [--k 10]
+                                    [--operator and|or] [--distributed N]
+    python -m auctus_ray.cli gen    --out DIR --rows 5000 [--mean-tokens 120]
+    python -m auctus_ray.cli verify --index DIR --input DIR
+                                    (rank-identity + sha256 check vs oracle)
+
+These own the Ray session (guarded init) — library code never does.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _ray_up(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(
+            address="local", include_dashboard=False,
+            ignore_reinit_error=True, logging_level="ERROR",
+        )
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(**kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def cmd_build(args) -> int:
+    _ray_up(args.num_cpus)
+    from auctus_ray.index.build import build_index
+
+    t0 = time.time()
+    res = build_index(
+        args.input, args.index, analyzer=args.analyzer,
+        n_shards=args.shards, resume=not args.no_resume,
+    )
+    out = {
+        "index_dir": res.index_dir,
+        "n_docs": res.n_docs,
+        "n_tokens": res.n_tokens,
+        "n_terms": res.n_terms,
+        "n_shards": res.n_shards,
+        "seconds": round(time.time() - t0, 3),
+        "docs_per_sec": round(res.n_docs / max(1e-9, time.time() - t0), 1),
+        "shard_skew": res.metrics.get("shard_skew_max_over_mean"),
+    }
+    print(json.dumps(out))
+    return 0
+
+
+def cmd_query(args) -> int:
+    from auctus_ray.index.search import DistributedSearcher, Searcher
+
+    if args.distributed:
+        _ray_up(args.num_cpus)
+        s = DistributedSearcher(args.index, n_actors=args.distributed)
+    else:
+        s = Searcher(args.index)
+    t0 = time.time()
+    doc_ids, scores = s.search(args.query, k=args.k, operator=args.operator)
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "query": args.query,
+                "k": args.k,
+                "operator": args.operator,
+                "latency_ms": round(dt * 1000, 3),
+                "hits": [
+                    {"rank": i + 1, "doc_id": int(d), "score": float(sc)}
+                    for i, (d, sc) in enumerate(zip(doc_ids, scores))
+                ],
+            }
+        )
+    )
+    return 0
+
+
+def cmd_gen(args) -> int:
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    paths = generate_corpus(
+        args.out, n_rows=args.rows, mean_tokens=args.mean_tokens,
+        rows_per_file=max(100, args.rows // 64),
+    )
+    print(json.dumps({"out": args.out, "files": len(paths), "rows": args.rows}))
+    return 0
+
+
+def cmd_verify(args) -> int:
+    """Rank-identity + per-row sha256 vs the brute-force oracle."""
+    import glob
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.oracle import OracleIndex
+    from auctus_ray.index.search import Searcher
+    from auctus_ray.sources.code_corpus import generate_query_set
+
+    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    corpus = pa.concat_tables([pq.read_table(p) for p in files])
+    searcher = Searcher(args.index)
+    oracle = OracleIndex(corpus, analyzer=searcher.analyzer)
+    qs = generate_query_set()
+    bad = 0
+    for qid, q, k, op in zip(
+        qs["qid"].to_pylist(), qs["query"].to_pylist(),
+        qs["k"].to_pylist(), qs["operator"].to_pylist(),
+    ):
+        od, osc = oracle.search(q, k=k, operator=op)
+        ed, esc = searcher.search(q, k=k, operator=op)
+        if not (len(od) == len(ed) and (od == ed).all() and (osc == esc).all()):
+            bad += 1
+            print(f"MISMATCH qid={qid} {q!r}", file=sys.stderr)
+    # sha256 invariant over the forward map
+    import hashlib
+
+    dm_files = sorted(
+        glob.glob(os.path.join(args.index, "docmap", "**/*.parquet"), recursive=True)
+    )
+    fwd = pa.concat_tables(
+        [pq.read_table(f, columns=["repo", "path", "commit", "sha256"]) for f in dm_files]
+    )
+    by_key = {
+        (r, p, c): s
+        for r, p, c, s in zip(
+            fwd["repo"].to_pylist(), fwd["path"].to_pylist(),
+            fwd["commit"].to_pylist(), fwd["sha256"].to_pylist(),
+        )
+    }
+    sha_bad = 0
+    for i in range(corpus.num_rows):
+        key = (
+            corpus["repo"][i].as_py(), corpus["path"][i].as_py(),
+            corpus["commit"][i].as_py(),
+        )
+        want = hashlib.sha256((corpus["content"][i].as_py() or "").encode()).hexdigest()
+        if by_key.get(key) != want:
+            sha_bad += 1
+    print(
+        json.dumps(
+            {
+                "queries": len(qs),
+                "rank_mismatches": bad,
+                "rows": corpus.num_rows,
+                "sha256_mismatches": sha_bad,
+                "ok": bad == 0 and sha_bad == 0,
+            }
+        )
+    )
+    return 0 if bad == 0 and sha_bad == 0 else 1
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="auctus_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--index", required=True)
+    b.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    b.add_argument("--shards", type=int, default=32)
+    b.add_argument("--no-resume", action="store_true")
+    b.add_argument("--num-cpus", type=int, default=None)
+    b.set_defaults(fn=cmd_build)
+
+    q = sub.add_parser("query", help="BM25 top-k search")
+    q.add_argument("--index", required=True)
+    q.add_argument("--query", required=True)
+    q.add_argument("--k", type=int, default=10)
+    q.add_argument("--operator", default="and", choices=["and", "or"])
+    q.add_argument("--distributed", type=int, default=0,
+                   help="shard-parallel search with N actors")
+    q.add_argument("--num-cpus", type=int, default=None)
+    q.set_defaults(fn=cmd_query)
+
+    g = sub.add_parser("gen", help="generate the synthetic code corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--rows", type=int, default=5000)
+    g.add_argument("--mean-tokens", type=int, default=120)
+    g.set_defaults(fn=cmd_gen)
+
+    v = sub.add_parser("verify", help="rank-identity + sha256 vs oracle")
+    v.add_argument("--index", required=True)
+    v.add_argument("--input", required=True)
+    v.set_defaults(fn=cmd_verify)
+
+    args = p.parse_args(argv)
+    try:
+        return args.fn(args)
+    finally:
+        import ray
+
+        if ray.is_initialized():
+            ray.shutdown()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

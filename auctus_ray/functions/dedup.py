@@ -346,3 +346,48 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
     return pairs.groupby(["id_a", "id_b"]).map_groups(
         lambda g: g.slice(0, 1), batch_format="pyarrow"
     )
+
+
+# -------------------------------------------------------------- embedding near-dup
+
+
+def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
+                             seed: int = 89, id_col: str = "vec_id",
+                             vec_col: str = "embedding"):
+    """Embedding-cosine near-dup: LSH-bucket by random hyperplanes (near
+    vectors collide), then exact normalized matmul within each bucket —
+    emit (id_a < id_b, cosine) pairs above threshold. Bucket sizes bound
+    the quadratic step; raise n_planes for tighter buckets at scale."""
+    from auctus_ray.functions.ann import HyperplaneLSH, _normalize, _to_matrix
+
+    first = ds.take_batch(1, batch_format="pyarrow")
+    dim = len(first[vec_col][0].as_py())
+    bucketed = ds.map_batches(
+        HyperplaneLSH,
+        fn_constructor_kwargs={
+            "dim": dim, "n_planes": n_planes, "seed": seed,
+            "id_col": id_col, "vec_col": vec_col,
+        },
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    )
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy(zero_copy_only=False)
+        m = _normalize(_to_matrix(group[vec_col]))
+        order = np.argsort(ids)
+        ids, m = ids[order], m[order]
+        sims = m @ m.T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= threshold
+        return pa.table(
+            {
+                "id_a": pa.array(ids[iu[keep]]),
+                "id_b": pa.array(ids[ju[keep]]),
+                "cosine": pa.array(sims[iu[keep], ju[keep]], pa.float64()),
+            }
+        )
+
+    return bucketed.groupby("lsh_bucket").map_groups(
+        bucket_pairs, batch_format="pyarrow"
+    )

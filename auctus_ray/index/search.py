@@ -455,3 +455,63 @@ class BatchSearcher:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         return self.searcher.topk_table(batch, algorithm=self.algorithm)
+
+
+class _ShardGroupSearcher:
+    """One actor per shard group: holds a Searcher restricted to its
+    shard files (index state loaded once — reference stateful-service
+    pattern T1/T2), returns its local top-k per query."""
+
+    def __init__(self, index_dir: str, shard_files: list[str]):
+        self.searcher = Searcher(index_dir)
+        self.searcher.shard_files = shard_files
+
+    def search(self, query: str, k: int, operator: str, algorithm: str):
+        doc_ids, scores = self.searcher.search(
+            query, k=k, operator=operator, algorithm=algorithm
+        )
+        return doc_ids, scores
+
+
+class DistributedSearcher:
+    """Per-query shard fan-out: the query runs as distributed actor tasks
+    over disjoint shard-file groups; partial top-k results stream back
+    and a final merge-sort reduce picks the global top-k (score desc,
+    docID asc) — the north-star query-serving shape. Safe because shards
+    are docID ranges: every shard scores its own documents completely
+    with globally-correct idf (df comes from the global term_stats).
+    """
+
+    def __init__(self, index_dir: str, n_actors: int = 4):
+        import ray
+
+        files = sorted(
+            glob.glob(os.path.join(index_dir, "postings", "shard=*.parquet"))
+        )
+        n_actors = max(1, min(n_actors, len(files)))
+        groups = [files[i::n_actors] for i in range(n_actors)]
+        actor_cls = ray.remote(_ShardGroupSearcher)
+        self.actors = [
+            actor_cls.remote(index_dir, grp) for grp in groups if grp
+        ]
+
+    def search(
+        self, query: str, k: int = 10, operator: str = "and",
+        algorithm: str = "auto",
+    ) -> tuple[np.ndarray, np.ndarray]:
+        import ray
+
+        parts = ray.get(
+            [a.search.remote(query, k, operator, algorithm) for a in self.actors]
+        )
+        doc_ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
+        scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return doc_ids[order], scores[order]
+
+    def shutdown(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

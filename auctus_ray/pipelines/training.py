@@ -20,6 +20,7 @@ from ray.data.aggregate import Count, Min
 from auctus_ray.functions.ann import brute_force_topk, lsh_topk
 from auctus_ray.functions.dedup import (
     content_hash_batch,
+    embedding_near_dup_pairs,
     lsh_candidate_pairs,
     minhash_signatures,
     simhash_near_dup_pairs,
@@ -142,6 +143,25 @@ FROM ranked WHERE rn <= 10
 """
 
 
+def near_dup_embeddings(sf_dir: str):
+    """Embedding-cosine near-dup pairs (rows-only; exact oracle in
+    tests/test_functions.py with planted duplicate vectors)."""
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    pairs = embedding_near_dup_pairs(ds, threshold=0.95)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return pairs.map_batches(round6, batch_format="pyarrow")
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN (approximate; rows-only driver check — recall is
     judged in pytest against the brute-force baseline)."""
@@ -209,6 +229,7 @@ QUERIES = {
     "near_dup_simhash": near_dup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "near_dup_embeddings": near_dup_embeddings,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "lang_id": lang_id,

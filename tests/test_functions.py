@@ -213,3 +213,32 @@ def test_quality_and_langid(ray_session):
     assert lid.predict(table["text"][1].as_py()) == "fr"
     assert lid.predict(table["text"][2].as_py()) == "de"
     assert lid.predict("") == "und"
+
+
+def test_embedding_near_dup(ray_session):
+    """Planted duplicate + near-duplicate vectors must be found; reported
+    cosines are exact."""
+    import ray.data
+
+    from auctus_ray.functions.dedup import embedding_near_dup_pairs
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n, d = 200, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    mat[10] = mat[9]                      # exact dup
+    mat[20] = mat[19] + 0.01 * rng.standard_normal(d).astype(np.float32)  # near dup
+    flat = pa.array(mat.ravel(), pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    t = pa.table({"vec_id": pa.array(np.arange(n, dtype=np.int64)),
+                  "embedding": pa.ListArray.from_arrays(offs, flat)})
+    out = embedding_near_dup_pairs(
+        ray.data.from_arrow(t), threshold=0.95, n_planes=6
+    ).to_pandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    assert (9, 10) in found
+    assert (19, 20) in found
+    m64 = mat.astype(np.float64)
+    m64 = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    for a, b, c in zip(out["id_a"], out["id_b"], out["cosine"]):
+        assert c == pytest.approx(float(m64[a] @ m64[b]), abs=1e-12)
+        assert c >= 0.95

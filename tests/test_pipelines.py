@@ -80,7 +80,12 @@ def test_rows_only_queries_run(ray_session):
     assert rows_only, "expected some rows-only queries"
     for name in rows_only:
         out = _to_pandas(qs[name](SF_DIR))
-        assert out is not None and len(out.columns) > 0, name
+        assert out is not None, name
+        # pair-finding queries may legitimately return zero rows (and an
+        # empty pandas frame loses its schema); non-empty results must
+        # carry columns
+        if len(out) > 0:
+            assert len(out.columns) > 0, name
 
 
 def test_entry_smoke(ray_session):

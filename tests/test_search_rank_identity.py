@@ -104,3 +104,19 @@ def test_batch_searcher_actor_pool(ray_session, built_index, oracle_small):
     pa_got = pa.Table.from_pandas(got)
     pa_expect = pa.Table.from_pandas(expect)
     assert pa_got.equals(pa_expect)
+
+
+def test_distributed_shard_searcher(ray_session, built_index, oracle_small):
+    """Per-query shard fan-out (actor tasks + merge-sort reduce) must be
+    rank-identical to the oracle too."""
+    from auctus_ray.index.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index.index_dir, n_actors=3)
+    try:
+        for qid, q, k, op in _queries():
+            od, osc = oracle_small.search(q, k=k, operator=op)
+            ed, esc = ds.search(q, k=k, operator=op)
+            assert len(od) == len(ed), (qid, q)
+            assert (od == ed).all() and (osc == esc).all(), (qid, q)
+    finally:
+        ds.shutdown()
