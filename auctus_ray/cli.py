@@ -170,7 +170,8 @@ def main(argv=None) -> int:
     b = sub.add_parser("build", help="build the inverted index")
     b.add_argument("--input", required=True)
     b.add_argument("--index", required=True)
-    b.add_argument("--analyzer", default="code", choices=["code", "simple"])
+    b.add_argument("--analyzer", default="code",
+                   choices=["code", "simple", "code_stem", "text_en"])
     b.add_argument("--shards", type=int, default=32)
     b.add_argument("--no-resume", action="store_true")
     b.add_argument("--num-cpus", type=int, default=None)

@@ -31,8 +31,10 @@ from auctus_ray.tokenize import tokenize_text
 class OracleIndex:
     """In-memory exact index over a corpus Arrow table."""
 
-    def __init__(self, corpus: pa.Table, analyzer: str = "code"):
+    def __init__(self, corpus: pa.Table, analyzer: str = "code",
+                 synonyms: dict[str, list[str]] | None = None):
         self.analyzer = analyzer
+        self.synonyms = synonyms or {}
         doc_ids = assign_doc_ids_local(corpus)
         contents = corpus["content"].to_pylist()
         self.n_docs = len(contents)
@@ -51,7 +53,12 @@ class OracleIndex:
 
     def search(self, query: str, k: int = 10, operator: str = "and"):
         """Exact top-k: returns (doc_ids, scores) float64, ties by docID asc."""
-        terms = sorted(set(tokenize_text(query, self.analyzer)))
+        base_terms = set(tokenize_text(query, self.analyzer))
+        if self.synonyms:
+            for t in list(base_terms):
+                for syn in self.synonyms.get(t, ()):
+                    base_terms.update(tokenize_text(syn, self.analyzer))
+        terms = sorted(base_terms)
         if not terms:
             return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
         per_term = []

@@ -226,7 +226,12 @@ class Searcher:
     actor pools (`BatchSearcher`) for distributed serving.
     """
 
-    def __init__(self, index_dir: str):
+    def __init__(self, index_dir: str, synonyms: dict[str, list[str]] | None = None):
+        # search-time-only synonym expansion, mirroring the reference's
+        # default_search analyzer (synonym_graph applied at query time
+        # only, elasticsearch.yml:16-31). Simplification: term-level OR
+        # expansion; each expanded term scores with its own idf.
+        self.synonyms = synonyms or {}
         self.index_dir = index_dir
         gs = pq.read_table(os.path.join(index_dir, "global_stats.parquet"))
         self.n_docs = int(gs["n_docs"][0].as_py())
@@ -304,7 +309,12 @@ class Searcher:
         algorithm: str = "auto",
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k (doc_ids, scores), score desc then docID asc, float64."""
-        terms = sorted(set(tokenize_text(query, self.analyzer)))
+        base_terms = set(tokenize_text(query, self.analyzer))
+        if self.synonyms:
+            for t in list(base_terms):
+                for syn in self.synonyms.get(t, ()):
+                    base_terms.update(tokenize_text(syn, self.analyzer))
+        terms = sorted(base_terms)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if not terms:
             return empty

@@ -38,7 +38,10 @@ _PY_ALPHA_DIGIT = re.compile(_RE_ALPHA_DIGIT)
 _PY_DIGIT_ALPHA = re.compile(_RE_DIGIT_ALPHA)
 _PY_TOKEN = re.compile(r"[a-z0-9]+")
 
-ANALYZERS = ("code", "simple")
+ANALYZERS = ("code", "simple", "code_stem", "text_en")
+# "code_stem" = code chain + Porter stemming; "text_en" = html_strip +
+# lowercase + [a-z0-9]+ + Porter stemming — the reference's full ES
+# index-time chain (elasticsearch.yml:2-31) for natural-language text.
 
 
 def tokenize_array(arr: pa.Array | pa.ChunkedArray, analyzer: str = "code") -> pa.Array:
@@ -48,19 +51,43 @@ def tokenize_array(arr: pa.Array | pa.ChunkedArray, analyzer: str = "code") -> p
     coerces missing cells to '' (lib_profiler core.py:199, na_filter=False).
     """
     arr = pc.fill_null(arr, "")
-    if analyzer == "code":
+    if analyzer in ("code", "code_stem"):
         x = pc.replace_substring_regex(arr, pattern=_RE_CAMEL, replacement=r"\1 \2")
         x = pc.replace_substring_regex(x, pattern=_RE_ALPHA_DIGIT, replacement=r"\1 \2")
         x = pc.replace_substring_regex(x, pattern=_RE_DIGIT_ALPHA, replacement=r"\1 \2")
     elif analyzer == "simple":
         x = arr
+    elif analyzer == "text_en":
+        # html_strip char filter (per-row Python; only for text corpora)
+        from auctus_ray.functions.scalars import strip_html
+
+        x = pa.array([strip_html(s) for s in arr.to_pylist()], pa.string())
     else:
         raise ValueError(f"unknown analyzer {analyzer!r}")
     x = pc.utf8_lower(x)
     toks = pc.split_pattern_regex(x, pattern=_SPLIT_PATTERN)
     # split leaves empty strings at the edges (e.g. leading separator);
     # drop them with a vectorized list filter: flatten -> mask -> rebuild.
-    return _drop_empty_tokens(toks)
+    out = _drop_empty_tokens(toks)
+    if analyzer in ("code_stem", "text_en"):
+        out = stem_list_array(out)
+    return out
+
+
+def stem_list_array(list_arr: pa.Array) -> pa.Array:
+    """Porter-stem a ListArray<string>: stem only the dictionary of unique
+    tokens, then map back — amortizes the per-token Python cost."""
+    from auctus_ray.functions.stemmer import porter_stem
+
+    flat = list_arr.flatten()
+    if len(flat) == 0:
+        return list_arr
+    enc = flat.dictionary_encode()
+    stemmed_dict = pa.array(
+        [porter_stem(t) for t in enc.dictionary.to_pylist()], pa.string()
+    )
+    new_flat = stemmed_dict.take(enc.indices)
+    return pa.ListArray.from_arrays(list_arr.offsets, new_flat)
 
 
 def _drop_empty_tokens(list_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -87,10 +114,19 @@ def tokenize_text(text: str, analyzer: str = "code") -> list[str]:
     """
     if text is None:
         return []
-    if analyzer == "code":
+    if analyzer in ("code", "code_stem"):
         text = _PY_CAMEL.sub(r"\1 \2", text)
         text = _PY_ALPHA_DIGIT.sub(r"\1 \2", text)
         text = _PY_DIGIT_ALPHA.sub(r"\1 \2", text)
+    elif analyzer == "text_en":
+        from auctus_ray.functions.scalars import strip_html
+
+        text = strip_html(text)
     elif analyzer != "simple":
         raise ValueError(f"unknown analyzer {analyzer!r}")
-    return _PY_TOKEN.findall(text.lower())
+    toks = _PY_TOKEN.findall(text.lower())
+    if analyzer in ("code_stem", "text_en"):
+        from auctus_ray.functions.stemmer import porter_stem
+
+        toks = [porter_stem(t) for t in toks]
+    return toks

@@ -195,3 +195,120 @@ class TestScalars:
         matched = {lc: rc for lc, rc, _ in out}
         assert matched["name"] == "full name"
         assert matched["color"] == "colour"
+
+
+class TestTemporalResolution:
+    """Reference semantics (lib_profiler/temporal.py:36-71; mirrored from
+    the reference's TestDates resolution cases)."""
+
+    def _res(self, strs):
+        import numpy as np
+
+        from auctus_ray.functions.temporal import get_temporal_resolution
+
+        return get_temporal_resolution(np.array(strs, dtype="datetime64[s]"))
+
+    def test_daily(self):
+        assert self._res([f"2020-01-{d:02d}" for d in range(1, 29)]) == "day"
+
+    def test_hourly(self):
+        assert self._res([f"2020-01-01T{h:02d}:00" for h in range(24)]) == "hour"
+
+    def test_yearly(self):
+        assert self._res([f"{y}-01-01" for y in range(2000, 2020)]) == "year"
+
+    def test_monthly(self):
+        assert self._res(
+            [f"2019-{m:02d}-15" for m in range(1, 13)]
+            + [f"2020-{m:02d}-15" for m in range(1, 13)]
+        ) == "month"
+
+    def test_weekly(self):
+        assert self._res(
+            [f"2020-01-{d:02d}" for d in (6, 13, 20, 27)]
+            + [f"2020-02-{d:02d}" for d in (3, 10, 17)]
+        ) == "week"
+
+    def test_single_value(self):
+        assert self._res(["2020-01-01T00:00:30"]) == "second"
+        assert self._res(["2020-01-01T00:30:00"]) == "minute"
+        assert self._res(["2020-01-01T05:00:00"]) == "hour"
+        assert self._res(["2020-01-01"]) == "day"
+
+    def test_tolerance(self):
+        # 28 daily values + 1 duplicate-day second: still 'day' (5% slack)
+        vals = [f"2020-01-{d:02d}" for d in range(1, 29)] + ["2020-01-05T10:00:00"]
+        assert self._res(vals) == "day"
+
+    def test_coarser(self):
+        from auctus_ray.functions.temporal import coarser_resolution
+
+        assert coarser_resolution("day", "month") == "month"
+        assert coarser_resolution("year", "second") == "year"
+
+
+class TestStemmerAndSynonyms:
+    def test_porter_vectors(self):
+        from auctus_ray.functions.stemmer import porter_stem
+
+        cases = {
+            "caresses": "caress", "ponies": "poni", "flies": "fli",
+            "agreed": "agre", "plastered": "plaster", "motoring": "motor",
+            "sing": "sing", "conflated": "conflat", "hopping": "hop",
+            "happy": "happi", "sky": "sky", "relational": "relat",
+            "conditional": "condit", "rational": "ration",
+            "generalization": "gener", "connection": "connect",
+            "probate": "probat", "controller": "control",
+        }
+        for w, expect in cases.items():
+            assert porter_stem(w) == expect, w
+
+    def test_stemming_analyzer(self):
+        from auctus_ray.tokenize import tokenize_array, tokenize_text
+
+        import pyarrow as pa
+
+        out = tokenize_text("parsing connections quickly", "text_en")
+        assert out == ["pars", "connect", "quickli"]
+        arr = tokenize_array(
+            pa.array(["parsing connections quickly"]), "text_en"
+        ).to_pylist()
+        assert arr == [out]
+        # code_stem keeps identifier splitting then stems
+        assert tokenize_text("getConnections", "code_stem") == ["get", "connect"]
+
+    def test_search_time_synonyms(self, ray_session, tmp_path):
+        """Engine with synonyms == oracle with synonyms, and synonyms
+        actually widen recall (search-time only, like the reference)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from auctus_ray.index.build import build_index
+        from auctus_ray.index.oracle import OracleIndex
+        from auctus_ray.index.search import Searcher
+
+        rows = {
+            "repo": [f"r/{i}" for i in range(8)],
+            "path": [f"f{i}.py" for i in range(8)],
+            "commit": [f"c{i}" for i in range(8)],
+            "lang": ["python"] * 8,
+            "content": [
+                "the quick fox", "a fast fox", "a rapid fox", "slow snail",
+                "quick dog", "fast dog", "lazy cat", "speedy cat",
+            ],
+        }
+        t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+        p = str(tmp_path / "syn.parquet")
+        pq.write_table(t, p)
+        idx = str(tmp_path / "syn_idx")
+        build_index([p], idx, n_shards=2)
+        syn = {"quick": ["fast", "rapid"]}
+        s = Searcher(idx, synonyms=syn)
+        o = OracleIndex(t, synonyms=syn)
+        d_s, sc_s = s.search("quick", k=8, operator="or")
+        d_o, sc_o = o.search("quick", k=8, operator="or")
+        assert (d_s == d_o).all() and (sc_s == sc_o).all()
+        # expansion found the fast/rapid docs too
+        plain = Searcher(idx)
+        d_plain, _ = plain.search("quick", k=8, operator="or")
+        assert len(d_s) > len(d_plain)
