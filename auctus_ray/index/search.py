@@ -409,24 +409,43 @@ class Searcher:
                 e["_decoded"] = cached  # idf-free; entry dict is the LRU unit
             d64, tfn = cached
             decoded.append((d64, idf * tfn))
-        all_docs = np.concatenate([d for d, _ in decoded])
-        uniq, inv_start = np.unique(all_docs, return_inverse=True)
-        scores = np.zeros(uniq.size, dtype=np.float64)
-        counts = np.zeros(uniq.size, dtype=np.int32)
-        pos = 0
+        # dense-span accumulation: a shard is a bounded docID range by
+        # construction (shard == docID bucket), so a span-sized array
+        # beats sorting the posting union (np.unique) by an order of
+        # magnitude on dense queries
+        base = min(int(d[0]) for d, _ in decoded)
+        hi = max(int(d[-1]) for d, _ in decoded)
+        span = hi - base + 1
+        scores = np.zeros(span, dtype=np.float64)
+        counts = np.zeros(span, dtype=np.int16)
         for docs, contrib in decoded:  # already term-sorted
-            inv = inv_start[pos : pos + docs.size]
-            scores[inv] += contrib
-            counts[inv] += 1
-            pos += docs.size
+            idx = docs - base
+            scores[idx] += contrib
+            counts[idx] += 1
         if operator == "and":
-            mask = counts == len(decoded)
-            uniq, scores = uniq[mask], scores[mask]
-        # vectorized shard-local top-k (score desc, docID asc), then merge
-        kk = min(k, uniq.size)
-        order = np.lexsort((uniq, -scores))[:kk]
-        for i in order:
-            _topk_push(heap, k, float(scores[i]), int(uniq[i]))
+            nz = np.flatnonzero(counts == len(decoded))
+        else:
+            nz = np.flatnonzero(counts)
+        if nz.size == 0:
+            return
+        # vectorized shard-local top-k (score desc, docID asc): argpartition
+        # narrows to ~k candidates, ties at the boundary resolved by
+        # ascending position in nz (== ascending docID), then a tiny
+        # stable sort orders the survivors
+        kk = min(k, nz.size)
+        s_nz = scores[nz]
+        if nz.size > 2 * kk + 64:
+            part = np.argpartition(-s_nz, kk - 1)[:kk]
+            v = s_nz[part].min()
+            greater = np.flatnonzero(s_nz > v)
+            equal = np.flatnonzero(s_nz == v)
+            cand = np.concatenate([greater, equal[: kk - greater.size]])
+        else:
+            cand = np.arange(nz.size)
+        sel = cand[np.argsort(-s_nz[cand], kind="stable")][:kk]
+        top = nz[sel]
+        for i in range(top.size):
+            _topk_push(heap, k, float(scores[top[i]]), int(top[i] + base))
 
     def topk_table(self, query_set: pa.Table, algorithm: str = "auto") -> pa.Table:
         """TOPK_RESULT table for a QUERY_SET table (engine-side golden)."""
