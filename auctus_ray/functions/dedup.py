@@ -36,9 +36,12 @@ _MERSENNE = (1 << 61) - 1
 
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Odd multipliers + offsets for 64-bit multiply-shift permutations
+    (native uint64 wrap-around — fully vectorizable in numpy, unlike
+    mod-Mersenne bigint math)."""
     rng = np.random.Generator(np.random.PCG64(seed))
-    a = rng.integers(1, _MERSENNE, n_perm, dtype=np.int64)
-    b = rng.integers(0, _MERSENNE, n_perm, dtype=np.int64)
+    a = rng.integers(1, 2**63, n_perm, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.integers(0, 2**63, n_perm, dtype=np.uint64)
     return a, b
 
 
@@ -97,10 +100,11 @@ class MinHasher:
     def signature(self, text: str) -> np.ndarray:
         sh = shingles(text, self.k)
         if not sh:
-            return np.full(self.n_perm, _MERSENNE, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.int64, count=len(sh))
-        # (a*x + b) mod p per permutation, vectorized (n_perm x n_shingles)
-        vals = (self.a[:, None].astype(object) * x[None, :] + self.b[:, None]) % _MERSENNE
+            return np.full(self.n_perm, np.iinfo(np.int64).max, dtype=np.int64)
+        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
+        # multiply-shift permutation per row: (a*x + b) over uint64 wrap,
+        # keep the top 63 bits (min-wise) — one vectorized matmul-shaped op
+        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) >> np.uint64(1)
         return vals.min(axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:

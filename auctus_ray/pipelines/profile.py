@@ -245,6 +245,23 @@ def finalize_profile(partials: "list[dict]") -> pa.Table:
             if sample and _strict_parse_dates(sample) >= 0.98 * len(sample):
                 semantic.append(T_DATE_TIME)
 
+        # A6: temporal resolution from the distinct sample
+        resolution = None
+        if T_DATE_TIME in semantic:
+            try:
+                import numpy as _np
+
+                from auctus_ray.functions.temporal import get_temporal_resolution
+
+                sample = sorted(distinct)[:2000]
+                vals = _np.array(
+                    [v for v in sample if _DATE_LIKE.match(v)], dtype="datetime64[s]"
+                )
+                if vals.size:
+                    resolution = get_temporal_resolution(vals)
+            except (ValueError, TypeError):
+                resolution = None
+
         nnum = c["num_cnt"]
         mean = c["num_sum"] / nnum if nnum else None
         var = (c["num_sumsq"] / nnum - mean * mean) if nnum else None
@@ -261,6 +278,7 @@ def finalize_profile(partials: "list[dict]") -> pa.Table:
                 "stddev": round(max(var, 0.0) ** 0.5, 6) if var is not None else None,
                 "min": c["num_min"] if nnum else None,
                 "max": c["num_max"] if nnum else None,
+                "temporal_resolution": resolution,
             }
         )
     return pa.Table.from_pylist(out)

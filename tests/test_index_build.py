@@ -148,3 +148,45 @@ def test_duplicate_row_key_rejected(ray_session, tmp_path):
     pq.write_table(t, p)
     with pytest.raises(Exception, match="duplicate"):
         build_index([p], str(tmp_path / "idx2"), n_shards=2)
+
+
+def test_single_doc_corpus(ray_session, tmp_path):
+    """Degenerate build: one document, one token class."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import Searcher
+
+    t = pa.table(
+        {
+            "repo": ["r/solo"], "path": ["only.py"], "commit": ["c0"],
+            "lang": ["python"], "content": ["def lonely(): return lonely"],
+        }
+    )
+    p = str(tmp_path / "solo.parquet")
+    pq.write_table(t, p)
+    res = build_index([p], str(tmp_path / "solo_idx"), n_shards=2)
+    assert res.n_docs == 1 and res.avgdl == 4.0
+    s = Searcher(res.index_dir)
+    d, sc = s.search("lonely", k=10, operator="and")
+    assert d.tolist() == [0] and sc[0] > 0
+    d, _ = s.search("absent", k=10, operator="and")
+    assert d.size == 0
+
+
+def test_all_empty_contents(ray_session, tmp_path):
+    """Corpus where every content is empty: index builds, queries empty."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import Searcher
+
+    t = pa.table(
+        {
+            "repo": ["a", "b"], "path": ["x", "y"], "commit": ["1", "2"],
+            "lang": ["md", "md"], "content": ["", ""],
+        }
+    )
+    p = str(tmp_path / "empty.parquet")
+    pq.write_table(t, p)
+    res = build_index([p], str(tmp_path / "empty_idx"), n_shards=2)
+    assert res.n_docs == 2 and res.n_terms == 0
+    s = Searcher(res.index_dir)
+    d, _ = s.search("anything", k=5)
+    assert d.size == 0

@@ -312,3 +312,12 @@ class TestStemmerAndSynonyms:
         plain = Searcher(idx)
         d_plain, _ = plain.search("quick", k=8, operator="or")
         assert len(d_s) > len(d_plain)
+
+
+def test_profile_temporal_resolution_field():
+    p = _profile(pa.table({"d": pa.array([f"2020-01-{i + 1:02d}" for i in range(28)])}))
+    assert p["d"]["temporal_resolution"] == "day"
+    p = _profile(
+        pa.table({"h": pa.array([f"2020-01-01 {h:02d}:00:00" for h in range(24)])})
+    )
+    assert p["h"]["temporal_resolution"] == "hour"
