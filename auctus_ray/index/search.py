@@ -252,6 +252,12 @@ class Searcher:
     def dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
+            if "term" not in self._term_stats_ds.schema.names:
+                # empty vocabulary (e.g. all-empty corpus): Ray wrote a
+                # schema-less part file for the empty aggregate
+                for m in missing:
+                    self._df_cache[m] = 0
+                return {t: self._df_cache[t] for t in terms}
             t = self._term_stats_ds.to_table(
                 columns=["term", "df"],
                 filter=pc.field("term").isin(missing),
