@@ -395,3 +395,90 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
     return bucketed.groupby("lsh_bucket").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
+
+
+# -------------------------------------------------------------- clusters
+
+
+def dedup_clusters(pairs_ds, max_rounds: int = 10):
+    """Near-dup pairs -> connected components by iterative min-label
+    propagation (ray_guide 'Near-dup' pattern): each node's label is the
+    smallest id reachable so far; rounds of groupby(min) until stable.
+    Scales as O(rounds x pairs) with no driver-side union-find.
+
+    Returns a Dataset of (doc_id, cluster_id) with cluster_id = min id of
+    the component; singleton docs are absent (no pairs -> no row).
+    """
+    import ray.data
+    from ray.data.aggregate import Min
+
+    def explode(batch: pa.Table) -> pa.Table:
+        a = batch["id_a"].to_numpy(zero_copy_only=False)
+        b = batch["id_b"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b])),
+                "nbr": pa.array(np.concatenate([b, a])),
+            }
+        )
+
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    # initial label = min(node, min neighbor)
+    labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
+    labels = labels.map_batches(
+        lambda t: pa.table(
+            {
+                "node": t["node"],
+                "lbl": pa.array(
+                    np.minimum(
+                        t["node"].to_numpy(zero_copy_only=False),
+                        t["lbl"].to_numpy(zero_copy_only=False),
+                    )
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    edges = edges.materialize()
+    for _ in range(max_rounds):
+        lbl_map = {
+            int(n): int(l)
+            for batch in labels.iter_batches(batch_format="pyarrow")
+            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
+        }
+        import ray as _ray
+
+        ref = _ray.put(lbl_map)
+
+        def push(batch: pa.Table) -> pa.Table:
+            m = _ray.get(ref)
+            node = batch["node"].to_numpy(zero_copy_only=False)
+            nbr = batch["nbr"].to_numpy(zero_copy_only=False)
+            prop = np.array([m.get(int(x), int(x)) for x in nbr], dtype=np.int64)
+            return pa.table({"node": pa.array(node), "lbl": pa.array(prop)})
+
+        new_labels = (
+            edges.map_batches(push, batch_format="pyarrow")
+            .union(labels)
+            .groupby("node")
+            .aggregate(Min("lbl", alias_name="lbl"))
+            .materialize()
+        )
+        old = {  # convergence check on the (small) label table
+            (int(n), int(l))
+            for batch in labels.iter_batches(batch_format="pyarrow")
+            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
+        }
+        new = {
+            (int(n), int(l))
+            for batch in new_labels.iter_batches(batch_format="pyarrow")
+            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
+        }
+        labels = new_labels
+        if new == old:
+            break
+    return labels.map_batches(
+        lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]}),
+        batch_format="pyarrow",
+    )

@@ -242,3 +242,59 @@ def test_embedding_near_dup(ray_session):
     for a, b, c in zip(out["id_a"], out["id_b"], out["cosine"]):
         assert c == pytest.approx(float(m64[a] @ m64[b]), abs=1e-12)
         assert c >= 0.95
+
+
+def test_dedup_clusters(ray_session):
+    """Connected components: a chain a-b, b-c, plus d-e must yield
+    clusters {a,b,c}->a and {d,e}->d."""
+    import ray.data
+
+    from auctus_ray.functions.dedup import dedup_clusters
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 10, 20, 21], pa.int64()),
+            "id_b": pa.array([2, 3, 11, 21, 22], pa.int64()),
+        }
+    )
+    out = dedup_clusters(ray.data.from_arrow(pairs)).to_pandas()
+    got = dict(zip(out["doc_id"], out["cluster_id"]))
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_union_align(ray_session):
+    """J4 semantics: fuzzy column mapping, missing cols -> null, left
+    column order, bag union."""
+    import ray.data
+
+    from auctus_ray.functions.augment import union_align
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "name": pa.array(["a", "b"]),
+                "color": pa.array(["red", "blue"]),
+                "number": pa.array([1, 2], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "full name": pa.array(["c", "d"]),
+                "colour": pa.array(["green", "teal"]),
+                "unrelated": pa.array([9.5, 9.6]),
+            }
+        )
+    )
+    out, mapping = union_align(left, right, min_similarity=0.2)
+    assert mapping == {"name": "full name", "color": "colour"}
+    df = out.to_pandas()
+    assert list(df.columns) == ["name", "color", "number"]
+    assert len(df) == 4
+    got = df.set_index("name")
+    assert got.loc["c", "color"] == "green"
+    import pandas as pd
+
+    assert pd.isna(got.loc["c", "number"])
+    assert got.loc["a", "number"] == 1
