@@ -456,3 +456,69 @@ SQL = {
     "quantity_moments": SQL_QUANTITY_MOMENTS,
     "events_tumbling_window": SQL_EVENTS_TUMBLING_WINDOW,
 }
+
+
+# ---------------------------------------------------------------- Q: sessionization
+
+
+def user_sessions(sf_dir: str, gap_minutes: int = 30):
+    """Streaming-shaped session windows: per user, events sorted by ts;
+    a gap > 30 min starts a new session (ray_guide 'Streaming-shaped
+    workloads': ordered-log groupby + per-group windowing; the
+    gaps-and-islands oracle uses LAG + cumulative sum)."""
+    import pandas as pd
+
+    ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum()
+        out = g.groupby(sid).agg(
+            user_id=("user_id", "first"),
+            session_start=("ts", "min"),
+            n_events=("event_id", "count"),
+        )
+        return out.reset_index(drop=True)
+
+    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+    def fmt(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": batch["user_id"],
+                "session_start_us": pc.cast(
+                    pc.cast(batch["session_start"], pa.timestamp("us")), pa.int64()
+                ),
+                "n_events": pc.cast(batch["n_events"], pa.int64()),
+            }
+        )
+
+    return res.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_USER_SESSIONS = """
+WITH ordered AS (
+  SELECT user_id, ts, event_id,
+         LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+  FROM events
+),
+marked AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_session
+  FROM ordered
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start_us,
+       COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+QUERIES["user_sessions"] = user_sessions
+SQL["user_sessions"] = SQL_USER_SESSIONS
