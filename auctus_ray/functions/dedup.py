@@ -187,6 +187,37 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
 
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")
 
+    # most buckets are singletons: pre-filter to buckets with >= 2 members
+    # via a vectorized count so the per-bucket Python step only touches
+    # genuine collision buckets (same lesson as the encode stage: never
+    # call Python once per tiny group)
+    import ray
+    from ray.data.aggregate import Count
+
+    banded = banded.materialize()
+    counts = (
+        banded.groupby(["band", "band_hash"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    hot = counts[counts["n"] >= 2]
+    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
+    if not hot_keys:
+        return ray.data.from_arrow(
+            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
+        )
+    hot_ref = ray.put(hot_keys)
+
+    def only_hot(batch: pa.Table) -> pa.Table:
+        keys = ray.get(hot_ref)
+        b = batch["band"].to_numpy(zero_copy_only=False)
+        h = batch["band_hash"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((int(x), int(y)) in keys for x, y in zip(b, h)),
+            dtype=bool, count=len(b),
+        )
+        return batch.filter(pa.array(mask))
+
     def bucket_pairs(group: pa.Table) -> pa.Table:
         ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
         if ids.size < 2:
@@ -197,12 +228,17 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
         a_idx, b_idx = np.triu_indices(min(ids.size, cap), k=1)
         return pa.table({"id_a": pa.array(ids[a_idx]), "id_b": pa.array(ids[b_idx])})
 
-    pairs = banded.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow"
+    pairs = (
+        banded.map_batches(only_hot, batch_format="pyarrow")
+        .groupby(["band", "band_hash"])
+        .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    # dedup pairs produced by multiple bands
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # dedup pairs produced by multiple bands (vectorized aggregate, not
+    # a per-pair map_groups)
+    return (
+        pairs.groupby(["id_a", "id_b"])
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["id_a", "id_b"])
     )
 
 
