@@ -120,3 +120,27 @@ def test_distributed_shard_searcher(ray_session, built_index, oracle_small):
             assert (od == ed).all() and (osc == esc).all(), (qid, q)
     finally:
         ds.shutdown()
+
+
+def test_randomized_queries_rank_identity(searcher, oracle_small):
+    """Fuzz: 40 random queries drawn from the corpus vocabulary (plus
+    absent terms), random k/operator — engine must stay bit-identical
+    to the oracle on every algorithm path."""
+    import numpy as np
+
+    rng = np.random.default_rng(1234)
+    vocab = sorted(oracle_small.postings.keys())
+    for trial in range(40):
+        n_terms = int(rng.integers(1, 5))
+        terms = list(rng.choice(vocab, n_terms, replace=False))
+        if trial % 5 == 0:
+            terms.append("zz_absent_term")
+        q = " ".join(terms)
+        k = int(rng.choice([1, 3, 10, 50]))
+        op = "and" if rng.random() < 0.5 else "or"
+        od, osc = oracle_small.search(q, k=k, operator=op)
+        for alg in ("auto", "wand", "scan"):
+            ed, esc = searcher.search(q, k=k, operator=op, algorithm=alg)
+            assert len(od) == len(ed), (q, k, op, alg)
+            assert (od == ed).all(), (q, k, op, alg)
+            assert (osc == esc).all(), (q, k, op, alg)
