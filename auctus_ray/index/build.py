@@ -469,12 +469,20 @@ def build_index(
             files_ref = ray.put({b: sorted(bucket_files[b]) for b in pending})
 
             def _encode_from_files(batch: pa.Table) -> pa.Table:
+                from concurrent.futures import ThreadPoolExecutor
+
                 files_by_bucket = ray.get(files_ref)
                 outs = []
                 for b in batch["bucket"].to_pylist():
-                    tbl = pa.concat_tables(
-                        [pq.read_table(f) for f in files_by_bucket[int(b)]]
-                    ).combine_chunks()
+                    flist = files_by_bucket[int(b)]
+                    # the shuffle layout is many small files (one per
+                    # tokenize block x bucket): thread the reads, sized to
+                    # this task's CPU reservation (parquet decompression is
+                    # CPU work — unbounded threads would oversubscribe)
+                    n_threads = min(2 * encode_cpus, max(1, len(flist)))
+                    with ThreadPoolExecutor(n_threads) as ex:
+                        tables = list(ex.map(pq.read_table, flist))
+                    tbl = pa.concat_tables(tables).combine_chunks()
                     outs.append(
                         encode_bucket_group(
                             tbl,
@@ -488,13 +496,20 @@ def build_index(
                     )
                 return pa.concat_tables(outs)
 
+            # encode tasks are DRAM-bandwidth-bound, not CPU-bound: reserve
+            # several CPUs per task so concurrency tracks the memory bus
+            # rather than the core count (32 concurrent encoders on one
+            # bus degrade ~10x; ~8 run at near-solo speed)
+            avail = int(ray.cluster_resources().get("CPU", 8))
+            encode_cpus = max(1, avail // 8)
             summaries = (
                 ray.data.from_arrow(
                     pa.table({"bucket": pa.array(pending, pa.int32())})
                 )
                 .repartition(len(pending))
                 .map_batches(
-                    _encode_from_files, batch_format="pyarrow", batch_size=1
+                    _encode_from_files, batch_format="pyarrow", batch_size=1,
+                    num_cpus=encode_cpus,
                 )
             )
             for row in summaries.to_pandas().to_dict("records"):
