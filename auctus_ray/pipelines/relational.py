@@ -522,3 +522,95 @@ FROM sessions GROUP BY user_id, sid
 
 QUERIES["user_sessions"] = user_sessions
 SQL["user_sessions"] = SQL_USER_SESSIONS
+
+
+# ---------------------------------------------------------------- Q: exact quantiles
+
+
+def quantity_quantiles(sf_dir: str):
+    """Exact discrete quantiles of l_quantity via distributed value
+    counts (integral domain): per-batch counts -> tiny groupby -> driver
+    cumulative pick. The A2-adjacent coverage statistic without a sort."""
+    ds = _read(sf_dir, "lineitem", columns=["l_quantity"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = pc.cast(batch["l_quantity"], pa.int64())
+        t = pa.table({"q": q})
+        g = t.group_by("q").aggregate([("q", "count")])
+        return g.rename_columns(["q", "cnt"])
+
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("q")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+        .to_pandas()
+        .sort_values("q")
+    )
+    total = int(counts["cnt"].sum())
+    cum = counts["cnt"].cumsum()
+    rows = []
+    for p in (0.25, 0.5, 0.75, 0.95):
+        # discrete quantile: smallest value with cum count >= ceil(p * n)
+        import math
+
+        rank = math.ceil(p * total)
+        v = int(counts.loc[cum >= rank, "q"].iloc[0])
+        rows.append({"p": int(p * 100), "value": v})
+    return pa.Table.from_pylist(rows)
+
+
+SQL_QUANTITY_QUANTILES = """
+SELECT p, value FROM (
+  SELECT CAST(25 AS BIGINT) AS p, CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS value FROM lineitem
+  UNION ALL SELECT CAST(50 AS BIGINT), CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.50) AS BIGINT) FROM lineitem
+  UNION ALL SELECT CAST(75 AS BIGINT), CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.75) AS BIGINT) FROM lineitem
+  UNION ALL SELECT CAST(95 AS BIGINT), CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.95) AS BIGINT) FROM lineitem
+)
+"""
+
+
+# ---------------------------------------------------------------- Q: JSON field extraction
+
+
+def events_props_sum(sf_dir: str):
+    """Scalar JSON extraction (§2.8): pull the integer field k out of the
+    props JSON string with a vectorized Arrow regex, aggregate per
+    event_type — the map-side-partial pattern over a parsed field."""
+    ds = _read(sf_dir, "events", columns=["event_type", "props"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(pc.fill_null(batch["props"], ""), pattern=r'"k": (?P<k>[0-9]+)')
+        k = pc.cast(pc.struct_field(m, "k"), pa.int64())
+        t = pa.table(
+            {
+                "event_type": batch["event_type"],
+                "k": pc.fill_null(k, 0),
+                "has_k": pc.cast(pc.is_valid(k), pa.int64()),
+            }
+        )
+        g = t.group_by("event_type").aggregate([("k", "sum"), ("has_k", "sum"), ("k", "count")])
+        return g.rename_columns(["event_type", "sum_k", "n_with_k", "n_events"])
+
+    return (
+        ds.map_batches(extract, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("event_type")
+        .aggregate(
+            Sum("sum_k", alias_name="sum_k"),
+            Sum("n_with_k", alias_name="n_with_k"),
+            Sum("n_events", alias_name="n_events"),
+        )
+    )
+
+
+SQL_EVENTS_PROPS_SUM = """
+SELECT event_type,
+       CAST(SUM(COALESCE(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT), 0)) AS BIGINT) AS sum_k,
+       CAST(SUM(CASE WHEN regexp_extract(props, '"k": ([0-9]+)', 1) <> '' THEN 1 ELSE 0 END) AS BIGINT) AS n_with_k,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+QUERIES["quantity_quantiles"] = quantity_quantiles
+SQL["quantity_quantiles"] = SQL_QUANTITY_QUANTILES
+QUERIES["events_props_sum"] = events_props_sum
+SQL["events_props_sum"] = SQL_EVENTS_PROPS_SUM
