@@ -403,33 +403,44 @@ class Searcher:
         Cost is O(P log P) for P postings of the query terms in this
         shard — the fast path when P is moderate; WAND wins when P >> k
         (block skipping avoids most decodes)."""
-        decoded = []
+        # level-2 cache: per (shard, term) dense span arrays with idf
+        # already applied (idf is a constant of the index). Query eval is
+        # then pure vectorized slice-adds; adding the in-span zeros keeps
+        # float64 results bit-identical (x + 0.0 == x), so rank identity
+        # is preserved.
+        dense = []
         for term, idf, e in sorted(term_entries, key=lambda x: x[0]):
-            cached = e.get("_decoded")
+            cached = e.get("_dense")
             if cached is None:
                 d, tf, dl = decode_blocks_concat(e["blobs"], e["n"])
                 tf = tf.astype(np.float64)
                 dl = dl.astype(np.float64)
                 tfn = tf / (tf + K1 * (1.0 - B + B * dl / avgdl))
-                cached = (d.astype(np.int64), tfn)
-                e["_decoded"] = cached  # idf-free; entry dict is the LRU unit
-            d64, tfn = cached
-            decoded.append((d64, idf * tfn))
+                d64 = d.astype(np.int64)
+                tb = int(d64[0])
+                span_t = int(d64[-1]) - tb + 1
+                contrib = np.zeros(span_t, dtype=np.float64)
+                contrib[d64 - tb] = idf * tfn
+                present = np.zeros(span_t, dtype=np.int16)
+                present[d64 - tb] = 1
+                cached = (tb, contrib, present)
+                e["_dense"] = cached
+            dense.append(cached)
         # dense-span accumulation: a shard is a bounded docID range by
-        # construction (shard == docID bucket), so a span-sized array
-        # beats sorting the posting union (np.unique) by an order of
-        # magnitude on dense queries
-        base = min(int(d[0]) for d, _ in decoded)
-        hi = max(int(d[-1]) for d, _ in decoded)
-        span = hi - base + 1
+        # construction (shard == docID bucket), so span-sized arrays
+        # beat sorting the posting union; with the level-2 cache the
+        # per-query work is nterms slice-adds over the shard span
+        base = min(tb for tb, _, _ in dense)
+        hi = max(tb + c.size for tb, c, _ in dense)
+        span = hi - base
         scores = np.zeros(span, dtype=np.float64)
         counts = np.zeros(span, dtype=np.int16)
-        for docs, contrib in decoded:  # already term-sorted
-            idx = docs - base
-            scores[idx] += contrib
-            counts[idx] += 1
+        for tb, contrib, present in dense:  # already term-sorted
+            lo = tb - base
+            scores[lo : lo + contrib.size] += contrib
+            counts[lo : lo + present.size] += present
         if operator == "and":
-            nz = np.flatnonzero(counts == len(decoded))
+            nz = np.flatnonzero(counts == len(dense))
         else:
             nz = np.flatnonzero(counts)
         if nz.size == 0:
