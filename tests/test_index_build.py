@@ -190,3 +190,46 @@ def test_all_empty_contents(ray_session, tmp_path):
     s = Searcher(res.index_dir)
     d, _ = s.search("anything", k=5)
     assert d.size == 0
+
+
+def test_incremental_input_reuses_tokenize(ray_session, tiny_corpus, tmp_path):
+    """Adding corpus files re-tokenizes ONLY the new group (fingerprint
+    checkpoints); the encode re-runs (dense docIDs are global ranks) and
+    the merged index is correct — the reference's reprocess-on-change
+    semantics (D5) at file-group granularity."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.oracle import OracleIndex
+    from auctus_ray.index.search import Searcher
+    from auctus_ray.state.manifest import Manifest
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    corpus_dir = str(tmp_path / "incr_corpus")
+    paths = generate_corpus(corpus_dir, n_rows=200, rows_per_file=50, mean_tokens=60)
+    idx = str(tmp_path / "incr_idx")
+    r1 = build_index(paths, idx, n_shards=4, files_per_group=2)
+    man1 = Manifest(idx)
+    tok_seqs = {
+        r["partition"]: r["seq"] for r in man1.records() if r["stage"] == "tokenize"
+    }
+
+    # grow the corpus in place: one new file; existing files regenerate
+    # byte-identical (pure function of (seed, chunk)), fingerprints match
+    all_paths = generate_corpus(corpus_dir, n_rows=250, rows_per_file=50, mean_tokens=60)
+    r2 = build_index(all_paths, idx, n_shards=4, files_per_group=2)
+    assert r2.n_docs == 250  # 200 original (shared prefix) + 50 new rows
+    man2 = Manifest(idx)
+    # original tokenize groups skipped (same fingerprints)
+    for part, seq in tok_seqs.items():
+        assert man2._records[("tokenize", part)]["seq"] == seq, part
+
+    # correctness of the merged index vs oracle
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    corpus = pa.concat_tables([pq.read_table(p) for p in all_paths])
+    oracle = OracleIndex(corpus)
+    s = Searcher(idx)
+    for q, op in [("the license", "or"), ("def return", "and"), ("rareterm240x", "and")]:
+        od, osc = oracle.search(q, k=10, operator=op)
+        ed, esc = s.search(q, k=10, operator=op)
+        assert (od == ed).all() and (osc == esc).all(), q
