@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 import ray
 import ray.data
-from ray.data.aggregate import Count, Min, Sum
+from ray.data.aggregate import Sum
 
 from auctus_ray.tokenize import tokenize_array
 
