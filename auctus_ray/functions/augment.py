@@ -10,6 +10,7 @@ Streaming: the right side is projected per batch; no materialization.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from auctus_ray.functions.scalars import greedy_column_match
@@ -47,3 +48,33 @@ def union_align(left_ds, right_ds, mapping: dict[str, str] | None = None,
 
     projected = right_ds.map_batches(project, batch_format="pyarrow")
     return left_ds.union(projected), mapping
+
+
+def pivot_wide_to_long(ds, carried_cols: list[str], value_cols: list[str],
+                       var_name: str = "date", value_name: str = "value"):
+    """S5 wide->long unpivot (reference pivot converter,
+    lib_materialize/datamart_materialize/pivot.py:9-40: tables whose
+    columns are dates/years become (carried..., date, value) rows).
+    A flat_map-shaped map_batches: each input row emits one row per
+    value column."""
+    import pyarrow as pa
+
+    def unpivot(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        k = len(value_cols)
+        cols = {}
+        for c in carried_cols:
+            col = batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+            # repeat each carried value k times (row-major explode)
+            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
+            cols[c] = col.take(idx)
+        cols[var_name] = pa.array(value_cols * n, pa.string())
+        vals = [batch[vc] for vc in value_cols]
+        casted = [v.cast(pa.float64()) for v in vals]
+        stacked = np.empty(n * k, dtype=np.float64)
+        for j, v in enumerate(casted):
+            stacked[j::k] = v.to_numpy(zero_copy_only=False)
+        cols[value_name] = pa.array(stacked)
+        return pa.table(cols)
+
+    return ds.map_batches(unpivot, batch_format="pyarrow")

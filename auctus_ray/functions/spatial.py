@@ -1,0 +1,164 @@
+"""Spatial operators: geohash encode/decode, prefix-trie coverage sketch,
+nearest-point join.
+
+Reference semantics (lib_profiler/datamart_profiler/spatial.py in
+/root/reference):
+  * hash_location (:406-476): interleave longitude/latitude halving bits
+    (longitude first — base=32 gives standard Geohash strings, base=4 a
+    quadtree) — here vectorized over numpy arrays;
+  * decode_hash (:478-509): hash -> (min_lat, max_lat, min_long, max_long);
+  * Geohasher (:524-631): self-limiting prefix trie (<= `number` nodes
+    per level; overflowing a level caps the precision) — re-expressed as
+    a MERGEABLE sketch so per-batch partials combine in a final reduce
+    (the partial+final aggregation pattern the reference's per-process
+    tree cannot do);
+  * nearest join assist (lib_augmentation/augmentation.py:342-370):
+    snap right-side points to the nearest left point if within 2x the
+    median nearest-neighbor distance of the left set, else null.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
+_CHAR_VALUE = {c: i for i, c in enumerate(GEOHASH_CHARS)}
+
+
+def _base_bits(base: int) -> int:
+    bb = base.bit_length() - 1
+    if 2**bb != base:
+        raise ValueError("base must be a power of 2")
+    return bb
+
+
+def hash_locations(
+    lats: np.ndarray, longs: np.ndarray, base: int = 4, precision: int = 16
+) -> list[str]:
+    """Vectorized hash_location over coordinate arrays."""
+    bb = _base_bits(base)
+    nbits = bb * precision
+    n = len(lats)
+    lat_lo = np.full(n, -90.0)
+    lat_hi = np.full(n, 90.0)
+    lon_lo = np.full(n, -180.0)
+    lon_hi = np.full(n, 180.0)
+    bits = np.zeros((n, nbits), dtype=np.uint8)
+    next_long = True
+    for i in range(nbits):
+        if next_long:
+            mid = (lon_lo + lon_hi) / 2.0
+            hi = longs > mid
+            bits[:, i] = hi
+            lon_lo = np.where(hi, mid, lon_lo)
+            lon_hi = np.where(hi, lon_hi, mid)
+        else:
+            mid = (lat_lo + lat_hi) / 2.0
+            hi = lats > mid
+            bits[:, i] = hi
+            lat_lo = np.where(hi, mid, lat_lo)
+            lat_hi = np.where(hi, lat_hi, mid)
+        next_long = not next_long
+    # bits -> chars
+    weights = (1 << np.arange(bb - 1, -1, -1)).astype(np.int64)
+    codes = bits.reshape(n, precision, bb).astype(np.int64) @ weights
+    return ["".join(GEOHASH_CHARS[v] for v in row) for row in codes]
+
+
+def hash_location(point: tuple[float, float], base: int = 4, precision: int = 16) -> str:
+    lat, long = point
+    return hash_locations(np.array([lat]), np.array([long]), base, precision)[0]
+
+
+def decode_hash(h: str, base: int = 4) -> tuple[float, float, float, float]:
+    """hash -> (min_lat, max_lat, min_long, max_long)."""
+    bb = _base_bits(base)
+    lat_lo, lat_hi = -90.0, 90.0
+    lon_lo, lon_hi = -180.0, 180.0
+    next_long = True
+    for c in h:
+        v = _CHAR_VALUE[c]
+        for i in reversed(range(bb)):
+            bit = (v >> i) & 1
+            if next_long:
+                mid = (lon_lo + lon_hi) / 2.0
+                lon_lo, lon_hi = (mid, lon_hi) if bit else (lon_lo, mid)
+            else:
+                mid = (lat_lo + lat_hi) / 2.0
+                lat_lo, lat_hi = (mid, lat_hi) if bit else (lat_lo, mid)
+            next_long = not next_long
+    return lat_lo, lat_hi, lon_lo, lon_hi
+
+
+class GeohashSketch:
+    """Self-limiting, MERGEABLE geohash prefix sketch.
+
+    Holds per-level hash->count maps up to `precision`; if a level
+    exceeds `number` distinct cells the effective precision caps there
+    (reference Geohasher behavior). Unlike the reference's pointer trie,
+    level maps merge by plain counter addition, so per-batch sketches
+    combine in a final reduce.
+    """
+
+    def __init__(self, number: int = 100, base: int = 4, precision: int = 16):
+        self.number = number
+        self.base = base
+        self.precision = precision
+        self.levels: list[dict[str, int]] = [dict() for _ in range(precision)]
+        self.total = 0
+
+    def add_points(self, lats: np.ndarray, longs: np.ndarray) -> None:
+        hashes = hash_locations(lats, longs, self.base, self.precision)
+        self.total += len(hashes)
+        for lvl in range(self.precision):
+            m = self.levels[lvl]
+            for h in hashes:
+                key = h[: lvl + 1]
+                m[key] = m.get(key, 0) + 1
+
+    def merge(self, other: "GeohashSketch") -> "GeohashSketch":
+        assert (self.base, self.precision) == (other.base, other.precision)
+        for lvl in range(self.precision):
+            m = self.levels[lvl]
+            for k, v in other.levels[lvl].items():
+                m[k] = m.get(k, 0) + v
+        self.total += other.total
+        return self
+
+    def effective_precision(self) -> int:
+        for lvl in range(self.precision):
+            if len(self.levels[lvl]) > self.number:
+                return lvl  # this level overflowed; use the one above
+        return self.precision
+
+    def get_hashes(self) -> list[tuple[str, int]]:
+        p = self.effective_precision()
+        if p == 0:
+            return [("", self.total)]
+        return sorted(self.levels[p - 1].items())
+
+
+def nearest_join(
+    left_lats: np.ndarray,
+    left_longs: np.ndarray,
+    query_lats: np.ndarray,
+    query_longs: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Snap query points to the nearest left point within 2x the median
+    nearest-neighbor distance of the left set (reference augmentation.py:
+    342-370, 417-444); returns (indices into left, matched mask).
+    Broadcast the (small) left arrays via ray.put and call per batch."""
+    left = np.stack([left_lats, left_longs], axis=1).astype(np.float64)
+    uniq = np.unique(left, axis=0)
+    # median nearest-neighbor distance of the (deduped) left set
+    d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    if uniq.shape[0] > 1:
+        max_dist = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
+    else:
+        max_dist = np.inf
+    q = np.stack([query_lats, query_longs], axis=1).astype(np.float64)
+    qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
+    idx = qd2.argmin(axis=1)
+    dist = np.sqrt(qd2[np.arange(len(q)), idx])
+    return idx, dist <= max_dist

@@ -298,3 +298,86 @@ def test_union_align(ray_session):
 
     assert pd.isna(got.loc["c", "number"])
     assert got.loc["a", "number"] == 1
+
+
+def test_pivot_wide_to_long(ray_session):
+    """S5: years_pivoted fixture semantics (reference pivot.py golden
+    pair: (place, 2017, 2018, 2019) -> (place, date, value))."""
+    import ray.data
+
+    from auctus_ray.functions.augment import pivot_wide_to_long
+
+    wide = pa.table(
+        {
+            "place": pa.array(["nyc", "rio"]),
+            "2017": pa.array([1.0, 4.0]),
+            "2018": pa.array([2.0, 5.0]),
+            "2019": pa.array([3.0, 6.0]),
+        }
+    )
+    out = pivot_wide_to_long(
+        ray.data.from_arrow(wide), ["place"], ["2017", "2018", "2019"]
+    ).to_pandas()
+    assert len(out) == 6
+    assert list(out.columns) == ["place", "date", "value"]
+    nyc = out[out["place"] == "nyc"].set_index("date")["value"]
+    assert nyc.to_dict() == {"2017": 1.0, "2018": 2.0, "2019": 3.0}
+
+
+class TestSpatial:
+    def test_geohash_roundtrip_known(self):
+        from auctus_ray.functions.spatial import decode_hash, hash_location
+
+        assert hash_location((57.64911, 10.40744), base=32, precision=11) == "u4pruydqqvj"
+        la0, la1, lo0, lo1 = decode_hash("u4pruydqqvj", base=32)
+        assert la0 <= 57.64911 <= la1 and lo0 <= 10.40744 <= lo1
+
+    def test_geohash_roundtrip_property(self):
+        import numpy as np
+
+        from auctus_ray.functions.spatial import decode_hash, hash_locations
+
+        rng = np.random.default_rng(4)
+        lats = rng.uniform(-89, 89, 50)
+        longs = rng.uniform(-179, 179, 50)
+        for base in (4, 32):
+            hs = hash_locations(lats, longs, base=base, precision=12)
+            for lat, lon, h in zip(lats, longs, hs):
+                la0, la1, lo0, lo1 = decode_hash(h, base=base)
+                assert la0 <= lat <= la1 and lo0 <= lon <= lo1
+                # prefix decodes to an enclosing box
+                pa0, pa1, po0, po1 = decode_hash(h[:4], base=base)
+                assert pa0 <= la0 and pa1 >= la1 and po0 <= lo0 and po1 >= lo1
+
+    def test_geohash_sketch_merge_and_limit(self):
+        import numpy as np
+
+        from auctus_ray.functions.spatial import GeohashSketch
+
+        rng = np.random.default_rng(5)
+        a, b = GeohashSketch(number=10, precision=8), GeohashSketch(number=10, precision=8)
+        a.add_points(rng.uniform(40, 41, 200), rng.uniform(-74, -73, 200))
+        b.add_points(rng.uniform(40, 41, 200), rng.uniform(-74, -73, 200))
+        merged = a.merge(b)
+        assert merged.total == 400
+        hashes = merged.get_hashes()
+        assert sum(n for _, n in hashes) == 400
+        assert len(hashes) <= 10 or merged.effective_precision() == 8
+        # clustered points keep precision; scattered points cap it
+        c = GeohashSketch(number=5, precision=8)
+        c.add_points(rng.uniform(-89, 89, 500), rng.uniform(-179, 179, 500))
+        assert c.effective_precision() < 8
+
+    def test_nearest_join_semantics(self):
+        """Reference J2: snap within 2x median-NN distance, else unmatched."""
+        import numpy as np
+
+        from auctus_ray.functions.spatial import nearest_join
+
+        left_lat = np.array([0.0, 0.0, 10.0, 10.0])
+        left_lon = np.array([0.0, 10.0, 0.0, 10.0])
+        q_lat = np.array([0.1, 50.0])
+        q_lon = np.array([0.1, 50.0])
+        idx, matched = nearest_join(left_lat, left_lon, q_lat, q_lon)
+        assert idx[0] == 0 and matched[0]
+        assert not matched[1]  # far point exceeds 2x median-NN distance
