@@ -66,8 +66,20 @@ def cmd_query(args) -> int:
         s = DistributedSearcher(args.index, n_actors=args.distributed)
     else:
         s = Searcher(args.index)
+    kwargs = {}
+    facets = None
+    if getattr(args, "filter_lang", None):
+        kwargs["filters"] = {"lang": args.filter_lang.split(",")}
+    if getattr(args, "offset", 0):
+        kwargs["offset"] = args.offset
+    if getattr(args, "facets", None):
+        kwargs["facet_by"] = args.facets
     t0 = time.time()
-    doc_ids, scores = s.search(args.query, k=args.k, operator=args.operator)
+    out = s.search(args.query, k=args.k, operator=args.operator, **kwargs)
+    if kwargs.get("facet_by"):
+        doc_ids, scores, facets = out
+    else:
+        doc_ids, scores = out
     dt = time.time() - t0
     print(
         json.dumps(
@@ -75,6 +87,7 @@ def cmd_query(args) -> int:
                 "query": args.query,
                 "k": args.k,
                 "operator": args.operator,
+                **({"facets": facets} if facets is not None else {}),
                 "latency_ms": round(dt * 1000, 3),
                 "hits": [
                     {"rank": i + 1, "doc_id": int(d), "score": float(sc)}
@@ -184,6 +197,11 @@ def main(argv=None) -> int:
     q.add_argument("--operator", default="and", choices=["and", "or"])
     q.add_argument("--distributed", type=int, default=0,
                    help="shard-parallel search with N actors")
+    q.add_argument("--offset", type=int, default=0, help="pagination offset")
+    q.add_argument("--filter-lang", default=None,
+                   help="comma-separated lang filter (keyword filter context)")
+    q.add_argument("--facets", default=None,
+                   help="attribute to facet-count over all matches")
     q.add_argument("--num-cpus", type=int, default=None)
     q.set_defaults(fn=cmd_query)
 

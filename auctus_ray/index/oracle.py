@@ -35,6 +35,7 @@ class OracleIndex:
                  synonyms: dict[str, list[str]] | None = None):
         self.analyzer = analyzer
         self.synonyms = synonyms or {}
+        self._attr_by_doc: dict[str, dict[int, str]] = {}
         doc_ids = assign_doc_ids_local(corpus)
         contents = corpus["content"].to_pylist()
         self.n_docs = len(contents)
@@ -50,9 +51,20 @@ class OracleIndex:
         self.postings = postings
         total = sum(self._dl_by_doc.values())
         self.avgdl = (total / self.n_docs) if self.n_docs else 0.0
+        for col in ("lang", "repo"):
+            if col in corpus.column_names:
+                self._attr_by_doc[col] = dict(
+                    zip(doc_ids.tolist(), corpus[col].to_pylist())
+                )
 
-    def search(self, query: str, k: int = 10, operator: str = "and"):
-        """Exact top-k: returns (doc_ids, scores) float64, ties by docID asc."""
+    def search(self, query: str, k: int = 10, operator: str = "and",
+               filters: dict[str, list] | None = None, offset: int = 0,
+               facet_by: str | None = None):
+        """Exact top-k: returns (doc_ids, scores) float64, ties by docID asc.
+        With facet_by, a third element: value -> count over ALL matches."""
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if facet_by:
+            empty = (*empty, {})
         base_terms = set(tokenize_text(query, self.analyzer))
         if self.synonyms:
             for t in list(base_terms):
@@ -60,20 +72,17 @@ class OracleIndex:
                     base_terms.update(tokenize_text(syn, self.analyzer))
         terms = sorted(base_terms)
         if not terms:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return empty
         per_term = []
         for t in terms:
             plist = self.postings.get(t)
             if plist is None:
                 if operator == "and":
-                    return (
-                        np.empty(0, dtype=np.int64),
-                        np.empty(0, dtype=np.float64),
-                    )
+                    return empty
                 continue
             per_term.append((t, plist))
         if not per_term:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return empty
 
         if operator == "and":
             docs = set(per_term[0][1])
@@ -83,8 +92,13 @@ class OracleIndex:
             docs = set()
             for _, plist in per_term:
                 docs |= set(plist)
+        if filters:
+            for attr, allowed in filters.items():
+                amap = self._attr_by_doc.get(attr, {})
+                allow = set(allowed)
+                docs = {d for d in docs if amap.get(d) in allow}
         if not docs:
-            return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64)
+            return empty
 
         doc_arr = np.array(sorted(docs), dtype=np.int64)
         scores = np.zeros(doc_arr.size, dtype=np.float64)
@@ -100,8 +114,14 @@ class OracleIndex:
                 tfn = tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl))
                 scores[i] += idf * tfn
         # top-k: score desc, docID asc  (docID asc = stable sort on -score)
-        order = np.argsort(-scores, kind="stable")[:k]
-        return doc_arr[order], scores[order]
+        order = np.argsort(-scores, kind="stable")[offset : offset + k]
+        if facet_by is None:
+            return doc_arr[order], scores[order]
+        amap = self._attr_by_doc.get(facet_by, {})
+        from collections import Counter
+
+        counts = dict(Counter(amap.get(int(d)) for d in doc_arr))
+        return doc_arr[order], scores[order], counts
 
     def topk_table(self, query_set: pa.Table) -> pa.Table:
         """Golden TOPK_RESULT table for a QUERY_SET table."""

@@ -307,14 +307,63 @@ class Searcher:
 
     # ---------------- search ----------------
 
+    def _attr_codes(self, attr: str) -> tuple[np.ndarray, list]:
+        """Dense docID-indexed attribute codes from the forward map
+        (loaded once; the ES 'keyword field' for filter context/facets).
+        At larger scale this is a per-shard columnar read, not one array."""
+        cached = getattr(self, "_attr_cache", None)
+        if cached is None:
+            cached = self._attr_cache = {}
+        if attr not in cached:
+            files = sorted(
+                glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
+            )
+            tbl = pa.concat_tables(
+                [pq.read_table(f, columns=["doc_id", attr]) for f in files]
+            )
+            enc = tbl[attr].combine_chunks().dictionary_encode()
+            codes = np.full(self.n_docs, -1, dtype=np.int32)
+            codes[tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
+                enc.indices.to_numpy(zero_copy_only=False)
+            )
+            cached[attr] = (codes, enc.dictionary.to_pylist())
+        return cached[attr]
+
+    def _doc_mask(self, filters: dict[str, list] | None) -> np.ndarray | None:
+        """AND of keyword filters -> boolean mask over dense docIDs
+        (reference filter context, apiserver/search/__init__.py:81-107)."""
+        if not filters:
+            return None
+        mask = np.ones(self.n_docs, dtype=bool)
+        for attr, allowed in filters.items():
+            codes, values = self._attr_codes(attr)
+            allowed_ids = np.array(
+                [i for i, v in enumerate(values) if v in set(allowed)], dtype=np.int32
+            )
+            mask &= np.isin(codes, allowed_ids)
+        return mask
+
     def search(
         self,
         query: str,
         k: int = 10,
         operator: str = "and",
         algorithm: str = "auto",
-    ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k (doc_ids, scores), score desc then docID asc, float64."""
+        filters: dict[str, list] | None = None,
+        offset: int = 0,
+        facet_by: str | None = None,
+    ):
+        """Top-k (doc_ids, scores), score desc then docID asc, float64.
+
+        filters: keyword-attribute constraints ANDed with the text query
+        (e.g. {"lang": ["python"]}); offset: pagination (offset+k capped
+        at 10000, mirroring the reference's page*size guard,
+        search/__init__.py:576-577); facet_by: attribute whose value
+        counts over ALL matching docs are returned as a third element
+        (ES terms aggs, search/__init__.py:587-603).
+        """
+        if offset + k > 10000:
+            raise ValueError("offset + k must be <= 10000")
         base_terms = set(tokenize_text(query, self.analyzer))
         if self.synonyms:
             for t in list(base_terms):
@@ -322,6 +371,8 @@ class Searcher:
                     base_terms.update(tokenize_text(syn, self.analyzer))
         terms = sorted(base_terms)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        if facet_by:
+            empty = (*empty, {})
         if not terms:
             return empty
         dfs = self.dfs(terms)
@@ -331,7 +382,10 @@ class Searcher:
         if not terms:
             return empty
         idfs = {t: float(bm25_idf(float(dfs[t]), self.n_docs)) for t in terms}
+        doc_mask = self._doc_mask(filters)
+        facet_docs: list | None = [] if facet_by else None
 
+        kk = k + offset
         heap: list = []
         for sf in self.shard_files:
             postings = self._shard_postings(sf, terms)
@@ -349,9 +403,14 @@ class Searcher:
                     alg = "wand" if min(dfs_here) * 10 < max(dfs_here) else "scan"
                 else:
                     alg = "scan"
+            if doc_mask is not None or facet_docs is not None:
+                alg = "scan"  # filter/facet context runs on the dense path
             if alg == "scan":
                 entries = [(t, idfs[t], e) for t, e in postings.items()]
-                self._scan_shard_vectorized(entries, self.avgdl, k, heap, operator)
+                self._scan_shard_vectorized(
+                    entries, self.avgdl, kk, heap, operator,
+                    doc_mask=doc_mask, facet_docs=facet_docs,
+                )
                 continue
             plists = [
                 _PostingList(
@@ -367,14 +426,22 @@ class Searcher:
                 for t, e in sorted(postings.items())
             ]
             if operator == "and":
-                _and_shard(plists, k, heap)
+                _and_shard(plists, kk, heap)
             else:
-                _wand_shard(plists, k, heap)
+                _wand_shard(plists, kk, heap)
         # final merge-sort reduce: heap -> (score desc, docID asc)
-        items = sorted(heap, key=lambda x: (-x[0], -x[1]))
+        items = sorted(heap, key=lambda x: (-x[0], -x[1]))[offset : offset + k]
         doc_ids = np.array([-d for _, d in items], dtype=np.int64)
         scores = np.array([s for s, _ in items], dtype=np.float64)
-        return doc_ids, scores
+        if facet_by is None:
+            return doc_ids, scores
+        codes, values = self._attr_codes(facet_by)
+        counts: dict[str, int] = {}
+        if facet_docs:
+            all_docs = np.concatenate(facet_docs)
+            bc = np.bincount(codes[all_docs], minlength=len(values))
+            counts = {values[i]: int(bc[i]) for i in np.flatnonzero(bc)}
+        return doc_ids, scores, counts
 
     @staticmethod
     def _scan_shard(plists: list[_PostingList], k: int, heap: list) -> None:
@@ -393,6 +460,8 @@ class Searcher:
     def _scan_shard_vectorized(
         term_entries: list[tuple[str, float, dict]], avgdl: float, k: int,
         heap: list, operator: str,
+        doc_mask: np.ndarray | None = None,
+        facet_docs: list | None = None,
     ) -> None:
         """Vectorized exhaustive evaluation of one shard: decode every
         block of the query terms (numpy varint), np.unique the candidate
@@ -439,12 +508,14 @@ class Searcher:
             lo = tb - base
             scores[lo : lo + contrib.size] += contrib
             counts[lo : lo + present.size] += present
-        if operator == "and":
-            nz = np.flatnonzero(counts == len(dense))
-        else:
-            nz = np.flatnonzero(counts)
+        cond = counts == len(dense) if operator == "and" else counts > 0
+        if doc_mask is not None:
+            cond &= doc_mask[base : base + span]
+        nz = np.flatnonzero(cond)
         if nz.size == 0:
             return
+        if facet_docs is not None:
+            facet_docs.append(nz + base)
         # vectorized shard-local top-k (score desc, docID asc): argpartition
         # narrows to ~k candidates, ties at the boundary resolved by
         # ascending position in nz (== ascending docID), then a tiny
@@ -512,11 +583,10 @@ class _ShardGroupSearcher:
         self.searcher = Searcher(index_dir)
         self.searcher.shard_files = shard_files
 
-    def search(self, query: str, k: int, operator: str, algorithm: str):
-        doc_ids, scores = self.searcher.search(
-            query, k=k, operator=operator, algorithm=algorithm
+    def search(self, query: str, k: int, operator: str, algorithm: str, **kw):
+        return self.searcher.search(
+            query, k=k, operator=operator, algorithm=algorithm, **kw
         )
-        return doc_ids, scores
 
 
 class DistributedSearcher:
@@ -543,17 +613,28 @@ class DistributedSearcher:
 
     def search(
         self, query: str, k: int = 10, operator: str = "and",
-        algorithm: str = "auto",
-    ) -> tuple[np.ndarray, np.ndarray]:
+        algorithm: str = "auto", filters: dict[str, list] | None = None,
+        offset: int = 0, facet_by: str | None = None,
+    ):
         import ray
 
+        kw = {"filters": filters, "facet_by": facet_by}
         parts = ray.get(
-            [a.search.remote(query, k, operator, algorithm) for a in self.actors]
+            [
+                a.search.remote(query, k + offset, operator, algorithm, **kw)
+                for a in self.actors
+            ]
         )
         doc_ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
         scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-        order = np.lexsort((doc_ids, -scores))[:k]
-        return doc_ids[order], scores[order]
+        order = np.lexsort((doc_ids, -scores))[offset : offset + k]
+        if facet_by is None:
+            return doc_ids[order], scores[order]
+        facets: dict[str, int] = {}
+        for p in parts:
+            for v, c in p[2].items():
+                facets[v] = facets.get(v, 0) + c
+        return doc_ids[order], scores[order], facets
 
     def shutdown(self):
         import ray

@@ -144,3 +144,50 @@ def test_randomized_queries_rank_identity(searcher, oracle_small):
             assert len(od) == len(ed), (q, k, op, alg)
             assert (od == ed).all(), (q, k, op, alg)
             assert (osc == esc).all(), (q, k, op, alg)
+
+
+def test_filters_facets_pagination(searcher, oracle_small):
+    """ES filter context / terms aggs / from+size, mirrored: filtered
+    search, facet counts, and offset pagination all match the oracle."""
+    # filters
+    for q, op in [("the license", "or"), ("def return", "and")]:
+        for langs in (["python"], ["python", "md"], ["go"]):
+            od, osc = oracle_small.search(q, k=20, operator=op,
+                                          filters={"lang": langs})
+            ed, esc = searcher.search(q, k=20, operator=op,
+                                      filters={"lang": langs})
+            assert (od == ed).all() and (osc == esc).all(), (q, langs)
+    # facets over all matches
+    od, osc, ofac = oracle_small.search("license", k=5, operator="or",
+                                        facet_by="lang")
+    ed, esc, efac = searcher.search("license", k=5, operator="or",
+                                    facet_by="lang")
+    assert (od == ed).all() and ofac == efac and sum(efac.values()) > 0
+    # pagination: page 2 == ranks 10..19 of a deep search
+    full, _ = searcher.search("the", k=30, operator="or")
+    page2, _ = searcher.search("the", k=10, operator="or", offset=10)
+    assert (page2 == full[10:20]).all()
+    op2, _ = oracle_small.search("the", k=10, operator="or", offset=10)
+    assert (page2 == op2).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        searcher.search("the", k=6000, offset=5000)
+
+
+def test_distributed_filters_facets(ray_session, built_index, oracle_small):
+    from auctus_ray.index.search import DistributedSearcher
+
+    ds = DistributedSearcher(built_index.index_dir, n_actors=2)
+    try:
+        od, osc, ofac = oracle_small.search(
+            "license", k=10, operator="or", filters={"lang": ["python", "go"]},
+            facet_by="lang",
+        )
+        ed, esc, efac = ds.search(
+            "license", k=10, operator="or", filters={"lang": ["python", "go"]},
+            facet_by="lang",
+        )
+        assert (od == ed).all() and (osc == esc).all() and ofac == efac
+    finally:
+        ds.shutdown()
