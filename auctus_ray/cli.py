@@ -58,6 +58,18 @@ def cmd_build(args) -> int:
     return 0
 
 
+def _hydrate(index_dir, doc_ids, scores):
+    from auctus_ray.index.search import hydrate_hits
+
+    try:
+        return hydrate_hits(index_dir, doc_ids, scores).to_pylist()
+    except Exception:
+        return [
+            {"rank": i + 1, "doc_id": int(d), "score": float(sc)}
+            for i, (d, sc) in enumerate(zip(doc_ids, scores))
+        ]
+
+
 def cmd_query(args) -> int:
     from auctus_ray.index.search import DistributedSearcher, Searcher
 
@@ -89,10 +101,7 @@ def cmd_query(args) -> int:
                 "operator": args.operator,
                 **({"facets": facets} if facets is not None else {}),
                 "latency_ms": round(dt * 1000, 3),
-                "hits": [
-                    {"rank": i + 1, "doc_id": int(d), "score": float(sc)}
-                    for i, (d, sc) in enumerate(zip(doc_ids, scores))
-                ],
+                "hits": _hydrate(args.index, doc_ids, scores),
             }
         )
     )

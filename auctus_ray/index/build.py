@@ -140,6 +140,12 @@ def tokenize_batch(
     for i, s in enumerate(content.to_pylist()):
         sha[i] = hashlib.sha256((s or "").encode()).hexdigest()
 
+    from auctus_ray.functions.scalars import truncate_string
+
+    snippets = pa.array(
+        [truncate_string(s or "", 140) for s in content.to_pylist()], pa.string()
+    )
+
     kh = key_hash_array(batch["repo"], batch["path"], batch["commit"])
     buckets = bucket_of(kh, n_buckets).astype(np.int32)
 
@@ -152,6 +158,7 @@ def tokenize_batch(
             "commit": batch["commit"],
             "lang": batch["lang"],
             "sha256": pa.array(sha, type=pa.string()),
+            "snippet": snippets,
             "dl": pa.array(lengths),
             "terms": terms_list,
             "tfs": tfs_list,
@@ -215,6 +222,7 @@ def encode_bucket_group(
             "commit": group["commit"],
             "lang": group["lang"],
             "sha256": group["sha256"],
+            "snippet": group["snippet"],
             "dl": group["dl"],
         }
     )
@@ -336,7 +344,7 @@ def build_index(
         raise ValueError("no input parquet files")
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    params_fp = fingerprint(analyzer, n_buckets, "v3")
+    params_fp = fingerprint(analyzer, n_buckets, "v4")
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [

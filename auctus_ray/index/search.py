@@ -642,3 +642,23 @@ class DistributedSearcher:
         for a in self.actors:
             ray.kill(a)
         self.actors = []
+
+
+def hydrate_hits(index_dir: str, doc_ids, scores) -> pa.Table:
+    """Resolve engine docIDs to hit metadata (repo, path, commit, lang,
+    snippet) via the forward map — the reference returns dataset metadata
+    + samples with search results (enhance_metadata.py:4-35, M14)."""
+    import pyarrow.dataset as _pads
+
+    ids = [int(d) for d in doc_ids]
+    dm = _pads.dataset(os.path.join(index_dir, "docmap"), format="parquet")
+    cols = [c for c in ("doc_id", "repo", "path", "commit", "lang", "snippet")
+            if c in dm.schema.names]
+    tbl = dm.to_table(columns=cols, filter=pc.field("doc_id").isin(ids))
+    by_id = {int(r["doc_id"]): r for r in tbl.to_pylist()}
+    rows = []
+    for rank, (d, s) in enumerate(zip(ids, scores), start=1):
+        r = dict(by_id.get(d, {}))
+        r.update({"rank": rank, "doc_id": d, "score": float(s)})
+        rows.append(r)
+    return pa.Table.from_pylist(rows)
