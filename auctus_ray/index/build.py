@@ -326,6 +326,7 @@ def build_index(
     resume: bool = True,
     tokenize_batch_size: int = 512,
     tokenize_concurrency: int | None = None,
+    content_col: str = "content",
 ) -> BuildResult:
     """Run the full checkpointed build. Ray must already be initialized
     by the caller (driver contract: this function never calls ray.init).
@@ -344,7 +345,7 @@ def build_index(
         raise ValueError("no input parquet files")
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    params_fp = fingerprint(analyzer, n_buckets, "v4")
+    params_fp = fingerprint(analyzer, n_buckets, content_col, "v4")
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [
@@ -365,7 +366,8 @@ def build_index(
         ds = ray.data.read_parquet(gfiles)
         ds = ds.map_batches(
             tokenize_batch,
-            fn_kwargs={"analyzer": analyzer, "n_buckets": n_buckets},
+            fn_kwargs={"analyzer": analyzer, "n_buckets": n_buckets,
+                       "content_col": content_col},
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             zero_copy_batch=True,

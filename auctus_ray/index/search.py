@@ -305,6 +305,16 @@ class Searcher:
                 out[t] = entry
         return out
 
+    def term_docs(self, term: str) -> set[int]:
+        """All docIDs containing term (decodes the term's postings)."""
+        out: set[int] = set()
+        for sf in self.shard_files:
+            e = self._shard_postings(sf, [term]).get(term)
+            if e:
+                d, _, _ = decode_blocks_concat(e["blobs"], e["n"])
+                out.update(int(x) for x in d)
+        return out
+
     # ---------------- search ----------------
 
     def _attr_codes(self, attr: str) -> tuple[np.ndarray, list]:
@@ -662,3 +672,53 @@ def hydrate_hits(index_dir: str, doc_ids, scores) -> pa.Table:
         r.update({"rank": rank, "doc_id": d, "score": float(s)})
         rows.append(r)
     return pa.Table.from_pylist(rows)
+
+
+class MultiFieldSearcher:
+    """ES `multi_match` in `most_fields` mode with per-field boosts — the
+    reference boosts fields in its query (`id^10`, `name^3`,
+    apiserver/search/__init__.py:67-79). Each field has its own index
+    (own df/dl/avgdl statistics, i.e. per-field BM25); docIDs are shared
+    across indexes because identity is content-derived from
+    (repo, path, commit) (index/docid.py), so per-field scores sum
+    exactly. Accumulation order: fields sorted by name, then the field's
+    own term-sorted discipline — mirrored by the test oracle.
+
+    Scale note: exact multi-field top-k needs full per-field score maps;
+    at 10^12 scale this becomes a per-shard fan-out like
+    DistributedSearcher with a blockwise upper-bound prune.
+    """
+
+    def __init__(self, fields: dict[str, tuple[str, float]]):
+        # fields: name -> (index_dir, boost)
+        self.fields = {
+            name: (Searcher(d), boost) for name, (d, boost) in sorted(fields.items())
+        }
+
+    def search(self, query: str, k: int = 10, operator: str = "or"):
+        scores: dict[int, float] = {}
+        seen_per_field: list[set] = []
+        for name, (searcher, boost) in self.fields.items():  # name-sorted
+            d, s = searcher.search(query, k=10000, operator="or")
+            seen_per_field.append(set(d.tolist()))
+            for did, sc in zip(d.tolist(), s.tolist()):
+                scores[did] = scores.get(did, 0.0) + boost * sc
+        if operator == "and":
+            # cross-fields conjunction: every query term must appear in at
+            # least one field of the doc (terms analyzed per field)
+            any_searcher = next(iter(self.fields.values()))[0]
+            terms = sorted(set(tokenize_text(query, any_searcher.analyzer)))
+            per_term_docs = []
+            for t in terms:
+                docs_t: set[int] = set()
+                for _, (srch, _) in self.fields.items():
+                    docs_t |= srch.term_docs(t)
+                per_term_docs.append(docs_t)
+            keep = set(scores)
+            for docs_t in per_term_docs:
+                keep &= docs_t
+            scores = {d: s for d, s in scores.items() if d in keep}
+        items = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
+        doc_ids = np.array([d for d, _ in items], dtype=np.int64)
+        out = np.array([s for _, s in items], dtype=np.float64)
+        return doc_ids, out

@@ -191,3 +191,69 @@ def test_distributed_filters_facets(ray_session, built_index, oracle_small):
         assert (od == ed).all() and (osc == esc).all() and ofac == efac
     finally:
         ds.shutdown()
+
+
+def test_multi_field_search_with_boosts(ray_session, tmp_path):
+    """ES multi_match most_fields with boosts (reference id^10/name^3):
+    per-field BM25 summed with boosts over shared content-derived
+    docIDs; verified against a hand-computed multi-field oracle."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.oracle import OracleIndex
+    from auctus_ray.index.search import MultiFieldSearcher
+
+    rows = {
+        "repo": [f"r/{i}" for i in range(10)],
+        "path": [
+            "search/engine.py", "search/index.py", "util/strings.py",
+            "util/math.py", "core/engine.py", "core/loop.py",
+            "docs/readme.md", "docs/search.md", "a/b.py", "a/c.py",
+        ],
+        "commit": [f"c{i}" for i in range(10)],
+        "lang": ["python"] * 10,
+        "content": [
+            "the search engine indexes documents",
+            "index building for the engine",
+            "string utilities and helpers",
+            "math helpers for scoring",
+            "engine core loop",
+            "event loop internals",
+            "readme about the project",
+            "how search works",
+            "miscellaneous one",
+            "miscellaneous two",
+        ],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    src = str(tmp_path / "mf.parquet")
+    pq.write_table(t, src)
+    idx_content = str(tmp_path / "idx_content")
+    idx_path = str(tmp_path / "idx_path")
+    build_index([src], idx_content, n_shards=2)
+    build_index([src], idx_path, n_shards=2, content_col="path")
+
+    mf = MultiFieldSearcher(
+        {"content": (idx_content, 1.0), "path": (idx_path, 3.0)}
+    )
+    d, s = mf.search("search engine", k=5, operator="or")
+    assert d.size > 0
+
+    # oracle: per-field OracleIndex scores summed with boosts, field order
+    o_content = OracleIndex(t)
+    t_path = t.set_column(t.schema.get_field_index("content"), "content", t["path"])
+    o_path = OracleIndex(t_path)
+    exp: dict[int, float] = {}
+    for oracle, boost in ((o_content, 1.0), (o_path, 3.0)):
+        od, osc = oracle.search("search engine", k=10000, operator="or")
+        for did, sc in zip(od.tolist(), osc.tolist()):
+            exp[did] = exp.get(did, 0.0) + boost * sc
+    items = sorted(exp.items(), key=lambda x: (-x[1], x[0]))[:5]
+    assert d.tolist() == [x for x, _ in items]
+    assert s.tolist() == [y for _, y in items]
+
+    # cross-fields AND: 'search engine' both present somewhere per doc
+    d_and, _ = mf.search("search engine", k=10, operator="and")
+    assert set(d_and.tolist()) <= set(d.tolist())
+    assert d_and.size >= 1
