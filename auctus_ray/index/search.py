@@ -722,3 +722,51 @@ class MultiFieldSearcher:
         doc_ids = np.array([d for d, _ in items], dtype=np.int64)
         out = np.array([s for _, s in items], dtype=np.float64)
         return doc_ids, out
+
+
+def _prefix_upper_bound(prefix: str) -> str:
+    return prefix + "￿"
+
+
+class PrefixExpander:
+    """Multi-term (prefix/wildcard) queries: expand `pars*` against the
+    term dictionary (range-pruned read of term_stats), cap the expansion
+    at `max_terms` by descending df (ES's multi-term query expansion
+    behavior), then run the expanded OR query through the normal scorer.
+    """
+
+    def __init__(self, searcher: "Searcher", max_terms: int = 50):
+        self.searcher = searcher
+        self.max_terms = max_terms
+
+    def expand(self, prefix: str) -> list[str]:
+        ds = self.searcher._term_stats_ds
+        if "term" not in ds.schema.names:
+            return []
+        tbl = ds.to_table(
+            columns=["term", "df"],
+            filter=(pc.field("term") >= prefix)
+            & (pc.field("term") < _prefix_upper_bound(prefix)),
+        )
+        pairs = sorted(
+            zip(tbl["term"].to_pylist(), tbl["df"].to_pylist()),
+            key=lambda x: (-x[1], x[0]),
+        )[: self.max_terms]
+        return sorted(t for t, _ in pairs)
+
+    def search(self, query: str, k: int = 10):
+        """Terms ending in '*' are prefix-expanded; the expanded term set
+        runs as a disjunctive query (scores per expanded term, like ES
+        rewritten multi-term queries)."""
+        raw = query.split()
+        terms: list[str] = []
+        for w in raw:
+            if w.endswith("*") and len(w) > 1:
+                base = tokenize_text(w[:-1], self.searcher.analyzer)
+                if base:
+                    terms.extend(self.expand(base[-1]))
+            else:
+                terms.extend(tokenize_text(w, self.searcher.analyzer))
+        if not terms:
+            return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        return self.searcher.search(" ".join(sorted(set(terms))), k=k, operator="or")

@@ -257,3 +257,32 @@ def test_multi_field_search_with_boosts(ray_session, tmp_path):
     d_and, _ = mf.search("search engine", k=10, operator="and")
     assert set(d_and.tolist()) <= set(d.tolist())
     assert d_and.size >= 1
+
+
+def test_prefix_wildcard_queries(searcher, oracle_small):
+    """pars* expands against the term dictionary (df-capped) and scores
+    as the equivalent OR query — identical to expanding via the oracle's
+    vocabulary."""
+    from auctus_ray.index.search import PrefixExpander
+
+    pe = PrefixExpander(searcher, max_terms=5)
+    expanded = pe.expand("re")
+    assert expanded and all(t.startswith("re") for t in expanded)
+    # oracle-side expansion from its own vocabulary, df-capped at 5
+    vocab = sorted(t for t in oracle_small.postings if t.startswith("re"))
+    by_df = sorted(vocab, key=lambda t: (-len(oracle_small.postings[t]), t))[:5]
+    assert sorted(by_df) == expanded
+
+    d, s = pe.search("re*", k=20)
+    od, osc = oracle_small.search(" ".join(expanded), k=20, operator="or")
+    assert (d == od).all() and (s == osc).all()
+
+    # mixed literal + wildcard
+    d2, s2 = pe.search("license re*", k=10)
+    od2, osc2 = oracle_small.search(
+        " ".join(sorted(set(expanded) | {"license"})), k=10, operator="or"
+    )
+    assert (d2 == od2).all() and (s2 == osc2).all()
+    # no match
+    d3, _ = pe.search("zzznope*", k=5)
+    assert d3.size == 0
