@@ -87,7 +87,12 @@ def cmd_query(args) -> int:
     if getattr(args, "facets", None):
         kwargs["facet_by"] = args.facets
     t0 = time.time()
-    out = s.search(args.query, k=args.k, operator=args.operator, **kwargs)
+    if "*" in args.query and not kwargs:
+        from auctus_ray.index.search import PrefixExpander
+
+        out = PrefixExpander(s).search(args.query, k=args.k)
+    else:
+        out = s.search(args.query, k=args.k, operator=args.operator, **kwargs)
     if kwargs.get("facet_by"):
         doc_ids, scores, facets = out
     else:
