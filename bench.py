@@ -214,7 +214,7 @@ def run_build_only() -> dict:
 def run_scaling() -> dict:
     """Same build at N and 4N CPUs in fresh processes (two 'cluster sizes')."""
     global BENCH_DOCS
-    BENCH_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", str(max(BENCH_DOCS, 640000))))
+    BENCH_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", str(max(BENCH_DOCS, 1280000))))
     _init_ray()
     _corpus_dir()  # generate once (parallel) so both runs share warm input
     import ray
