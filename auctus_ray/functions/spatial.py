@@ -162,3 +162,52 @@ def nearest_join(
     idx = qd2.argmin(axis=1)
     dist = np.sqrt(qd2[np.arange(len(q)), idx])
     return idx, dist <= max_dist
+
+
+def spatial_ranges_kmeans(
+    lats: np.ndarray, longs: np.ndarray, k: int = 3, min_share: float = 0.1,
+) -> list[tuple[float, float, float, float]]:
+    """A3 spatial coverage: k<=3 2-D k-means bounding boxes with 5th-95th
+    percentile bounds per cluster, clusters under 10% of points dropped,
+    and degenerate (zero-area) boxes inflated by 1e-4 — reference
+    get_spatial_ranges (lib_profiler/spatial.py:49-106; Lucene needs
+    non-degenerate shapes). Quantile-seeded Lloyd iteration replaces
+    sklearn KMeans(random_state=0) (sklearn absent; deterministic).
+
+    Returns [(min_lat, max_lat, min_long, max_long)] sorted.
+    """
+    pts = np.stack([lats, longs], axis=1).astype(np.float64)
+    pts = pts[np.isfinite(pts).all(axis=1)]
+    if pts.shape[0] == 0:
+        return []
+    k = min(k, np.unique(pts, axis=0).shape[0])
+    # seed centers on the diagonal quantiles (deterministic)
+    qs = np.linspace(0.1, 0.9, k)
+    centers = np.stack(
+        [np.quantile(pts[:, 0], qs), np.quantile(pts[:, 1], qs)], axis=1
+    )
+    for _ in range(50):
+        d2 = ((pts[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        new = np.stack(
+            [
+                pts[assign == j].mean(axis=0) if (assign == j).any() else centers[j]
+                for j in range(k)
+            ]
+        )
+        if np.allclose(new, centers):
+            break
+        centers = new
+    boxes = []
+    for j in range(k):
+        cluster = pts[assign == j]
+        if cluster.shape[0] < min_share * pts.shape[0]:
+            continue
+        lat_lo, lat_hi = np.quantile(cluster[:, 0], [0.05, 0.95])
+        lon_lo, lon_hi = np.quantile(cluster[:, 1], [0.05, 0.95])
+        if lat_hi - lat_lo < 1e-4:  # inflate degenerate boxes (points/lines)
+            lat_lo, lat_hi = lat_lo - 5e-5, lat_hi + 5e-5
+        if lon_hi - lon_lo < 1e-4:
+            lon_lo, lon_hi = lon_lo - 5e-5, lon_hi + 5e-5
+        boxes.append((float(lat_lo), float(lat_hi), float(lon_lo), float(lon_hi)))
+    return sorted(boxes)

@@ -381,3 +381,31 @@ class TestSpatial:
         idx, matched = nearest_join(left_lat, left_lon, q_lat, q_lon)
         assert idx[0] == 0 and matched[0]
         assert not matched[1]  # far point exceeds 2x median-NN distance
+
+
+def test_spatial_ranges_kmeans():
+    """A3: three clusters -> three bboxes; degenerate clusters inflate;
+    outlier clusters (<10%) drop."""
+    import numpy as np
+
+    from auctus_ray.functions.spatial import spatial_ranges_kmeans
+
+    rng = np.random.default_rng(6)
+    lats = np.concatenate([rng.normal(0, 0.1, 400), rng.normal(40, 0.1, 300),
+                           rng.normal(-40, 0.1, 300)])
+    longs = np.concatenate([rng.normal(0, 0.1, 400), rng.normal(70, 0.1, 300),
+                            rng.normal(-70, 0.1, 300)])
+    boxes = spatial_ranges_kmeans(lats, longs)
+    assert len(boxes) == 3
+    assert boxes == sorted(boxes)
+    for lat_lo, lat_hi, lon_lo, lon_hi in boxes:
+        assert lat_hi > lat_lo and lon_hi > lon_lo
+    # identical points -> one inflated non-degenerate box
+    one = spatial_ranges_kmeans(np.full(50, 10.0), np.full(50, 20.0))
+    assert len(one) == 1
+    lat_lo, lat_hi, lon_lo, lon_hi = one[0]
+    assert lat_hi - lat_lo >= 1e-4 and lon_hi - lon_lo >= 1e-4
+    # outlier cluster under 10% is dropped
+    lats2 = np.concatenate([np.zeros(95) + rng.normal(0, 0.01, 95), np.full(5, 80.0)])
+    longs2 = np.concatenate([np.zeros(95) + rng.normal(0, 0.01, 95), np.full(5, 80.0)])
+    assert len(spatial_ranges_kmeans(lats2, longs2)) <= 2
