@@ -190,6 +190,37 @@ def cmd_verify(args) -> int:
     return 0 if bad == 0 and sha_bad == 0 else 1
 
 
+def cmd_stats(args) -> int:
+    """Index introspection: global stats, per-shard skew, build metrics."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from auctus_ray.state.manifest import Manifest
+
+    gs = pq.read_table(os.path.join(args.index, "global_stats.parquet")).to_pylist()[0]
+    out = {"global": gs}
+    sp = os.path.join(args.index, "shard_summary.parquet")
+    if os.path.exists(sp):
+        t = pq.read_table(sp)
+        posts = t["n_postings"].to_numpy(zero_copy_only=False).astype(float)
+        out["shards"] = {
+            "n": t.num_rows,
+            "postings_total": int(posts.sum()),
+            "skew_max_over_mean": round(float(posts.max() / posts.mean()), 4) if posts.size else None,
+            "bytes_total": int(t["bytes"].to_numpy(zero_copy_only=False).sum()),
+        }
+    man = Manifest(args.index)
+    out["build_metrics"] = {
+        k: (round(v, 2) if isinstance(v, float) else v)
+        for k, v in man.metrics().items()
+        if k.endswith(("_seconds", "_per_sec")) or k in ("n_postings", "shard_skew_max_over_mean")
+    }
+    print(json.dumps(out))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -224,6 +255,10 @@ def main(argv=None) -> int:
     g.add_argument("--rows", type=int, default=5000)
     g.add_argument("--mean-tokens", type=int, default=120)
     g.set_defaults(fn=cmd_gen)
+
+    st = sub.add_parser("stats", help="index stats + build metrics")
+    st.add_argument("--index", required=True)
+    st.set_defaults(fn=cmd_stats)
 
     v = sub.add_parser("verify", help="rank-identity + sha256 vs oracle")
     v.add_argument("--index", required=True)
