@@ -9,14 +9,30 @@ apiserver/search/join.py:462-554); its exact-dedup is set-based
   * exact_dedup        — content-hash column in a vectorized map_batches,
                          then groupby(hash).map_groups keep-first
                          (deterministic keeper: smallest id)
-  * minhash_signatures — k-shingle -> minhash inside map_batches (numpy,
-                         one permutation matrix broadcast per actor)
-  * lsh_candidate_pairs— band the signatures, explode (band, band_hash,
-                         id) rows, groupby(band) bucketing, emit
-                         candidate pairs, verify exact n-gram Jaccard
-  * simhash64          — 64-bit simhash per doc + hamming-radius pairing
+  * minhash_signatures — k-shingle -> minhash inside map_batches, fully
+                         vectorized: token hashes amortized over the batch
+                         vocabulary (dictionary encode), shingle hashes as
+                         a windowed polynomial over the flat token-hash
+                         array, per-doc minima via np.minimum.reduceat
+  * lsh_candidate_pairs— band the signatures into single-column bucket
+                         keys, distributed hot-bucket semi-join
+                         (Dataset.join against the n>=2 count table — no
+                         driver-side bucket set), pairs within bucket
+  * verify stage       — exact hashed-shingle Jaccard computed from
+                         candidate-only sketches joined onto the pairs
+                         (Dataset.join twice) — never materializes the
+                         corpus text on the driver
+  * simhash64          — 64-bit simhash per doc, vectorized (segment sums
+                         of per-occurrence bit signs), hamming pairing
   * embedding_near_dup — cosine-over-threshold pairs via normalized
                          matmul within hash buckets
+
+Shingle identity: a k-shingle is hashed as a degree-(k-1) polynomial in
+a fixed odd 64-bit constant over per-token blake2b hashes (uint64
+wrap-around). Collision probability ~2^-64, so hashed-shingle Jaccard
+is exact n-gram Jaccard for any practical corpus, and the whole chain
+(signature, LSH, verify, the `jaccard` helper used by tests) shares one
+definition.
 
 All randomness is seeded; all pair outputs are (id_a < id_b) sorted so
 results are deterministic and order-insensitive-comparable.
@@ -30,9 +46,15 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from auctus_ray.tokenize import tokenize_text
+from auctus_ray.tokenize import tokenize_array, tokenize_text
 
 _MERSENNE = (1 << 61) - 1
+# polynomial base for shingle hashing (odd => invertible mod 2^64)
+_POLY_C = np.uint64(0x9E3779B97F4A7C15)
+_MIX_C = np.uint64(0xBF58476D1CE4E5B9)
+
+
+from auctus_ray.util import join_partitions as _join_partitions
 
 
 def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
@@ -72,22 +94,132 @@ def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+# ------------------------------------------------ vectorized shingle hashing
+
+
+def _token_hashes(flat_tokens: pa.Array) -> np.ndarray:
+    """blake2b-8 hash per token, amortized over the batch vocabulary:
+    dictionary-encode, hash each UNIQUE token once, gather back."""
+    if len(flat_tokens) == 0:
+        return np.empty(0, np.uint64)
+    if isinstance(flat_tokens, pa.ChunkedArray):
+        flat_tokens = flat_tokens.combine_chunks()
+    enc = flat_tokens.dictionary_encode()
+    vocab = enc.dictionary.to_pylist()
+    uh = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "big")
+            for t in vocab
+        ),
+        dtype=np.uint64,
+        count=len(vocab),
+    )
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return uh[idx]
+
+
+def _poly_pows(k: int) -> np.ndarray:
+    p = np.empty(k, np.uint64)
+    p[0] = np.uint64(1)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the hash
+        for i in range(1, k):
+            p[i] = p[i - 1] * _POLY_C
+    return p
+
+
+def _shingle_hashes(th: np.ndarray, offsets: np.ndarray, k: int):
+    """Windowed polynomial hash over a flat token-hash array.
+
+    th       — uint64 flat token hashes (all docs concatenated)
+    offsets  — int64 doc boundaries, len n_docs+1
+    returns  (flat shingle hashes uint64, shingle offsets int64):
+    doc with L>=k tokens -> L-k+1 window hashes; 0<L<k -> one hash over
+    all L tokens (degree L-1); L==0 -> none. Entirely vectorized except
+    a loop over the (few) distinct short-doc lengths.
+    """
+    offsets = np.asarray(offsets, np.int64)
+    lengths = np.diff(offsets)
+    n_docs = lengths.size
+    pows = _poly_pows(k)
+
+    # full windows: S[i] = sum_j th[i+j] * C^(k-1-j), for i in [0, N-k]
+    n_tok = th.size
+    if n_tok >= k:
+        S = np.zeros(n_tok - k + 1, np.uint64)
+        for j in range(k):
+            S += th[j : n_tok - k + 1 + j] * pows[k - 1 - j]
+    else:
+        S = np.empty(0, np.uint64)
+
+    cnt_full = np.maximum(lengths - k + 1, 0).astype(np.int64)
+    fc = np.where(lengths >= k, cnt_full, (lengths > 0).astype(np.int64))
+    out_off = np.concatenate([[0], np.cumsum(fc)])
+    out = np.empty(int(out_off[-1]), np.uint64)
+
+    # scatter full-doc windows (contiguous per doc, in doc order)
+    total_full = int(cnt_full.sum())
+    if total_full:
+        base = np.concatenate([[0], np.cumsum(cnt_full)[:-1]])
+        intra = np.arange(total_full, dtype=np.int64) - np.repeat(base, cnt_full)
+        starts = np.repeat(offsets[:-1], cnt_full) + intra
+        dest = np.repeat(out_off[:-1], cnt_full) + intra
+        out[dest] = S[starts]
+
+    # short docs (0 < L < k): one polynomial of degree L-1, grouped by L
+    short = np.flatnonzero((lengths > 0) & (lengths < k))
+    if short.size:
+        for L in np.unique(lengths[short]):
+            docs = short[lengths[short] == L]
+            st = offsets[docs]
+            val = np.zeros(docs.size, np.uint64)
+            for j in range(int(L)):
+                val += th[st + j] * pows[int(L) - 1 - j]
+            out[out_off[docs]] = val
+    return out, out_off
+
+
+def shingle_hash_sets(texts: pa.Array, k: int = 5):
+    """Per-doc SORTED UNIQUE shingle-hash arrays (as int63 after >>1, so
+    they fit Arrow int64). Returns (flat int64, offsets int64)."""
+    toks = tokenize_array(texts, "simple")
+    th = _token_hashes(toks.flatten())
+    toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    toff = toff - toff[0]
+    sh, soff = _shingle_hashes(th, toff, k)
+    sh = (sh >> np.uint64(1)).astype(np.int64)
+    # per-doc sort + unique, vectorized with one global lexsort trick:
+    # sort (doc, hash) pairs, then drop consecutive equals within a doc
+    n_docs = soff.size - 1
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(soff))
+    order = np.lexsort((sh, doc_of))
+    sh_s, doc_s = sh[order], doc_of[order]
+    if sh_s.size:
+        keep = np.concatenate(
+            [[True], (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])]
+        )
+        sh_u, doc_u = sh_s[keep], doc_s[keep]
+    else:
+        sh_u, doc_u = sh_s, doc_s
+    cnts = np.bincount(doc_u, minlength=n_docs).astype(np.int64)
+    return sh_u, np.concatenate([[0], np.cumsum(cnts)])
+
+
 def shingles(text: str, k: int = 5) -> set[int]:
-    """Token k-shingles hashed to 61-bit ints (simple analyzer)."""
-    toks = tokenize_text(text or "", "simple")
-    if len(toks) < k:
-        return {_hash_shingle(" ".join(toks))} if toks else set()
-    return {_hash_shingle(" ".join(toks[i : i + k])) for i in range(len(toks) - k + 1)}
-
-
-def _hash_shingle(s: str) -> int:
-    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big") % _MERSENNE
+    """Token k-shingle hash set for ONE doc — same definition as the
+    vectorized pipeline (polynomial over blake2b token hashes, >>1)."""
+    sh, _ = shingle_hash_sets(pa.array([text or ""], pa.string()), k)
+    return set(int(x) for x in sh)
 
 
 class MinHasher:
     """Actor-pool map_batches callable: permutation params built once per
     actor (__init__), signatures per batch (__call__) — the reference's
-    external Lazo sketch server as an in-process stateful stage (T1)."""
+    external Lazo sketch server as an in-process stateful stage (T1).
+    The batch path is fully vectorized: shingle hashes for the whole
+    batch in one pass, then blocked (a*x+b)>>1 minima via
+    np.minimum.reduceat per doc segment."""
+
+    _PERM_BLOCK = 16  # permutations per numpy block (bounds transient mem)
 
     def __init__(self, n_perm: int = 128, k_shingle: int = 5, seed: int = 89,
                  id_col: str = "doc_id", text_col: str = "text"):
@@ -98,22 +230,38 @@ class MinHasher:
         self.text_col = text_col
 
     def signature(self, text: str) -> np.ndarray:
-        sh = shingles(text, self.k)
-        if not sh:
-            return np.full(self.n_perm, np.iinfo(np.int64).max, dtype=np.int64)
-        x = np.fromiter(sh, dtype=np.uint64, count=len(sh))
-        # multiply-shift permutation per row: (a*x + b) over uint64 wrap,
-        # keep the top 63 bits (min-wise) — one vectorized matmul-shaped op
-        vals = (self.a[:, None] * x[None, :] + self.b[:, None]) >> np.uint64(1)
-        return vals.min(axis=1).astype(np.int64)
+        """Single-doc signature (query/test path; same math as batch)."""
+        return self._signatures_from_text(pa.array([text or ""], pa.string()))[0]
+
+    def _signatures_from_text(self, texts: pa.Array) -> np.ndarray:
+        toks = tokenize_array(texts, "simple")
+        th = _token_hashes(toks.flatten())
+        toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        sh, soff = _shingle_hashes(th, toff - toff[0], self.k)
+        n_docs = soff.size - 1
+        out = np.full((n_docs, self.n_perm), np.iinfo(np.int64).max, np.int64)
+        nonempty = np.flatnonzero(np.diff(soff) > 0)
+        if nonempty.size == 0:
+            return out
+        seg_starts = soff[nonempty]
+        for p0 in range(0, self.n_perm, self._PERM_BLOCK):
+            p1 = min(p0 + self._PERM_BLOCK, self.n_perm)
+            vals = (
+                (self.a[p0:p1, None] * sh[None, :] + self.b[p0:p1, None])
+                >> np.uint64(1)
+            ).astype(np.int64)
+            out[nonempty, p0:p1] = np.minimum.reduceat(vals, seg_starts, axis=1).T
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col]
-        sigs = [self.signature(t) for t in batch[self.text_col].to_pylist()]
-        arr = np.stack(sigs) if sigs else np.empty((0, self.n_perm), np.int64)
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        arr = self._signatures_from_text(texts)
         flat = pa.array(arr.ravel(), pa.int64())
         offs = pa.array(
-            np.arange(0, (len(sigs) + 1) * self.n_perm, self.n_perm, dtype=np.int32)
+            np.arange(0, (arr.shape[0] + 1) * self.n_perm, self.n_perm, dtype=np.int32)
         )
         return pa.table(
             {self.id_col: ids, "minhash": pa.ListArray.from_arrays(offs, flat)}
@@ -134,17 +282,43 @@ def minhash_signatures(ds, n_perm: int = 128, k_shingle: int = 5, seed: int = 89
         },
         batch_format="pyarrow",
         batch_size=256,
-        concurrency=concurrency or (1, 4),
+        concurrency=concurrency or (1, 8),
     )
 
 
-def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
-    """Signatures -> candidate (id_a, id_b) pairs via banded LSH.
+def _fold_band_keys(mat: np.ndarray, n_bands: int) -> np.ndarray:
+    """(n_docs, n_perm) signature matrix -> (n_bands, n_docs) int63 bucket
+    keys: splitmix-style fold of each band's columns, band index in the
+    seed so one flat key column suffices (no composite groupby key)."""
+    n, n_perm = mat.shape
+    rows_per_band = n_perm // n_bands
+    u = mat.view(np.uint64) if mat.dtype == np.int64 else mat.astype(np.uint64)
+    keys = np.empty((n_bands, n), np.int64)
+    for b in range(n_bands):
+        h = np.full(n, (np.uint64(b + 1) * _POLY_C), np.uint64)
+        for c in range(b * rows_per_band, (b + 1) * rows_per_band):
+            h = (h ^ u[:, c]) * _MIX_C
+            h ^= h >> np.uint64(31)
+        keys[b] = (h >> np.uint64(1)).astype(np.int64)
+    return keys
 
-    explode (band, band_hash, id) -> groupby(band, band_hash) -> pairs
-    within bucket. Bucket sizes are near-dup cluster sizes; the quadratic
-    pair emission is bounded per bucket (cap 1000) and logged when cut.
+
+def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
+                        bucket_cap: int = 1000, num_partitions: int = 32):
+    """Signatures -> candidate (id_a, id_b) pairs via banded LSH,
+    fully distributed:
+
+      explode (bkey, id) rows  (bkey = folded band hash, band in seed)
+      -> count per bkey, keep n>=2   (Dataset groupby, stays distributed)
+      -> semi-join banded rows against hot keys (Dataset.join — no
+         driver-side bucket set, unlike round 1)
+      -> pairs within bucket (map_groups over genuine collision buckets
+         only; quadratic emission capped at `bucket_cap` ids and the cut
+         is visible as a truncated bucket)
+      -> dedup pairs produced by multiple bands (vectorized aggregate)
     """
+    import ray
+    from ray.data.aggregate import Count
 
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False)
@@ -154,87 +328,42 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
         n = len(ids)
         if n == 0:
             return pa.table(
-                {"band": pa.array([], pa.int32()),
-                 "band_hash": pa.array([], pa.int64()),
-                 id_col: pa.array([], pa.int64())}
+                {"bkey": pa.array([], pa.int64()), id_col: pa.array([], pa.int64())}
             )
         mat = np.asarray(sigs.flatten()).reshape(n, -1)
-        n_perm = mat.shape[1]
-        rows_per_band = n_perm // n_bands
-        bands, hashes, out_ids = [], [], []
-        for b in range(n_bands):
-            seg = mat[:, b * rows_per_band : (b + 1) * rows_per_band]
-            hs = np.array(
-                [
-                    int.from_bytes(
-                        hashlib.blake2b(seg[i].tobytes(), digest_size=8).digest(), "big"
-                    )
-                    >> 1
-                    for i in range(n)
-                ],
-                dtype=np.int64,
-            )
-            bands.append(np.full(n, b, dtype=np.int32))
-            hashes.append(hs)
-            out_ids.append(ids)
+        keys = _fold_band_keys(mat, n_bands)
         return pa.table(
             {
-                "band": pa.array(np.concatenate(bands)),
-                "band_hash": pa.array(np.concatenate(hashes)),
-                id_col: pa.array(np.concatenate(out_ids)),
+                "bkey": pa.array(keys.ravel()),
+                id_col: pa.array(np.tile(ids, n_bands)),
             }
         )
 
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow")
 
-    # most buckets are singletons: pre-filter to buckets with >= 2 members
-    # via a vectorized count so the per-bucket Python step only touches
-    # genuine collision buckets (same lesson as the encode stage: never
-    # call Python once per tiny group)
-    import ray
-    from ray.data.aggregate import Count
-
-    banded = banded.materialize()
-    counts = (
-        banded.groupby(["band", "band_hash"])
+    # most buckets are singletons: the per-bucket Python step must only
+    # touch genuine collision buckets. Keep the n>=2 filter distributed:
+    # count table -> filter -> hash semi-join back onto the banded rows.
+    hot = (
+        banded.groupby("bkey")
         .aggregate(Count(alias_name="n"))
-        .to_pandas()
+        .filter(expr="n >= 2")
+        .select_columns(["bkey"])
     )
-    hot = counts[counts["n"] >= 2]
-    hot_keys = set(zip(hot["band"].astype(int), hot["band_hash"].astype(int)))
-    if not hot_keys:
-        return ray.data.from_arrow(
-            pa.table({"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())})
-        )
-    hot_ref = ray.put(hot_keys)
-
-    def only_hot(batch: pa.Table) -> pa.Table:
-        keys = ray.get(hot_ref)
-        b = batch["band"].to_numpy(zero_copy_only=False)
-        h = batch["band_hash"].to_numpy(zero_copy_only=False)
-        mask = np.fromiter(
-            ((int(x), int(y)) in keys for x, y in zip(b, h)),
-            dtype=bool, count=len(b),
-        )
-        return batch.filter(pa.array(mask))
+    hot_rows = banded.join(
+        hot, "inner", num_partitions=_join_partitions(num_partitions), on=("bkey",)
+    )
 
     def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group[id_col].to_numpy(zero_copy_only=False))
+        ids = np.unique(group[id_col].to_numpy(zero_copy_only=False))
         if ids.size < 2:
             return pa.table(
                 {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
             )
-        cap = 1000
-        a_idx, b_idx = np.triu_indices(min(ids.size, cap), k=1)
+        a_idx, b_idx = np.triu_indices(min(ids.size, bucket_cap), k=1)
         return pa.table({"id_a": pa.array(ids[a_idx]), "id_b": pa.array(ids[b_idx])})
 
-    pairs = (
-        banded.map_batches(only_hot, batch_format="pyarrow")
-        .groupby(["band", "band_hash"])
-        .map_groups(bucket_pairs, batch_format="pyarrow")
-    )
-    # dedup pairs produced by multiple bands (vectorized aggregate, not
-    # a per-pair map_groups)
+    pairs = hot_rows.groupby("bkey").map_groups(bucket_pairs, batch_format="pyarrow")
     return (
         pairs.groupby(["id_a", "id_b"])
         .aggregate(Count(alias_name="_n"))
@@ -243,7 +372,8 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id"):
 
 
 def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
-    """Exact n-gram Jaccard — the verification step after LSH."""
+    """Exact hashed-shingle Jaccard — the verification step after LSH.
+    Same shingle definition as the distributed pipeline."""
     sa, sb = shingles(text_a, k), shingles(text_b, k)
     if not sa and not sb:
         return 1.0
@@ -252,73 +382,206 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
-                         id_col: str = "doc_id", text_col: str = "text", k: int = 5):
-    """Join candidate pairs back to texts (broadcast small doc table via
-    ray.put) and keep pairs with exact Jaccard >= threshold."""
+def candidate_shingle_sets(docs_ds, id_arr: np.ndarray, id_col: str,
+                           text_col: str, k: int):
+    """Docs filtered to the candidate id set (sorted-array membership via
+    searchsorted inside map_batches — no Python set), then per-doc sorted
+    unique shingle hashes as a list<int64> column."""
     import ray
 
-    texts = {}
-    for batch in docs_ds.select_columns([id_col, text_col]).iter_batches(
-        batch_format="pyarrow"
-    ):
-        for i, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            texts[i] = t
-    ref = ray.put(texts)
+    ids_sorted = np.sort(np.asarray(id_arr, np.int64))
+    ref = ray.put(ids_sorted)
 
-    class Verify:
-        def __init__(self):
-            self.texts = ray.get(ref)
+    def keep_and_sketch(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(ref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(wanted, ids)
+        pos_c = np.clip(pos, 0, wanted.size - 1)
+        mask = (pos < wanted.size) & (wanted[pos_c] == ids)
+        sub = batch.filter(pa.array(mask))
+        texts = sub[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sh, soff = shingle_hash_sets(texts, k)
+        # binary blobs, not list<int64>: Acero (the join kernel under
+        # Dataset.join) rejects list-typed non-key fields
+        blobs = [sh[soff[i] : soff[i + 1]].tobytes() for i in range(len(soff) - 1)]
+        return pa.table(
+            {
+                id_col: sub[id_col],
+                "sh": pa.array(blobs, pa.large_binary()),
+            }
+        )
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ja = [
-                jaccard(self.texts.get(a, ""), self.texts.get(b, ""), k)
-                for a, b in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+    return docs_ds.select_columns([id_col, text_col]).map_batches(
+        keep_and_sketch, batch_format="pyarrow"
+    )
+
+
+def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
+                         id_col: str = "doc_id", text_col: str = "text", k: int = 5,
+                         num_partitions: int = 32):
+    """Exact Jaccard >= threshold filter over LSH candidate pairs.
+
+    Scale path (round-2 rewrite): the corpus text NEVER reaches the
+    driver. Candidate ids (bounded by LSH collisions, not corpus size)
+    select the docs via a distributed searchsorted filter; those docs'
+    shingle sets are computed distributed and hash-joined onto the pairs
+    twice (id_a side, id_b side); the Jaccard itself is sorted-array
+    intersection per pair.
+    """
+    import ray
+
+    pairs_t = pyarrow_concat(
+        list(pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
+            batch_format="pyarrow"))
+    )
+    if pairs_t.num_rows == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "jaccard": pa.array([], pa.float64()),
+                }
+            )
+        )
+    cand_ids = np.unique(
+        np.concatenate(
+            [
+                pairs_t["id_a"].to_numpy(zero_copy_only=False),
+                pairs_t["id_b"].to_numpy(zero_copy_only=False),
             ]
-            out = batch.append_column("jaccard", pa.array(ja, pa.float64()))
-            return out.filter(pc.greater_equal(out["jaccard"], threshold))
+        )
+    )
+    sketches = candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k)
 
-    return pairs_ds.map_batches(Verify, batch_format="pyarrow", concurrency=(1, 2))
+    sk_a = sketches.map_batches(
+        lambda t: t.rename_columns(["id_a", "sh_a"]), batch_format="pyarrow"
+    )
+    sk_b = sketches.map_batches(
+        lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
+    )
+    pairs = ray.data.from_arrow(pairs_t)
+    nparts = _join_partitions(num_partitions)
+    joined = pairs.join(sk_a, "inner", num_partitions=nparts, on=("id_a",))
+    joined = joined.join(sk_b, "inner", num_partitions=nparts, on=("id_b",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sa = batch["sh_a"].to_pylist()
+        sb = batch["sh_b"].to_pylist()
+        n = batch.num_rows
+        ja = np.empty(n, np.float64)
+        for i in range(n):
+            A = np.frombuffer(sa[i], np.int64)
+            B = np.frombuffer(sb[i], np.int64)
+            if A.size == 0 and B.size == 0:
+                ja[i] = 1.0
+            elif A.size == 0 or B.size == 0:
+                ja[i] = 0.0
+            else:
+                inter = np.intersect1d(A, B, assume_unique=True).size
+                ja[i] = inter / (A.size + B.size - inter)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(ja),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    out = joined.map_batches(verify, batch_format="pyarrow")
+    return out.sort(["id_a", "id_b"])
+
+
+def pyarrow_concat(batches: list[pa.Table]) -> pa.Table:
+    if not batches:
+        return pa.table(
+            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+        )
+    return pa.concat_tables(batches)
 
 
 # -------------------------------------------------------------- simhash
 
 
 class SimHasher:
-    """64-bit SimHash per doc (term-frequency weighted)."""
+    """64-bit SimHash per doc (term-frequency weighted), vectorized:
+    per-occurrence bit signs (+1/-1) from the batch vocabulary's token
+    hashes, per-doc segment sums via cumulative-sum differences, sign
+    bits re-packed into one uint64 per doc. Token hash = blake2b-8, the
+    same as round 1, so simhash values are unchanged."""
 
     def __init__(self, id_col: str = "doc_id", text_col: str = "text"):
         self.id_col = id_col
         self.text_col = text_col
 
     @staticmethod
-    def simhash64(text: str) -> int:
-        toks = tokenize_text(text or "", "simple")
-        if not toks:
-            return 0
-        acc = np.zeros(64, dtype=np.int64)
-        from collections import Counter
+    def _batch_simhash(texts: pa.Array) -> np.ndarray:
+        toks = tokenize_array(texts, "simple")
+        flat = toks.flatten()
+        toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        toff = toff - toff[0]
+        n_docs = toff.size - 1
+        if len(flat) == 0:
+            return np.zeros(n_docs, np.uint64)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        uh = np.fromiter(
+            (
+                int.from_bytes(
+                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
+                )
+                for t in vocab
+            ),
+            dtype=np.uint64,
+            count=len(vocab),
+        )
+        # (n_vocab, 64) signs in int8, gathered per occurrence
+        bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int8
+        )
+        signs = (bits * 2 - 1).astype(np.int32)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        occ = signs[idx]  # (n_flat, 64)
+        csum = np.zeros((occ.shape[0] + 1, 64), np.int64)
+        np.cumsum(occ, axis=0, out=csum[1:])
+        acc = csum[toff[1:]] - csum[toff[:-1]]  # (n_docs, 64)
+        bitsel = (acc > 0).astype(np.uint64)
+        return (bitsel << np.arange(64, dtype=np.uint64)[None, :]).sum(
+            axis=1, dtype=np.uint64
+        )
 
-        for tok, tf in Counter(toks).items():
-            h = int.from_bytes(
-                hashlib.blake2b(tok.encode(), digest_size=8).digest(), "big"
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), tf, -tf)
-        out = 0
-        for i in range(64):
-            if acc[i] > 0:
-                out |= 1 << i
-        return out
+    @staticmethod
+    def simhash64(text: str) -> int:
+        return int(SimHasher._batch_simhash(pa.array([text or ""], pa.string()))[0])
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        hs = [self.simhash64(t) for t in batch[self.text_col].to_pylist()]
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        hs = self._batch_simhash(texts)
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
-                "simhash": pa.array(np.array(hs, dtype=np.uint64).view(np.int64)),
+                "simhash": pa.array(hs.view(np.int64)),
             }
         )
+
+
+_POP16 = np.array([bin(i).count("1") for i in range(1 << 16)], dtype=np.uint8)
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized popcount via a 16-bit lookup table (numpy<2 compatible)."""
+    x = x.view(np.uint64) if x.dtype == np.int64 else x
+    r = _POP16[(x & np.uint64(0xFFFF)).astype(np.int64)].astype(np.int64)
+    for s in (16, 32, 48):
+        r += _POP16[((x >> np.uint64(s)) & np.uint64(0xFFFF)).astype(np.int64)]
+    return r
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3,
@@ -330,7 +593,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
         batch_format="pyarrow",
-        concurrency=(1, 4),
+        concurrency=(1, 8),
         batch_size=256,
     )
 
@@ -358,23 +621,28 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         h = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids)
         ids, h = ids[order], h[order]
+        n = len(ids)
         out_a, out_b, out_d = [], [], []
-        for i in range(len(ids)):
-            x = h[i] ^ h[i + 1 :]
-            d = np.zeros(x.size, dtype=np.int64)
-            for _ in range(64):  # popcount via vectorized bit loop
-                d += (x & np.uint64(1)).astype(np.int64)
-                x >>= np.uint64(1)
+        for i in range(n - 1):
+            d = _popcount64(h[i] ^ h[i + 1 :])
             hit = np.flatnonzero(d <= max_hamming)
-            for j in hit:
-                out_a.append(int(ids[i]))
-                out_b.append(int(ids[i + 1 + j]))
-                out_d.append(int(d[j]))
+            if hit.size:
+                out_a.append(np.full(hit.size, ids[i]))
+                out_b.append(ids[i + 1 + hit])
+                out_d.append(d[hit])
+        if not out_a:
+            return pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "hamming": pa.array([], pa.int64()),
+                }
+            )
         return pa.table(
             {
-                "id_a": pa.array(out_a, pa.int64()),
-                "id_b": pa.array(out_b, pa.int64()),
-                "hamming": pa.array(out_d, pa.int64()),
+                "id_a": pa.array(np.concatenate(out_a)),
+                "id_b": pa.array(np.concatenate(out_b)),
+                "hamming": pa.array(np.concatenate(out_d)),
             }
         )
 
@@ -393,60 +661,77 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
 
 def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int = 8,
                              seed: int = 89, id_col: str = "vec_id",
-                             vec_col: str = "embedding"):
+                             vec_col: str = "embedding", n_tables: int = 1):
     """Embedding-cosine near-dup: LSH-bucket by random hyperplanes (near
     vectors collide), then exact normalized matmul within each bucket —
-    emit (id_a < id_b, cosine) pairs above threshold. Bucket sizes bound
-    the quadratic step; raise n_planes for tighter buckets at scale."""
+    emit (id_a < id_b, cosine) pairs above threshold. `n_tables` banded
+    hash tables trade recall for work: a pair is a candidate if it
+    collides in ANY table, and bucket counts scale as n_tables * 2^n_planes
+    (size n_planes to the corpus so buckets stay bounded; see
+    functions/ann.py:lsh_topk for the same knob)."""
     from auctus_ray.functions.ann import HyperplaneLSH, _normalize, _to_matrix
 
     first = ds.take_batch(1, batch_format="pyarrow")
     dim = len(first[vec_col][0].as_py())
-    bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={
-            "dim": dim, "n_planes": n_planes, "seed": seed,
-            "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group[id_col].to_numpy(zero_copy_only=False)
-        m = _normalize(_to_matrix(group[vec_col]))
-        order = np.argsort(ids)
-        ids, m = ids[order], m[order]
-        sims = m @ m.T
-        iu, ju = np.triu_indices(len(ids), k=1)
-        keep = sims[iu, ju] >= threshold
-        return pa.table(
-            {
-                "id_a": pa.array(ids[iu[keep]]),
-                "id_b": pa.array(ids[ju[keep]]),
-                "cosine": pa.array(sims[iu[keep], ju[keep]], pa.float64()),
-            }
+    def table_pairs(tbl_idx: int):
+        bucketed = ds.map_batches(
+            HyperplaneLSH,
+            fn_constructor_kwargs={
+                "dim": dim, "n_planes": n_planes, "seed": seed + 7919 * tbl_idx,
+                "id_col": id_col, "vec_col": vec_col,
+            },
+            batch_format="pyarrow",
+            concurrency=(1, 2),
         )
 
-    return bucketed.groupby("lsh_bucket").map_groups(
-        bucket_pairs, batch_format="pyarrow"
-    )
+        def bucket_pairs(group: pa.Table) -> pa.Table:
+            ids = group[id_col].to_numpy(zero_copy_only=False)
+            m = _normalize(_to_matrix(group[vec_col]))
+            order = np.argsort(ids)
+            ids, m = ids[order], m[order]
+            sims = m @ m.T
+            iu, ju = np.triu_indices(len(ids), k=1)
+            keep = sims[iu, ju] >= threshold
+            return pa.table(
+                {
+                    "id_a": pa.array(ids[iu[keep]]),
+                    "id_b": pa.array(ids[ju[keep]]),
+                    "cosine": pa.array(sims[iu[keep], ju[keep]], pa.float64()),
+                }
+            )
+
+        return bucketed.groupby("lsh_bucket").map_groups(
+            bucket_pairs, batch_format="pyarrow"
+        )
+
+    out = table_pairs(0)
+    for t in range(1, n_tables):
+        out = out.union(table_pairs(t))
+    if n_tables > 1:  # a pair can collide in several tables: dedup
+        out = out.groupby(["id_a", "id_b"]).map_groups(
+            lambda g: g.slice(0, 1), batch_format="pyarrow"
+        )
+    return out
 
 
 # -------------------------------------------------------------- clusters
 
 
-def dedup_clusters(pairs_ds, max_rounds: int = 10):
+def dedup_clusters(pairs_ds, max_rounds: int = 10, num_partitions: int = 16):
     """Near-dup pairs -> connected components by iterative min-label
     propagation (ray_guide 'Near-dup' pattern): each node's label is the
-    smallest id reachable so far; rounds of groupby(min) until stable.
-    Scales as O(rounds x pairs) with no driver-side union-find.
+    smallest id reachable so far; rounds of join + groupby(min) until
+    stable. Scales as O(rounds x pairs) with NO driver-side state: the
+    label exchange is a Dataset.join on the neighbor key (round-2
+    rewrite — round 1 rebuilt a node->label dict on the driver each
+    round). Convergence is detected from the label sum, which strictly
+    decreases until fixpoint (labels are monotone non-increasing).
 
     Returns a Dataset of (doc_id, cluster_id) with cluster_id = min id of
     the component; singleton docs are absent (no pairs -> no row).
     """
-    import ray.data
-    from ray.data.aggregate import Min
+    from ray.data.aggregate import Min, Sum
 
     def explode(batch: pa.Table) -> pa.Table:
         a = batch["id_a"].to_numpy(zero_copy_only=False)
@@ -458,7 +743,7 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
             }
         )
 
-    edges = pairs_ds.map_batches(explode, batch_format="pyarrow")
+    edges = pairs_ds.map_batches(explode, batch_format="pyarrow").materialize()
     # initial label = min(node, min neighbor)
     labels = edges.groupby("node").aggregate(Min("nbr", alias_name="lbl"))
     labels = labels.map_batches(
@@ -476,44 +761,33 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10):
         batch_format="pyarrow",
     ).materialize()
 
-    edges = edges.materialize()
+    def _lblsum(ls) -> int:
+        row = ls.aggregate(Sum("lbl", alias_name="s"))
+        return int(row["s"]) if row["s"] is not None else 0
+
+    cur_sum = _lblsum(labels)
     for _ in range(max_rounds):
-        lbl_map = {
-            int(n): int(l)
-            for batch in labels.iter_batches(batch_format="pyarrow")
-            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
-        }
-        import ray as _ray
-
-        ref = _ray.put(lbl_map)
-
-        def push(batch: pa.Table) -> pa.Table:
-            m = _ray.get(ref)
-            node = batch["node"].to_numpy(zero_copy_only=False)
-            nbr = batch["nbr"].to_numpy(zero_copy_only=False)
-            prop = np.array([m.get(int(x), int(x)) for x in nbr], dtype=np.int64)
-            return pa.table({"node": pa.array(node), "lbl": pa.array(prop)})
-
+        # propagate: each edge carries its neighbor's current label
+        nbr_labels = labels.map_batches(
+            lambda t: t.rename_columns(["nbr", "nbr_lbl"]), batch_format="pyarrow"
+        )
+        prop = edges.join(
+            nbr_labels, "inner", num_partitions=_join_partitions(num_partitions), on=("nbr",)
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "lbl": t["nbr_lbl"]}),
+            batch_format="pyarrow",
+        )
         new_labels = (
-            edges.map_batches(push, batch_format="pyarrow")
-            .union(labels)
+            prop.union(labels)
             .groupby("node")
             .aggregate(Min("lbl", alias_name="lbl"))
             .materialize()
         )
-        old = {  # convergence check on the (small) label table
-            (int(n), int(l))
-            for batch in labels.iter_batches(batch_format="pyarrow")
-            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
-        }
-        new = {
-            (int(n), int(l))
-            for batch in new_labels.iter_batches(batch_format="pyarrow")
-            for n, l in zip(batch["node"].to_pylist(), batch["lbl"].to_pylist())
-        }
+        new_sum = _lblsum(new_labels)
         labels = new_labels
-        if new == old:
+        if new_sum == cur_sum:
             break
+        cur_sum = new_sum
     return labels.map_batches(
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]}),
         batch_format="pyarrow",

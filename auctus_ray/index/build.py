@@ -470,6 +470,20 @@ def build_index(
         t0 = time.time()
         for d in (docmap_dir, postings_dir, termstats_dir):
             os.makedirs(d, exist_ok=True)
+        # rebuilding into an existing index_dir with a smaller bucket set
+        # must not leave stale shard/docmap/termstats files behind — the
+        # Searcher globs shard=*.parquet unconditionally and would score
+        # phantom documents under the old docID assignment
+        current = set(all_buckets)
+        for d, prefix in (
+            (docmap_dir, "bucket="),
+            (postings_dir, "shard="),
+            (termstats_dir, "shard="),
+        ):
+            for p in glob.glob(os.path.join(d, f"{prefix}*.parquet")):
+                b = int(os.path.basename(p)[len(prefix):].split(".", 1)[0])
+                if b not in current:
+                    os.remove(p)
         pending = [
             b
             for b in all_buckets

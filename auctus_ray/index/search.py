@@ -333,9 +333,11 @@ class Searcher:
             )
             enc = tbl[attr].combine_chunks().dictionary_encode()
             codes = np.full(self.n_docs, -1, dtype=np.int32)
-            codes[tbl["doc_id"].to_numpy(zero_copy_only=False)] = (
-                enc.indices.to_numpy(zero_copy_only=False)
-            )
+            # null attribute values encode to null indices; keep them as
+            # the -1 "missing" sentinel (to_numpy would smuggle them in
+            # as NaN-cast garbage ints)
+            idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
+            codes[tbl["doc_id"].to_numpy(zero_copy_only=False)] = idx.astype(np.int32)
             cached[attr] = (codes, enc.dictionary.to_pylist())
         return cached[attr]
 
@@ -449,8 +451,13 @@ class Searcher:
         counts: dict[str, int] = {}
         if facet_docs:
             all_docs = np.concatenate(facet_docs)
-            bc = np.bincount(codes[all_docs], minlength=len(values))
+            sel = codes[all_docs]
+            valid = sel >= 0  # -1 = null value or doc absent from docmap
+            bc = np.bincount(sel[valid], minlength=len(values))
             counts = {values[i]: int(bc[i]) for i in np.flatnonzero(bc)}
+            n_missing = int((~valid).sum())
+            if n_missing:  # ES terms-agg style explicit missing bucket
+                counts["__missing__"] = n_missing
         return doc_ids, scores, counts
 
     @staticmethod
@@ -700,6 +707,18 @@ class MultiFieldSearcher:
         seen_per_field: list[set] = []
         for name, (searcher, boost) in self.fields.items():  # name-sorted
             d, s = searcher.search(query, k=10000, operator="or")
+            if len(d) >= 10000:
+                # exactness requires the field's FULL score map; the 10k
+                # retrieval cap silently truncates beyond this point
+                import warnings
+
+                warnings.warn(
+                    f"MultiFieldSearcher: field {name!r} hit the 10000-doc "
+                    "retrieval cap; scores beyond the cap are dropped and "
+                    "the merged top-k may be inexact",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
             seen_per_field.append(set(d.tolist()))
             for did, sc in zip(d.tolist(), s.tolist()):
                 scores[did] = scores.get(did, 0.0) + boost * sc
@@ -764,6 +783,10 @@ class PrefixExpander:
             if w.endswith("*") and len(w) > 1:
                 base = tokenize_text(w[:-1], self.searcher.analyzer)
                 if base:
+                    # the analyzer may split the wildcard word ('foo.bar*'
+                    # -> ['foo','bar']): earlier tokens are exact terms,
+                    # only the final token is the prefix to expand
+                    terms.extend(base[:-1])
                     terms.extend(self.expand(base[-1]))
             else:
                 terms.extend(tokenize_text(w, self.searcher.analyzer))

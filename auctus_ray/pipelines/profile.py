@@ -444,13 +444,19 @@ def orders_with_line_aggs(sf_dir: str):
     """J1+A9: left-cardinality-preserving join — orders joined to
     per-order lineitem aggregates (reference join keeps every left row
     and aggregates the right side back, augmentation.py:250-336).
-    Scale note: the aggregated right side is broadcast (ray.put); at
-    larger fan-in this becomes a bucketed hash join."""
+
+    Scale path (round-2 rewrite): the per-order aggregate side is one
+    row PER ORDER — fact-table-sized, so it is NOT broadcast. Both sides
+    meet in a hash-partitioned Dataset.join on the order key; orders
+    without lineitems surface as nulls from the left-outer join and are
+    filled with 0 (the reference's left-cardinality semantics)."""
     import ray
 
     from ray.data.aggregate import Count, Sum
 
-    lines = (
+    from auctus_ray.util import join_partitions
+
+    line_aggs = (
         ray.data.read_parquet(
             f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
         )
@@ -466,31 +472,26 @@ def orders_with_line_aggs(sf_dir: str):
         )
         .groupby("l_orderkey")
         .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n_lines"))
-    ).to_pandas()
-    lut_qty = dict(zip(lines["l_orderkey"], lines["sum_qty"]))
-    lut_cnt = dict(zip(lines["l_orderkey"], lines["n_lines"]))
-    ref = ray.put((lut_qty, lut_cnt))
-
-    class Join:
-        def __init__(self):
-            self.lq, self.lc = ray.get(ref)
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            keys = batch["o_orderkey"].to_numpy(zero_copy_only=False)
-            q = np.array([self.lq.get(int(k), 0) for k in keys], dtype=np.int64)
-            cnt = np.array([self.lc.get(int(k), 0) for k in keys], dtype=np.int64)
-            return pa.table(
-                {
-                    "o_orderkey": batch["o_orderkey"],
-                    "sum_qty": pa.array(q),
-                    "n_lines": pa.array(cnt),
-                }
-            )
-
-    orders = ray.data.read_parquet(
-        f"{sf_dir}/orders.parquet", columns=["o_orderkey"]
     )
-    return orders.map_batches(Join, batch_format="pyarrow", concurrency=(1, 2))
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    joined = orders.join(
+        line_aggs,
+        "left_outer",
+        num_partitions=join_partitions(32),
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": batch["o_orderkey"],
+                "sum_qty": pc.fill_null(pc.cast(batch["sum_qty"], pa.int64()), 0),
+                "n_lines": pc.fill_null(pc.cast(batch["n_lines"], pa.int64()), 0),
+            }
+        )
+
+    return joined.map_batches(finalize, batch_format="pyarrow")
 
 
 SQL_ORDERS_WITH_LINE_AGGS = """

@@ -88,30 +88,37 @@ GROUP BY l_returnflag, l_linestatus
 
 
 def revenue_by_nation(sf_dir: str):
-    """Broadcast hash join (J1 pattern): customer+nation are small sides
-    -> ray.put once, dict lookup inside map_batches over orders; then
-    pre-aggregated groupby. Reference: equi-join + group-agg
-    (lib_augmentation/augmentation.py:376-624)."""
+    """Broadcast hash join (J1 pattern): customer->nation is the small
+    side -> ray.put ONE sorted-key/value-code pair of numpy arrays,
+    vectorized searchsorted lookup inside map_batches over orders
+    (round-2: no per-row Python dict.get), then pre-aggregated groupby.
+    Reference: equi-join + group-agg (lib_augmentation/augmentation.py:376-624)."""
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    cust_nation = {
-        int(c): n
-        for c, k in zip(cust["c_custkey"], cust["c_nationkey"])
-        for n in [nation.set_index("n_nationkey")["n_name"].to_dict().get(int(k))]
-    }
-    ref = ray.put(cust_nation)
+    nat_names = nation.sort_values("n_nationkey")["n_name"].to_numpy()
+    nat_keys = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy()
+    ckeys = cust["c_custkey"].to_numpy()
+    order = np.argsort(ckeys)
+    ckeys_sorted = ckeys[order]
+    cnat = cust["c_nationkey"].to_numpy()[order]
+    # customer -> nation-name code (nation table is tiny; map via searchsorted)
+    nat_code = np.searchsorted(nat_keys, cnat)
+    ref = ray.put((ckeys_sorted, nat_code, nat_names))
 
     class JoinAgg:
         def __init__(self):
-            self.lookup = ray.get(ref)
+            self.ckeys, self.ncode, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
             keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            names = np.array([self.lookup.get(int(k), "") for k in keys], dtype=object)
+            pos = np.searchsorted(self.ckeys, keys)
+            pos_c = np.clip(pos, 0, self.ckeys.size - 1)
+            hit = (pos < self.ckeys.size) & (self.ckeys[pos_c] == keys)
+            name_arr = np.where(hit, self.names[self.ncode[pos_c]], "")
             cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
             t = pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
+                    "n_name": pa.array(name_arr, pa.string()),
                     "cents": pa.array(cents),
                 }
             )

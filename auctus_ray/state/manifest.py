@@ -34,9 +34,35 @@ def fingerprint(*parts) -> str:
     return h.hexdigest()[:16]
 
 
+def _edge_digest(path: str, span: int = 65536) -> str:
+    """Cheap content digest: sha256 over the first and last `span` bytes.
+    For parquet this covers the header and the footer metadata (schema,
+    row-group stats), so any rewrite that changes content — even at
+    identical file size — changes the digest, while a byte-identical
+    regeneration (e.g. a deterministic generator or rsync) still matches.
+    """
+    h = hashlib.sha256()
+    size = os.path.getsize(path)
+    with open(path, "rb") as f:
+        h.update(f.read(span))
+        if size > span:
+            f.seek(max(span, size - span))
+            h.update(f.read(span))
+    return h.hexdigest()[:16]
+
+
 def file_fingerprint(paths: list[str]) -> str:
-    """Fingerprint a list of input files by (path, size, mtime-free)."""
-    return fingerprint([(p, os.path.getsize(p)) for p in sorted(paths)])
+    """Fingerprint a list of input files by (path, size, edge digest).
+
+    Size alone is not enough: an input whose content changes but whose
+    size stays identical (plausible for fixed-width/regenerated data)
+    must invalidate resume checkpoints instead of silently reusing stale
+    tokenize output. The edge digest is content-derived, so it is also
+    stable across copies/regenerations (unlike mtime).
+    """
+    return fingerprint(
+        [(p, os.path.getsize(p), _edge_digest(p)) for p in sorted(paths)]
+    )
 
 
 class Manifest:
