@@ -27,22 +27,24 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from auctus_ray.pipelines import fulltext, profile, relational, training
+    from auctus_ray.pipelines import fulltext, joinsearch, profile, relational, training
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
     out.update(fulltext.QUERIES)
     out.update(training.QUERIES)
     out.update(profile.QUERIES)
+    out.update(joinsearch.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from auctus_ray.pipelines import fulltext, profile, relational, training
+    from auctus_ray.pipelines import fulltext, joinsearch, profile, relational, training
 
     out: dict[str, str] = {}
     out.update(relational.SQL)
     out.update(fulltext.SQL)
     out.update(training.SQL)
     out.update(profile.SQL)
+    out.update(joinsearch.SQL)
     return out

@@ -1,0 +1,286 @@
+"""Textual join search: rank candidate columns by Jaccard containment
+of the query column — the reference's Lazo path (J7 in SURVEY.md §2).
+
+Reference semantics: Auctus profiles every textual/categorical column
+into a Lazo sketch (n_permutations, hash_values, cardinality) stored in
+the profile document (lib_profiler/datamart_profiler/core.py:475-521),
+then join search queries the Lazo server for containment-scored
+candidate columns and caps them at MAX_LAZO_CANDIDATES_SIZE = 300
+(apiserver/apiserver/search/join.py:13, 638-658) before ES re-scoring.
+
+Ray-Data-first re-expression:
+  * a column's value set = groupby-distinct over a streamed scan
+    (cast to string — Lazo treats all joinable columns as text);
+  * EXACT containment |Q ∩ C| / |Q|: the query column's distinct values
+    are the small broadcast side (ray.put of one sorted string array),
+    membership counted inside map_batches over each candidate's
+    distinct stream via np.searchsorted — no shuffle at all;
+  * LAZO-ESTIMATED containment for big-vs-big: per-column minhash
+    sketch built as elementwise minima of per-batch vectorized minima
+    (the Lazo estimator: JS = matching slots / n_perm,
+    |X∪Y| ≈ (|X|+|Y|)/(1+JS), JCX = (|X|+|Y|-|X∪Y|)/|X|,
+    Castro Fernandez et al., "Lazo: A Cardinality-Based Method for
+    Coupled Estimation of Jaccard Similarity and Containment", ICDE'19);
+  * candidate ranking: containment desc, (dataset_id, column_name) asc,
+    capped at `max_candidates` = 300.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from auctus_ray.functions.dedup import _perm_params
+
+MAX_LAZO_CANDIDATES = 300  # reference MAX_LAZO_CANDIDATES_SIZE, join.py:13
+
+
+def distinct_str_values(ds, col: str):
+    """Distinct values of `col` cast to string, as a Dataset with one
+    `value` column (hash-partitioned groupby — the scale path; null
+    values are dropped, mirroring Lazo's non-null value sets)."""
+
+    from ray.data.aggregate import Count
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        v = pc.cast(batch[col], pa.string())
+        t = pa.table({"value": v})
+        t = t.filter(pc.is_valid(t["value"]))
+        # batch-local dedup before the shuffle (combiner pattern)
+        return t.group_by("value").aggregate([])
+
+    return (
+        ds.map_batches(to_str, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["value"])
+    )
+
+
+def _hash_values(vals: pa.Array) -> np.ndarray:
+    """blake2b-8 per distinct value (bounded by the distinct count)."""
+    out = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b((v or "").encode(), digest_size=8).digest(), "big"
+            )
+            for v in vals.to_pylist()
+        ),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+    return out
+
+
+def exact_containment_count(cand_distinct_ds, query_vals_sorted: np.ndarray) -> int:
+    """|Q ∩ C| with C streamed: membership via searchsorted against the
+    broadcast sorted query-value array, summed per batch, reduced by
+    Dataset.sum — never collects C."""
+    import ray
+
+    ref = ray.put(query_vals_sorted)
+
+    def count_hits(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        v = np.asarray(batch["value"].to_pylist(), dtype=object)
+        vs = v.astype(str)
+        pos = np.searchsorted(q, vs)
+        pos_c = np.clip(pos, 0, q.size - 1)
+        hits = int(((pos < q.size) & (q[pos_c] == vs)).sum())
+        return pa.table({"hits": pa.array([hits], pa.int64())})
+
+    out = cand_distinct_ds.map_batches(count_hits, batch_format="pyarrow").sum("hits")
+    return int(out or 0)
+
+
+class LazoSketch:
+    """(n_permutations, hash_values, cardinality) — the reference's
+    per-column Lazo sketch triple (apiserver/search/join.py:141-145)."""
+
+    __slots__ = ("n_perm", "hash_values", "cardinality")
+
+    def __init__(self, n_perm: int, hash_values: np.ndarray, cardinality: int):
+        self.n_perm = n_perm
+        self.hash_values = hash_values
+        self.cardinality = cardinality
+
+
+def sketch_column(distinct_ds, n_perm: int = 128, seed: int = 89) -> LazoSketch:
+    """Distributed Lazo sketch of a column's distinct-value stream:
+    each batch contributes a vectorized (a*h+b)>>1 minimum per slot; the
+    tiny per-batch rows (n_perm ints each) reduce by elementwise min."""
+    a, b = _perm_params(n_perm, seed)
+
+    def batch_minima(batch: pa.Table) -> pa.Table:
+        h = _hash_values(batch["value"])
+        if h.size == 0:
+            mins = np.full(n_perm, np.iinfo(np.int64).max, np.int64)
+        else:
+            vals = (a[:, None] * h[None, :] + b[:, None]) >> np.uint64(1)
+            mins = vals.min(axis=1).astype(np.int64)
+        return pa.table(
+            {
+                "slot": pa.array(np.arange(n_perm, dtype=np.int32)),
+                "m": pa.array(mins),
+                "card": pa.array(
+                    np.full(n_perm, batch.num_rows, dtype=np.int64)
+                ),
+            }
+        )
+
+    from ray.data.aggregate import Min, Sum
+
+    rows = (
+        distinct_ds.map_batches(batch_minima, batch_format="pyarrow")
+        .groupby("slot")
+        .aggregate(Min("m", alias_name="m"), Sum("card", alias_name="card"))
+        .take_all()
+    )
+    mins = np.full(n_perm, np.iinfo(np.int64).max, np.int64)
+    for r in rows:
+        mins[int(r["slot"])] = int(r["m"])
+    # every slot row carries its batch's row count, summed across batches
+    # by the aggregate -> any slot's total is the column cardinality
+    card = int(rows[0]["card"]) if rows else 0
+    return LazoSketch(n_perm, mins, card)
+
+
+def lazo_containment(q: LazoSketch, c: LazoSketch) -> float:
+    """Lazo containment estimate JC(Q,C) = |Q∩C| / |Q| from two sketches
+    + cardinalities (ICDE'19 estimator; clamped to [0,1])."""
+    if q.cardinality == 0:
+        return 0.0
+    js = float((q.hash_values == c.hash_values).sum()) / q.n_perm
+    union = (q.cardinality + c.cardinality) / (1.0 + js)
+    inter = q.cardinality + c.cardinality - union
+    return float(min(1.0, max(0.0, inter / q.cardinality)))
+
+
+def _rank_and_cap(rows: list[tuple[str, str, float]], max_candidates: int) -> pa.Table:
+    rows.sort(key=lambda r: (-r[2], r[0], r[1]))
+    rows = rows[:max_candidates]
+    r6 = [np.floor(s * 1e6 + 0.5) / 1e6 for _, _, s in rows]
+    return pa.table(
+        {
+            "dataset_id": pa.array([r[0] for r in rows], pa.string()),
+            "column_name": pa.array([r[1] for r in rows], pa.string()),
+            "containment": pa.array(r6, pa.float64()),
+        }
+    )
+
+
+def exact_containment_scores(
+    query_distinct_ds,
+    cand_values_ds,
+    max_candidates: int = MAX_LAZO_CANDIDATES,
+    catalog: list[tuple[str, str]] | None = None,
+) -> pa.Table:
+    """Exact containment of the query column in EVERY candidate column
+    in one Dataset pipeline.
+
+    cand_values_ds: rows (dataset_id, column_name, value) — all catalog
+    columns unioned, values as strings. The pipeline is
+    groupby-distinct (vectorized Count aggregate, one shuffle keyed by
+    the (dataset, column, value) triple) -> searchsorted membership
+    against the broadcast query set -> groupby(dataset, column) Sum —
+    two shuffles total regardless of catalog size, versus one pipeline
+    per candidate.
+
+    Returns (dataset_id, column_name, containment) ranked desc and
+    capped at `max_candidates` (reference top-300, join.py:13)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    qvals = np.asarray(
+        [r["value"] for r in query_distinct_ds.take_all()], dtype=object
+    ).astype(str)
+    qvals.sort()
+    nq = qvals.size
+    if nq == 0:
+        return _rank_and_cap([], max_candidates)
+    ref = ray.put(qvals)
+
+    # only HITS shuffle: a candidate value outside Q contributes nothing
+    # to |Q∩C|, so it is dropped inside the map (after batch-local
+    # dedup). Hits are identified by their position in the sorted query
+    # array (int32), so the exchange is (dataset, column, qpos) ints with
+    # volume <= |Q| per candidate — not the candidates' value sets.
+    def mark(batch: pa.Table) -> pa.Table:
+        q = ray.get(ref)
+        tbl = pa.table(
+            {
+                "dataset_id": batch["dataset_id"],
+                "column_name": batch["column_name"],
+                "value": batch["value"],
+            }
+        )
+        g = tbl.group_by(["dataset_id", "column_name", "value"]).aggregate([])
+        v = np.asarray(g["value"].to_pylist(), dtype=object).astype(str)
+        pos = np.searchsorted(q, v)
+        pos_c = np.clip(pos, 0, q.size - 1)
+        hit = (pos < q.size) & (q[pos_c] == v)
+        sub = g.filter(pa.array(hit))
+        return pa.table(
+            {
+                "dataset_id": sub["dataset_id"],
+                "column_name": sub["column_name"],
+                "qpos": pa.array(pos_c[hit].astype(np.int32)),
+            }
+        )
+
+    hits = (
+        cand_values_ds.map_batches(mark, batch_format="pyarrow")
+        .groupby(["dataset_id", "column_name", "qpos"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby(["dataset_id", "column_name"])
+        .aggregate(Count(alias_name="hits"))
+        .take_all()
+    )
+    scored = {
+        (r["dataset_id"], r["column_name"]): int(r["hits"] or 0) / nq for r in hits
+    }
+    rows = [(d, c, s) for (d, c), s in scored.items()]
+    if catalog is not None:  # zero-hit candidates never reach the reduce
+        rows += [(d, c, 0.0) for (d, c) in catalog if (d, c) not in scored]
+    return _rank_and_cap(rows, max_candidates)
+
+
+def textual_join_search(
+    query_distinct_ds,
+    candidates: dict[tuple[str, str], "object"],
+    max_candidates: int = MAX_LAZO_CANDIDATES,
+    exact: bool = True,
+    n_perm: int = 128,
+    seed: int = 89,
+) -> pa.Table:
+    """Rank candidate columns by containment of the query column.
+
+    candidates: {(dataset_id, column_name): distinct-value Dataset}.
+    exact=True  -> exact streamed-membership containment (SQL-checkable;
+    per-candidate pipelines — prefer exact_containment_scores for a
+    whole catalog in one pipeline);
+    exact=False -> Lazo sketch estimate (the reference's path for
+    big-vs-big, where neither side is collected).
+    Returns an Arrow table (dataset_id, column_name, containment) with
+    containment rounded half-away to 6 digits, sorted score desc then
+    name asc, capped at `max_candidates` (reference top-300)."""
+    rows = []
+    if exact:
+        qvals = np.asarray(
+            [r["value"] for r in query_distinct_ds.take_all()], dtype=object
+        ).astype(str)
+        qvals.sort()
+        nq = qvals.size
+        for (ds_id, col), cand in sorted(candidates.items()):
+            hits = exact_containment_count(cand, qvals) if nq else 0
+            score = hits / nq if nq else 0.0
+            rows.append((ds_id, col, score))
+    else:
+        sk_q = sketch_column(query_distinct_ds, n_perm, seed)
+        for (ds_id, col), cand in sorted(candidates.items()):
+            sk_c = sketch_column(cand, n_perm, seed)
+            rows.append((ds_id, col, lazo_containment(sk_q, sk_c)))
+    return _rank_and_cap(rows, max_candidates)
