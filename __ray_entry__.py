@@ -27,7 +27,14 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from auctus_ray.pipelines import fulltext, joinsearch, profile, relational, training
+    from auctus_ray.pipelines import (
+        document,
+        fulltext,
+        joinsearch,
+        profile,
+        relational,
+        training,
+    )
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
@@ -35,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(training.QUERIES)
     out.update(profile.QUERIES)
     out.update(joinsearch.QUERIES)
+    out.update(document.QUERIES)
     return out
 
 

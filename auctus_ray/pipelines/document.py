@@ -1,0 +1,370 @@
+"""Assembled profile documents — the reference profiler's deliverable.
+
+The reference emits ONE JSON metadata document per dataset
+(lib_profiler/datamart_profiler/core.py:524-990): per-column entries
+with structural/semantic types and `plot` histograms (core.py:349-444),
+dataset-level `spatial_coverage` [{type, column_names, geohashes4,
+ranges, number}] (core.py:748-791), `temporal_coverage` [{type,
+column_names, column_indexes, column_types, ranges,
+temporal_resolution}] (core.py:951-958), `attribute_keywords` from the
+identifier splitter (core.py:965-972) and a truncated CSV `sample`
+(core.py:974-986). Round 1 built every ingredient; this module
+assembles them into the reference document shape.
+
+Ray Data shape — three bounded passes over the table, all streaming:
+  pass 1: profile partials (existing one-pass map_batches) -> per-column
+          types, moments, capped distinct samples;
+  pass 2: numeric plots — ONE map_batches computing the 10-bin counts of
+          every numeric column against the pass-1 min/max (per-batch
+          bincount partials, summed on the tiny reduce);
+  pass 3: spatial sketches — per-batch mergeable GeohashSketch + a
+          seeded coordinate sample for the k-means ranges (only if a
+          lat/long pair was detected).
+Coverage RANGES (numeric/temporal k-means and the spatial boxes) run on
+the pass-1 capped distinct sample / pass-3 coordinate sample — a
+documented deviation from the reference, which k-means the full column
+in RAM (single-process profiler); the sketches and histograms are exact.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from auctus_ray.functions.scalars import truncate_string
+from auctus_ray.functions.spatial import GeohashSketch, spatial_ranges_kmeans
+from auctus_ray.pipelines.profile import (
+    T_DATE_TIME,
+    T_FLOAT,
+    T_INTEGER,
+    T_LATITUDE,
+    T_LONGITUDE,
+    finalize_profile,
+    numeric_ranges_kmeans,
+    profile_partials,
+)
+from auctus_ray.tokenize import tokenize_text
+
+SAMPLE_ROWS = 20  # reference core.py SAMPLE_ROWS
+MAX_GEOHASHES = 100
+
+
+def _attribute_keywords(names: list[str]) -> list[str]:
+    """Reference core.py:965-972: the column name itself, plus its
+    expand_attribute_name parts when splitting changed anything."""
+    out: list[str] = []
+    for name in names:
+        out.append(name)
+        kw = tokenize_text(name, "code")
+        if kw != [name]:
+            out.extend(kw)
+    return out
+
+
+def _numeric_plots(ds, numeric_cols: list[str], ranges: dict[str, tuple[float, float]],
+                   bins: int = 10) -> dict[str, list[dict]]:
+    """10-bin histograms for all numeric columns in one streamed pass:
+    per-batch bincount partials -> driver sum (bins*n_cols ints)."""
+    if not numeric_cols:
+        return {}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = []
+        for col in numeric_cols:
+            lo, hi = ranges[col]
+            x = pc.cast(batch[col], pa.float64()).to_numpy(zero_copy_only=False)
+            x = x[np.isfinite(x)]
+            if hi > lo:
+                b = np.minimum(
+                    np.floor((x - lo) * bins / (hi - lo)), bins - 1
+                ).astype(np.int64)
+            else:
+                b = np.zeros(x.size, np.int64)
+            cnt = np.bincount(b, minlength=bins)
+            rows.append(
+                {"column": col, "counts": json.dumps([int(c) for c in cnt])}
+            )
+        return pa.Table.from_pylist(rows)
+
+    agg: dict[str, np.ndarray] = {c: np.zeros(bins, np.int64) for c in numeric_cols}
+    for batch in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for col, counts in zip(batch["column"].to_pylist(), batch["counts"].to_pylist()):
+            agg[col] += np.array(json.loads(counts), np.int64)
+
+    plots = {}
+    for col in numeric_cols:
+        lo, hi = ranges[col]
+        edges = np.linspace(lo, hi, bins + 1)
+        plots[col] = {
+            "type": "histogram_numerical",
+            "data": [
+                {
+                    "count": int(agg[col][i]),
+                    "bin_start": float(edges[i]),
+                    "bin_end": float(edges[i + 1]),
+                }
+                for i in range(bins)
+            ],
+        }
+    return plots
+
+
+def _spatial_coverage(ds, pairs: list[tuple[str, str]],
+                      sample_cap: int = 20000, seed: int = 89) -> list[dict]:
+    """Per lat/long pair: mergeable geohash sketch (exact counts) + a
+    seeded reservoir-ish coordinate sample for the k-means boxes."""
+    out = []
+    for lat_col, lon_col in pairs:
+        def partial(batch: pa.Table, lat_col=lat_col, lon_col=lon_col) -> pa.Table:
+            lat = pc.cast(batch[lat_col], pa.float64()).to_numpy(zero_copy_only=False)
+            lon = pc.cast(batch[lon_col], pa.float64()).to_numpy(zero_copy_only=False)
+            m = (
+                np.isfinite(lat) & np.isfinite(lon)
+                & (-90.0 < lat) & (lat < 90.0)
+                & (-180.0 < lon) & (lon < 180.0)
+            )
+            lat, lon = lat[m], lon[m]
+            sk = GeohashSketch(number=MAX_GEOHASHES)
+            sk.add_points(lat, lon)
+            # deterministic per-batch coordinate subsample for the ranges
+            rng = np.random.Generator(np.random.PCG64(seed))
+            if lat.size > 512:
+                idx = rng.choice(lat.size, 512, replace=False)
+                lat_s, lon_s = lat[idx], lon[idx]
+            else:
+                lat_s, lon_s = lat, lon
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "levels": json.dumps(sk.levels),
+                        "total": sk.total,
+                        "lat_s": json.dumps([float(v) for v in lat_s]),
+                        "lon_s": json.dumps([float(v) for v in lon_s]),
+                    }
+                ]
+            )
+
+        sketch = GeohashSketch(number=MAX_GEOHASHES)
+        lat_all: list[float] = []
+        lon_all: list[float] = []
+        for batch in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for levels, total, lat_s, lon_s in zip(
+                batch["levels"].to_pylist(),
+                batch["total"].to_pylist(),
+                batch["lat_s"].to_pylist(),
+                batch["lon_s"].to_pylist(),
+            ):
+                other = GeohashSketch(number=MAX_GEOHASHES)
+                other.levels = [
+                    {k: int(v) for k, v in lvl.items()}
+                    for lvl in json.loads(levels)
+                ]
+                other.total = int(total)
+                sketch.merge(other)
+                if len(lat_all) < sample_cap:
+                    lat_all.extend(json.loads(lat_s))
+                    lon_all.extend(json.loads(lon_s))
+        if sketch.total == 0:
+            continue
+        boxes = spatial_ranges_kmeans(np.array(lat_all), np.array(lon_all))
+        out.append(
+            {
+                "type": "latlong",
+                "column_names": [lat_col, lon_col],
+                "geohashes4": [
+                    {"hash": h, "number": n} for h, n in sketch.get_hashes()
+                ],
+                "ranges": [
+                    {
+                        "range": {
+                            "type": "envelope",
+                            "coordinates": [[lo_lon, hi_lat], [hi_lon, lo_lat]],
+                        }
+                    }
+                    for lo_lat, hi_lat, lo_lon, hi_lon in boxes
+                ],
+                "number": sketch.total,
+            }
+        )
+    return out
+
+
+def _csv_sample(ds, n_rows: int = SAMPLE_ROWS) -> str:
+    """First-N truncated-cell CSV sample with CRLF terminators
+    (reference samples seeded-random rows of the in-RAM frame,
+    core.py:974-986; a streaming engine takes the head — deterministic
+    and bounded)."""
+    tbl = pa.Table.from_pylist(ds.take(n_rows))
+    buf = io.StringIO()
+    buf.write(",".join(tbl.column_names) + "\r\n")
+    cols = [tbl[c].to_pylist() for c in tbl.column_names]
+    for i in range(tbl.num_rows):
+        cells = []
+        for c in cols:
+            v = c[i]
+            s = truncate_string(str(v)) if v is not None else ""
+            if "," in s or '"' in s or "\n" in s:
+                s = '"' + s.replace('"', '""') + '"'
+            cells.append(s)
+        buf.write(",".join(cells) + "\r\n")
+    return buf.getvalue()
+
+
+def profile_dataset_document(
+    path: str,
+    include_sample: bool = True,
+    plots: bool = True,
+    coverage: bool = True,
+) -> dict:
+    """Full reference-shaped profile document for one Parquet table."""
+    ds = ray.data.read_parquet(path)
+    partials = (
+        ds.map_batches(profile_partials, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()
+        .to_dict("records")
+    )
+    prof = finalize_profile(partials).to_pylist()
+    by_col = {p["column"]: p for p in prof}
+    # finalize_profile sorts by name; restore source column order
+    names = [n for n in ds.schema().names if n in by_col]
+
+    columns_meta: list[dict] = []
+    numeric_cols: list[str] = []
+    num_ranges: dict[str, tuple[float, float]] = {}
+    lat_cols: list[str] = []
+    lon_cols: list[str] = []
+    temporal: list[dict] = []
+    for idx, name in enumerate(names):
+        p = by_col[name]
+        sem = [s for s in (p["semantic_types"] or "").split(";") if s]
+        meta: dict = {
+            "name": name,
+            "structural_type": p["structural_type"],
+            "semantic_types": sem,
+        }
+        if p["missing_values_ratio"]:
+            meta["missing_values_ratio"] = p["missing_values_ratio"]
+        meta["num_distinct_values"] = p["num_distinct_values"]
+        if p["mean"] is not None:
+            meta["mean"] = p["mean"]
+            meta["stddev"] = p["stddev"]
+        columns_meta.append(meta)
+        if p["structural_type"] in (T_INTEGER, T_FLOAT) and p["min"] is not None:
+            numeric_cols.append(name)
+            num_ranges[name] = (float(p["min"]), float(p["max"]))
+            # numeric coverage ranges from the distinct sample (bounded)
+            meta["coverage"] = [
+                {"range": {"gte": lo, "lte": hi}}
+                for lo, hi in numeric_ranges_kmeans(
+                    np.array(
+                        [float(v) for v in _safe_floats(p)], dtype=np.float64
+                    )
+                )
+            ]
+        if T_LATITUDE in sem:
+            lat_cols.append(name)
+        if T_LONGITUDE in sem:
+            lon_cols.append(name)
+        if T_DATE_TIME in sem or p.get("temporal_resolution"):
+            ts = _sample_timestamps(p)
+            if ts.size:
+                temporal.append(
+                    {
+                        "type": "datetime",
+                        "column_names": [name],
+                        "column_indexes": [idx],
+                        "column_types": [T_DATE_TIME],
+                        "ranges": [
+                            {"range": {"gte": lo, "lte": hi}}
+                            for lo, hi in numeric_ranges_kmeans(ts)
+                        ],
+                        "temporal_resolution": p["temporal_resolution"],
+                    }
+                )
+
+    if plots and numeric_cols:
+        plot_map = _numeric_plots(ds, numeric_cols, num_ranges)
+        for meta in columns_meta:
+            if meta["name"] in plot_map:
+                meta["plot"] = plot_map[meta["name"]]
+
+    doc: dict = {
+        "nb_rows": int(prof[0]["n_rows"]) if prof else 0,
+        "nb_profiled_rows": int(prof[0]["n_rows"]) if prof else 0,
+        "nb_columns": len(names),
+        "columns": columns_meta,
+        "attribute_keywords": _attribute_keywords(names),
+    }
+    try:
+        doc["size"] = os.path.getsize(path)
+    except OSError:
+        pass
+
+    if coverage:
+        pairs = [(la, lo) for la, lo in zip(lat_cols, lon_cols)]
+        if pairs:
+            sc = _spatial_coverage(ds, pairs)
+            if sc:
+                doc["spatial_coverage"] = sc
+        if temporal:
+            doc["temporal_coverage"] = temporal
+
+    if include_sample:
+        doc["sample"] = _csv_sample(ds)
+    return doc
+
+
+def _safe_floats(p: dict) -> list[str]:
+    vals = json.loads(p["distinct_json"]) if "distinct_json" in p else []
+    out = []
+    for v in vals:
+        try:
+            out.append(float(v))
+        except (TypeError, ValueError):
+            continue
+    return out
+
+
+def _sample_timestamps(p: dict) -> np.ndarray:
+    vals = json.loads(p["distinct_json"]) if "distinct_json" in p else []
+    out = []
+    for v in vals:
+        try:
+            out.append(np.datetime64(str(v)[:19].replace(" ", "T"), "s"))
+        except ValueError:
+            continue
+    if not out:
+        return np.empty(0, np.float64)
+    return np.array(out, dtype="datetime64[s]").astype("int64").astype(np.float64)
+
+
+# ---------------------------------------------------------------- queries
+
+
+def profile_dataset_doc(sf_dir: str):
+    """Full profile documents for the events + documents tables (rows-only
+    driver check; structure pytest-verified on a reference-shaped
+    fixture). One row per table: (table, doc) with doc JSON-encoded,
+    keys sorted, so the check is deterministic."""
+    rows = []
+    for table in ("events", "documents"):
+        doc = profile_dataset_document(os.path.join(sf_dir, f"{table}.parquet"))
+        rows.append(
+            {"table": table, "doc": json.dumps(doc, sort_keys=True)}
+        )
+    return pa.Table.from_pylist(rows)
+
+
+QUERIES = {"profile_dataset_doc": profile_dataset_doc}
+SQL: dict[str, str] = {}

@@ -279,6 +279,11 @@ def finalize_profile(partials: "list[dict]") -> pa.Table:
                 "min": c["num_min"] if nnum else None,
                 "max": c["num_max"] if nnum else None,
                 "temporal_resolution": resolution,
+                # capped distinct sample (value-truncated) — feeds the
+                # document assembler's coverage ranges (pipelines/document.py)
+                "distinct_json": json.dumps(
+                    [v[:64] for v in sorted(distinct)[:2000]]
+                ),
             }
         )
     return pa.Table.from_pylist(out)

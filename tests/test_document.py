@@ -1,0 +1,124 @@
+"""Assembled profile documents: reference-shaped structure golden
+(lib_profiler/core.py:524-990) on a fixture with planted lat/long,
+datetime, numeric and categorical columns."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture(scope="module")
+def geo_table_path(ray_session, tmp_path_factory):
+    rng = np.random.Generator(np.random.PCG64(11))
+    n = 800
+    # two spatial clusters: NYC-ish and LA-ish
+    half = n // 2
+    lat = np.concatenate(
+        [40.7 + rng.normal(0, 0.05, half), 34.0 + rng.normal(0, 0.05, n - half)]
+    )
+    lon = np.concatenate(
+        [-74.0 + rng.normal(0, 0.05, half), -118.2 + rng.normal(0, 0.05, n - half)]
+    )
+    days = rng.integers(0, 365, n)
+    dates = (
+        np.datetime64("2023-01-01") + days.astype("timedelta64[D]")
+    ).astype("datetime64[s]")
+    tbl = pa.table(
+        {
+            "site_id": pa.array(np.arange(n), pa.int64()),
+            "latitude": pa.array(lat, pa.float64()),
+            "longitude": pa.array(lon, pa.float64()),
+            "reading": pa.array(rng.normal(50, 10, n), pa.float64()),
+            "observedDate": pa.array(
+                [str(d).replace("T", " ") for d in dates], pa.string()
+            ),
+            "siteKind": pa.array(
+                [["urban", "rural", "coastal"][i % 3] for i in range(n)], pa.string()
+            ),
+        }
+    )
+    p = tmp_path_factory.mktemp("geodoc") / "sites.parquet"
+    pq.write_table(tbl, str(p))
+    return str(p)
+
+
+def test_profile_document_shape(geo_table_path):
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    doc = profile_dataset_document(geo_table_path)
+
+    # dataset-level basics
+    assert doc["nb_rows"] == 800
+    assert doc["nb_columns"] == 6
+    assert doc["nb_profiled_rows"] == 800
+    assert doc["size"] > 0
+
+    # attribute_keywords: name + expanded parts when splitting changed it
+    kw = doc["attribute_keywords"]
+    assert "site_id" in kw and "site" in kw and "id" in kw
+    assert "observedDate" in kw and "observed" in kw and "date" in kw
+    assert "latitude" in kw  # single-token name contributes only itself
+    assert kw.count("latitude") == 1
+
+    cols = {c["name"]: c for c in doc["columns"]}
+
+    # numeric column: plot histogram with 10 bins summing to n
+    plot = cols["reading"]["plot"]
+    assert plot["type"] == "histogram_numerical"
+    assert len(plot["data"]) == 10
+    assert sum(b["count"] for b in plot["data"]) == 800
+    assert plot["data"][0]["bin_start"] <= plot["data"][0]["bin_end"]
+    assert "coverage" in cols["reading"] and cols["reading"]["coverage"]
+
+    # lat/long semantics detected
+    assert "http://schema.org/latitude" in cols["latitude"]["semantic_types"]
+    assert "http://schema.org/longitude" in cols["longitude"]["semantic_types"]
+
+    # spatial coverage: geohashes4 counts sum to n, two cluster boxes
+    sc = doc["spatial_coverage"]
+    assert len(sc) == 1
+    assert sc[0]["type"] == "latlong"
+    assert sc[0]["column_names"] == ["latitude", "longitude"]
+    assert sc[0]["number"] == 800
+    assert sum(g["number"] for g in sc[0]["geohashes4"]) == 800
+    assert 1 <= len(sc[0]["ranges"]) <= 3
+    for r in sc[0]["ranges"]:
+        [lo_lon, hi_lat], [hi_lon, lo_lat] = r["range"]["coordinates"]
+        assert lo_lat < hi_lat and lo_lon < hi_lon
+
+    # temporal coverage with resolution
+    tc = doc["temporal_coverage"]
+    assert tc[0]["column_names"] == ["observedDate"]
+    assert tc[0]["column_types"] == ["http://schema.org/DateTime"]
+    assert tc[0]["temporal_resolution"] == "day"
+    assert tc[0]["ranges"]
+    lo = min(r["range"]["gte"] for r in tc[0]["ranges"])
+    hi = max(r["range"]["lte"] for r in tc[0]["ranges"])
+    start = np.datetime64("2023-01-01", "s").astype("int64")
+    end = np.datetime64("2024-01-01", "s").astype("int64")
+    assert start <= lo <= hi <= end
+
+    # sample: header + 20 CRLF rows, cells truncated
+    lines = doc["sample"].split("\r\n")
+    assert lines[0].startswith("site_id,latitude")
+    assert len([l for l in lines if l]) == 21
+
+    # categorical column
+    assert "http://schema.org/Enumeration" in cols["siteKind"]["semantic_types"]
+
+    # document is JSON-serializable (the ES-insertable deliverable)
+    json.dumps(doc)
+
+
+def test_profile_document_driver_query(ray_session):
+    from auctus_ray.pipelines.document import profile_dataset_doc
+
+    out = profile_dataset_doc("/root/testdata/sf0.001")
+    assert out.num_rows == 2
+    docs = {t: json.loads(d) for t, d in zip(out["table"].to_pylist(), out["doc"].to_pylist())}
+    assert docs["events"]["nb_columns"] == 6
+    assert "temporal_coverage" in docs["events"]
+    assert docs["documents"]["nb_rows"] > 0
