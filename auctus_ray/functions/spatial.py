@@ -20,6 +20,7 @@ Reference semantics (lib_profiler/datamart_profiler/spatial.py in
 from __future__ import annotations
 
 import numpy as np
+import pyarrow as pa
 
 GEOHASH_CHARS = "0123456789bcdefghjkmnpqrstuvwxyz"
 _CHAR_VALUE = {c: i for i, c in enumerate(GEOHASH_CHARS)}
@@ -211,3 +212,55 @@ def spatial_ranges_kmeans(
             lon_lo, lon_hi = lon_lo - 5e-5, lon_hi + 5e-5
         boxes.append((float(lat_lo), float(lat_hi), float(lon_lo), float(lon_hi)))
     return sorted(boxes)
+
+
+def bbox_overlap_scores(boxes_ds, query_boxes, coverage: float | None = None,
+                        id_col: str = "dataset_id"):
+    """J6 spatial join search: score candidate coverage boxes by
+    intersection area with the query envelopes.
+
+    Reference: ES geo_shape envelope intersection with a painless
+    script_score  ``((n_max_lon-n_min_lon)*(n_max_lat-n_min_lat)) /
+    coverage``  summed over ranges (apiserver/search/join.py:255-358);
+    coverage = total area of the query envelopes.
+
+    boxes_ds: Dataset with (id_col, min_lat, max_lat, min_lon, max_lon)
+    — one row per candidate coverage box (a dataset may own several).
+    query_boxes: [(min_lat, max_lat, min_lon, max_lon)], broadcast.
+    Returns a Dataset (id_col, score) with score = sum of
+    intersection_area/coverage over all (candidate box, query box)
+    pairs, keeping only ids with score > 0 (ES minimum_should_match=1).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    qb = np.asarray(query_boxes, dtype=np.float64).reshape(-1, 4)
+    if coverage is None:
+        coverage = float(((qb[:, 1] - qb[:, 0]) * (qb[:, 3] - qb[:, 2])).sum())
+    ref = ray.put((qb, coverage))
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, cov = ray.get(ref)
+        lo_lat = batch["min_lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi_lat = batch["max_lat"].to_numpy(zero_copy_only=False).astype(np.float64)
+        lo_lon = batch["min_lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        hi_lon = batch["max_lon"].to_numpy(zero_copy_only=False).astype(np.float64)
+        total = np.zeros(len(lo_lat), np.float64)
+        for j in range(q.shape[0]):  # few query envelopes; vector per box
+            dlat = np.minimum(hi_lat, q[j, 1]) - np.maximum(lo_lat, q[j, 0])
+            dlon = np.minimum(hi_lon, q[j, 3]) - np.maximum(lo_lon, q[j, 2])
+            inter = np.where((dlat > 0) & (dlon > 0), dlat * dlon, 0.0)
+            total += inter
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "score": pa.array(total / cov),
+            }
+        )
+
+    return (
+        boxes_ds.map_batches(score, batch_format="pyarrow")
+        .groupby(id_col)
+        .aggregate(Sum("score", alias_name="score"))
+        .filter(expr="score > 0")
+    )

@@ -118,5 +118,116 @@ def _sql_join_search_textual() -> str:
 
 SQL_JOIN_SEARCH_TEXTUAL = _sql_join_search_textual()
 
-QUERIES = {"join_search_textual": join_search_textual}
-SQL = {"join_search_textual": SQL_JOIN_SEARCH_TEXTUAL}
+# ------------------------------------------------- spatial join search (J6)
+
+# deterministic pseudo-coordinates in integer centi-degrees derived from
+# customer keys: the testdata has no geo columns, so the spatial-coverage
+# catalog is synthesized identically on both sides (Ray and the DuckDB
+# oracle) — per-nation bounding boxes over the hashed point cloud.
+_LAT_MUL, _LON_MUL = 7919, 104729
+# two query envelopes (min_lat, max_lat, min_lon, max_lon), centi-degrees
+QUERY_ENVELOPES = [
+    (-4500, 3000, -9000, 4500),
+    (1000, 8000, 6000, 17000),
+]
+
+
+def join_search_spatial(sf_dir: str):
+    """J6: rank candidate datasets (per-nation coverage boxes) by
+    bbox-envelope intersection area against the query envelopes —
+    the reference's ES geo_shape + painless overlap-area score
+    (apiserver/search/join.py:255-358). Integer centi-degree areas keep
+    Ray and the SQL oracle bit-identical."""
+    import numpy as np
+
+    from ray.data.aggregate import Max, Min
+
+    from auctus_ray.functions.spatial import bbox_overlap_scores
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"],
+    )
+
+    def to_points(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        lat = (k * _LAT_MUL) % 18000 - 9000
+        lon = (k * _LON_MUL) % 36000 - 18000
+        return pa.table(
+            {
+                "dataset_id": pc.cast(batch["c_nationkey"], pa.int64()),
+                "lat": pa.array(lat),
+                "lon": pa.array(lon),
+            }
+        )
+
+    boxes = (
+        cust.map_batches(to_points, batch_format="pyarrow")
+        .groupby("dataset_id")
+        .aggregate(
+            Min("lat", alias_name="min_lat"),
+            Max("lat", alias_name="max_lat"),
+            Min("lon", alias_name="min_lon"),
+            Max("lon", alias_name="max_lon"),
+        )
+    )
+    scored = bbox_overlap_scores(
+        boxes, [(a, b, c, d) for a, b, c, d in QUERY_ENVELOPES]
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        sc = batch["score"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "dataset_id": batch["dataset_id"],
+                "score": pa.array(np.floor(sc * 1e6 + 0.5) / 1e6),
+            }
+        )
+
+    return scored.map_batches(round6, batch_format="pyarrow")
+
+
+def _sql_join_search_spatial() -> str:
+    cov = sum((b - a) * (d - c) for a, b, c, d in QUERY_ENVELOPES)
+    values = ", ".join(
+        f"({a}, {b}, {c}, {d})" for a, b, c, d in QUERY_ENVELOPES
+    )
+    return f"""
+WITH pts AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS dataset_id,
+         (CAST(c_custkey AS BIGINT) * {_LAT_MUL}) % 18000 - 9000 AS lat,
+         (CAST(c_custkey AS BIGINT) * {_LON_MUL}) % 36000 - 18000 AS lon
+  FROM customer
+),
+boxes AS (
+  SELECT dataset_id, MIN(lat) AS min_lat, MAX(lat) AS max_lat,
+         MIN(lon) AS min_lon, MAX(lon) AS max_lon
+  FROM pts GROUP BY dataset_id
+),
+q(min_lat, max_lat, min_lon, max_lon) AS (VALUES {values}),
+inter AS (
+  SELECT b.dataset_id,
+         CASE WHEN LEAST(b.max_lat, q.max_lat) > GREATEST(b.min_lat, q.min_lat)
+               AND LEAST(b.max_lon, q.max_lon) > GREATEST(b.min_lon, q.min_lon)
+              THEN CAST(LEAST(b.max_lat, q.max_lat) - GREATEST(b.min_lat, q.min_lat) AS DOUBLE)
+                 * CAST(LEAST(b.max_lon, q.max_lon) - GREATEST(b.min_lon, q.min_lon) AS DOUBLE)
+              ELSE 0.0 END AS a
+  FROM boxes b CROSS JOIN q
+)
+SELECT dataset_id, ROUND(SUM(a / {cov}.0), 6) AS score
+FROM inter GROUP BY dataset_id HAVING SUM(a) > 0
+"""
+
+
+SQL_JOIN_SEARCH_SPATIAL = _sql_join_search_spatial()
+
+QUERIES = {
+    "join_search_textual": join_search_textual,
+    "join_search_spatial": join_search_spatial,
+}
+SQL = {
+    "join_search_textual": SQL_JOIN_SEARCH_TEXTUAL,
+    "join_search_spatial": SQL_JOIN_SEARCH_SPATIAL,
+}

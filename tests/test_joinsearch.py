@@ -127,3 +127,39 @@ def test_candidate_cap(ray_session):
     assert out.num_rows == 3
     # top-3 by containment = the biggest prefixes (c10, c09, c08)
     assert out["column_name"].to_pylist() == ["c10", "c09", "c08"]
+
+
+def test_bbox_overlap_scores(ray_session):
+    """J6 spatial join search: overlap-area scoring mirrors the
+    reference's painless script (intersection area / query coverage),
+    non-intersecting candidates are dropped."""
+    import ray.data
+
+    from auctus_ray.functions.spatial import bbox_overlap_scores
+
+    boxes = ray.data.from_arrow(
+        pa.table(
+            {
+                "dataset_id": pa.array(["inside", "partial", "outside"], pa.string()),
+                "min_lat": pa.array([2.0, 8.0, 50.0]),
+                "max_lat": pa.array([4.0, 12.0, 60.0]),
+                "min_lon": pa.array([2.0, 8.0, 50.0]),
+                "max_lon": pa.array([4.0, 12.0, 60.0]),
+            }
+        )
+    )
+    # one query envelope [0,10]x[0,10]; coverage = 100
+    out = bbox_overlap_scores(boxes, [(0.0, 10.0, 0.0, 10.0)]).to_pandas()
+    got = dict(zip(out["dataset_id"], out["score"]))
+    assert got == {"inside": pytest.approx(4.0 / 100), "partial": pytest.approx(4.0 / 100)}
+    assert "outside" not in got
+
+    # two query envelopes: scores sum, coverage is the total area
+    out2 = bbox_overlap_scores(
+        boxes, [(0.0, 10.0, 0.0, 10.0), (7.0, 13.0, 7.0, 13.0)]
+    ).to_pandas()
+    got2 = dict(zip(out2["dataset_id"], out2["score"]))
+    cov = 100.0 + 36.0
+    assert got2["inside"] == pytest.approx(4.0 / cov)
+    # partial intersects both: 2x2 with the first, 4x4 with the second
+    assert got2["partial"] == pytest.approx((4.0 + 16.0) / cov)
