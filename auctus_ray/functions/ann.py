@@ -93,57 +93,99 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
     return partials.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
+def adaptive_n_planes(n_rows: int, target_bucket: int = 256,
+                      lo: int = 4, hi: int = 30) -> int:
+    """Plane count sized to the corpus: 2^planes buckets keep the
+    EXPECTED bucket population near `target_bucket`, so the quadratic
+    within-bucket work stays bounded as the corpus grows (round-1's
+    fixed 2^8 buckets meant ~0.4 TB per bucket at 100 TB)."""
+    import math
+
+    if n_rows <= target_bucket:
+        return lo
+    return int(min(hi, max(lo, math.ceil(math.log2(n_rows / target_bucket)))))
+
+
 class HyperplaneLSH:
     """Random-hyperplane signatures for bucketed ANN (scale path).
 
     Signature = sign pattern of `n_planes` seeded Gaussian projections;
-    near vectors collide with high probability. Actor state: the plane
-    matrix, built once per actor.
+    near vectors collide with high probability. `n_tables` independent
+    plane sets (banded LSH) trade work for recall: a vector lands in one
+    bucket PER TABLE and a pair is a candidate if it collides in ANY
+    table. The bucket key folds the table index into the high bits, so
+    downstream groupbys see one flat key column. Actor state: the plane
+    tensor, built once per actor.
     """
 
     def __init__(self, dim: int, n_planes: int = 12, seed: int = 89,
-                 id_col: str = "vec_id", vec_col: str = "embedding"):
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 n_tables: int = 1):
         rng = np.random.Generator(np.random.PCG64(seed))
-        self.planes = rng.standard_normal((n_planes, dim))
+        self.planes = rng.standard_normal((n_tables, n_planes, dim))
+        self.n_planes = n_planes
+        self.n_tables = n_tables
         self.id_col = id_col
         self.vec_col = vec_col
 
     def bucket_of(self, m: np.ndarray) -> np.ndarray:
-        bits = (m @ self.planes.T) > 0
-        return (bits.astype(np.int64) << np.arange(bits.shape[1])).sum(axis=1)
+        """(n, dim) -> (n, n_tables) folded bucket keys."""
+        out = np.empty((m.shape[0], self.n_tables), np.int64)
+        for t in range(self.n_tables):
+            bits = (m @ self.planes[t].T) > 0
+            b = (bits.astype(np.int64) << np.arange(self.n_planes)).sum(axis=1)
+            out[:, t] = b | (np.int64(t) << np.int64(self.n_planes))
+        return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        """Explode each row into n_tables (lsh_bucket, row) entries."""
         m = _to_matrix(batch[self.vec_col])
-        buckets = self.bucket_of(m) if m.size else np.empty(0, np.int64)
-        return batch.append_column("lsh_bucket", pa.array(buckets, pa.int64()))
+        n = m.shape[0] if m.size else 0
+        if n == 0:
+            return batch.append_column(
+                "lsh_bucket", pa.array(np.empty(0, np.int64))
+            )
+        buckets = self.bucket_of(m)  # (n, T)
+        if self.n_tables == 1:
+            return batch.append_column("lsh_bucket", pa.array(buckets[:, 0]))
+        idx = np.repeat(np.arange(n), self.n_tables)
+        out = batch.take(pa.array(idx))
+        return out.append_column("lsh_bucket", pa.array(buckets.ravel()))
 
 
 def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, dim: int | None = None,
-             n_planes: int = 12, seed: int = 89,
-             id_col: str = "vec_id", vec_col: str = "embedding"):
+             n_planes: int | None = None, seed: int = 89,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             n_tables: int = 4, n_rows: int | None = None):
     """Bucketed ANN: only rows whose LSH bucket matches a query's bucket
-    are scored (approximate — recall < 1; the brute-force path is the
-    correctness baseline)."""
+    in ANY of the `n_tables` banded tables are scored (approximate —
+    recall grows with n_tables; the brute-force path is the correctness
+    baseline). n_planes defaults to the corpus-adaptive size."""
     import pyarrow.compute as pc
 
     q = np.ascontiguousarray(query_vecs, dtype=np.float64)
     if dim is None:
         dim = q.shape[1]
-    hasher = HyperplaneLSH(dim, n_planes, seed, id_col, vec_col)
-    q_buckets = set(hasher.bucket_of(_normalize(q)).tolist())
-    bucketed = ds.map_batches(
-        HyperplaneLSH,
-        fn_constructor_kwargs={
-            "dim": dim, "n_planes": n_planes, "seed": seed,
-            "id_col": id_col, "vec_col": vec_col,
-        },
-        batch_format="pyarrow",
-        concurrency=(1, 2),
-    )
-    cand = bucketed.map_batches(
-        lambda b: b.filter(
-            pc.is_in(b["lsh_bucket"], value_set=pa.array(sorted(q_buckets)))
-        ),
-        batch_format="pyarrow",
-    )
+    if n_planes is None:
+        n_planes = adaptive_n_planes(n_rows if n_rows is not None else ds.count())
+    hasher = HyperplaneLSH(dim, n_planes, seed, id_col, vec_col, n_tables)
+    q_buckets = set(hasher.bucket_of(_normalize(q)).ravel().tolist())
+    bucket_arr = pa.array(sorted(q_buckets), pa.int64())
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        """One hash pass, no explode: keep a row if any table collides,
+        then drop the bucket column (dedup-free candidate set)."""
+        m = _to_matrix(batch[vec_col])
+        if m.size == 0:
+            return batch
+        buckets = hasher.bucket_of(m)  # (n, T)
+        qb = np.asarray(bucket_arr)
+        hit = np.zeros(m.shape[0], bool)
+        for t in range(buckets.shape[1]):
+            pos = np.searchsorted(qb, buckets[:, t])
+            pos_c = np.clip(pos, 0, qb.size - 1)
+            hit |= (pos < qb.size) & (qb[pos_c] == buckets[:, t])
+        return batch.filter(pa.array(hit))
+
+    cand = ds.map_batches(keep_candidates, batch_format="pyarrow")
     return brute_force_topk(cand, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

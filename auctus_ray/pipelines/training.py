@@ -145,8 +145,35 @@ FROM ranked WHERE rn <= 10
 
 def near_dup_embeddings(sf_dir: str):
     """Embedding-cosine near-dup pairs (rows-only; exact oracle in
-    tests/test_functions.py with planted duplicate vectors)."""
+    tests/test_functions.py with planted duplicate vectors).
+
+    The driver corpus has no pair above the 0.95 threshold at small sf,
+    which made this check vacuous in round 1 — so two deterministic
+    PROBE vectors (copies of vec_id 0 and 1, negative ids, one lightly
+    perturbed) are unioned in; the probe pairs (-1,0) and (-2,1) must
+    always surface, making the check self-validating."""
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    base = _query_vectors(sf_dir, vec_ids=(0, 1)).astype(np.float32)
+    probe0 = base[0]
+    probe1 = base[1] + np.float32(1e-3) * np.abs(base[1])  # cosine ~0.999+
+    dim = base.shape[1]
+    flat = pa.array(np.concatenate([probe0, probe1]), pa.float32())
+    offs = pa.array(np.arange(0, 3 * dim, dim, dtype=np.int32))
+    schema = pa.schema(
+        [(f.name, f.type) for f in map(ds.schema().base_schema.field, range(len(ds.schema().names)))]
+    )
+    cols = {
+        "vec_id": pa.array([-1, -2], pa.int64()),
+        "embedding": pa.ListArray.from_arrays(offs, flat),
+    }
+    probes = pa.table(cols)
+    for name in ds.schema().names:
+        if name not in cols:  # fill any extra column with typed nulls
+            probes = probes.append_column(
+                name, pa.nulls(2, type=schema.field(name).type)
+            )
+    probes = probes.select(ds.schema().names).cast(schema)
+    ds = ds.union(ray.data.from_arrow(probes))
     pairs = embedding_near_dup_pairs(ds, threshold=0.95)
 
     def round6(batch: pa.Table) -> pa.Table:
@@ -164,10 +191,12 @@ def near_dup_embeddings(sf_dir: str):
 
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN (approximate; rows-only driver check — recall is
-    judged in pytest against the brute-force baseline)."""
+    judged in pytest against the brute-force baseline). Banded
+    multi-table hashing with corpus-adaptive plane count (buckets stay
+    ~256 rows however big the corpus grows)."""
     q = _query_vectors(sf_dir)
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
-    return lsh_topk(ds, q, k=10, n_planes=8)
+    return lsh_topk(ds, q, k=10, n_tables=4)
 
 
 # ---------------------------------------------------------------- text stats
