@@ -135,11 +135,72 @@ def name_similarity(a: str, b: str) -> float:
     return inter / union if union else 0.0
 
 
+def edit_distance(a: str, b: str, cap: int = 2) -> int:
+    """Banded Levenshtein distance, early-exit above `cap` (returns
+    cap+1). The ES `fuzzy` query's max edit distance is 2
+    (apiserver/search/union.py:58-105 uses it for column names)."""
+    la, lb = len(a), len(b)
+    if abs(la - lb) > cap:
+        return cap + 1
+    if a == b:
+        return 0
+    prev = list(range(lb + 1))
+    for i in range(1, la + 1):
+        cur = [i] + [0] * lb
+        lo = max(1, i - cap)
+        hi = min(lb, i + cap)
+        if lo > 1:
+            cur[lo - 1] = cap + 1
+        best = cap + 1
+        for j in range(lo, hi + 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1 if j - 1 >= lo - 1 else cap + 1,
+                prev[j - 1] + (a[i - 1] != b[j - 1]),
+            )
+            best = min(best, cur[j])
+        if best > cap:
+            return cap + 1
+        # cells outside the band are effectively > cap
+        for j in range(0, lo - 1):
+            cur[j] = cap + 1
+        for j in range(hi + 1, lb + 1):
+            cur[j] = cap + 1
+        prev = cur
+    return prev[lb] if prev[lb] <= cap else cap + 1
+
+
+def fuzzy_column_candidates(
+    left_cols: list[str], right_cols: list[str], max_edits: int = 2
+) -> set[tuple[str, str]]:
+    """ES-fuzzy candidate generation: (left, right) name pairs within
+    edit distance <= max_edits (case-insensitive) — the reference's
+    `fuzzy: columns.name.raw` clause (search/union.py:95)."""
+    out: set[tuple[str, str]] = set()
+    for lc in left_cols:
+        for rc in right_cols:
+            if edit_distance(lc.lower(), rc.lower(), max_edits) <= max_edits:
+                out.add((lc, rc))
+    return out
+
+
 def greedy_column_match(
-    left_cols: list[str], right_cols: list[str], min_sim: float = 0.0
+    left_cols: list[str], right_cols: list[str], min_sim: float = 0.0,
+    fuzzy_max_edits: int = 2,
 ) -> list[tuple[str, str, float]]:
     """Union-search greedy 1-1 column assignment by descending 3-gram
-    similarity with seen-sets (apiserver/search/union.py:172-189)."""
+    similarity with seen-sets (apiserver/search/union.py:172-189).
+
+    Candidate generation mirrors the reference's two-stage search: a
+    pair is eligible if its 3-gram similarity clears `min_sim` OR the
+    names are within `fuzzy_max_edits` Levenshtein edits (the ES fuzzy
+    clause) — so a typo'd short column name ('pric' vs 'price', whose
+    3-gram overlap is poor) still becomes a union candidate."""
+    fuzzy_ok = (
+        fuzzy_column_candidates(left_cols, right_cols, fuzzy_max_edits)
+        if fuzzy_max_edits > 0
+        else set()
+    )
     pairs = sorted(
         (
             (name_similarity(lc.lower(), rc.lower()), lc, rc)
@@ -152,7 +213,9 @@ def greedy_column_match(
     used_r: set[str] = set()
     out = []
     for sim, lc, rc in pairs:
-        if sim < min_sim or lc in used_l or rc in used_r:
+        if lc in used_l or rc in used_r:
+            continue
+        if sim < min_sim and (lc, rc) not in fuzzy_ok:
             continue
         used_l.add(lc)
         used_r.add(rc)

@@ -135,16 +135,37 @@ def tokenize_batch(
         )
 
     # sha256(content): the per-row invariant (reference analogue: sha1 cache
-    # keys, apiserver/profile.py:54-56; contract requires sha256)
-    sha = np.empty(n, dtype=object)
-    for i, s in enumerate(content.to_pylist()):
-        sha[i] = hashlib.sha256((s or "").encode()).hexdigest()
-
+    # keys, apiserver/profile.py:54-56; contract requires sha256). One
+    # fused pass hashing the Arrow value buffer directly — the content
+    # strings are never materialized as Python objects; the snippet
+    # decodes only its own 560-byte prefix (4 bytes/char upper bound for
+    # the 140-char truncation window).
     from auctus_ray.functions.scalars import truncate_string
 
-    snippets = pa.array(
-        [truncate_string(s or "", 140) for s in content.to_pylist()], pa.string()
+    carr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
+    if pa.types.is_large_string(carr.type):
+        _odt, _ow = np.int64, 8
+    else:
+        _odt, _ow = np.int32, 4
+    _bufs = carr.buffers()
+    coffs = np.frombuffer(
+        _bufs[1], dtype=_odt, count=len(carr) + 1, offset=carr.offset * _ow
     )
+    cbuf = memoryview(_bufs[2]) if _bufs[2] is not None else memoryview(b"")
+    base = 0  # value-buffer offsets are absolute into cbuf
+    sha = np.empty(n, dtype=object)
+    snips = np.empty(n, dtype=object)
+    for i in range(n):
+        lo, hi = int(coffs[i]) - base, int(coffs[i + 1]) - base
+        sha[i] = hashlib.sha256(cbuf[lo:hi]).hexdigest()
+        if hi - lo <= 560:
+            s_pref = str(cbuf[lo:hi], "utf-8")
+        else:
+            # a prefix cut can split a UTF-8 codepoint; drop the partial
+            # trailing bytes (they are beyond the truncation window)
+            s_pref = str(cbuf[lo : lo + 560], "utf-8", "ignore")
+        snips[i] = truncate_string(s_pref, 140)
+    snippets = pa.array(snips, pa.string())
 
     kh = key_hash_array(batch["repo"], batch["path"], batch["commit"])
     buckets = bucket_of(kh, n_buckets).astype(np.int32)
@@ -523,9 +544,15 @@ def build_index(
             # encode tasks are DRAM-bandwidth-bound, not CPU-bound: reserve
             # several CPUs per task so concurrency tracks the memory bus
             # rather than the core count (32 concurrent encoders on one
-            # bus degrade ~10x; ~8 run at near-solo speed)
+            # bus degrade ~10x; ~8 run at near-solo speed on THIS VM).
+            # The divisor is a per-machine knob: AUCTUS_ENCODE_PARALLEL
+            # overrides the default 8 concurrent encoders per node —
+            # tune it to the node's memory-bus lanes on a real cluster.
+            import os as _os
+
             avail = int(ray.cluster_resources().get("CPU", 8))
-            encode_cpus = max(1, avail // 8)
+            enc_parallel = int(_os.environ.get("AUCTUS_ENCODE_PARALLEL", "8"))
+            encode_cpus = max(1, avail // max(1, enc_parallel))
             summaries = (
                 ray.data.from_arrow(
                     pa.table({"bucket": pa.array(pending, pa.int32())})

@@ -60,8 +60,18 @@ def file_fingerprint(paths: list[str]) -> str:
     tokenize output. The edge digest is content-derived, so it is also
     stable across copies/regenerations (unlike mtime).
     """
+    from concurrent.futures import ThreadPoolExecutor
+
+    ordered = sorted(paths)
+    # cold-cache file opens dominate (observed ~20 ms/file on this VM);
+    # the digests are pure I/O, so thread them
+    with ThreadPoolExecutor(min(16, max(1, len(ordered)))) as ex:
+        digests = list(ex.map(_edge_digest, ordered))
     return fingerprint(
-        [(p, os.path.getsize(p), _edge_digest(p)) for p in sorted(paths)]
+        [
+            (p, os.path.getsize(p), d)
+            for p, d in zip(ordered, digests)
+        ]
     )
 
 

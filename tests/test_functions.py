@@ -409,3 +409,50 @@ def test_spatial_ranges_kmeans():
     lats2 = np.concatenate([np.zeros(95) + rng.normal(0, 0.01, 95), np.full(5, 80.0)])
     longs2 = np.concatenate([np.zeros(95) + rng.normal(0, 0.01, 95), np.full(5, 80.0)])
     assert len(spatial_ranges_kmeans(lats2, longs2)) <= 2
+
+
+def test_fuzzy_column_candidates():
+    """J8: a typo'd column name (edit distance <= 2) becomes a union
+    candidate even when its 3-gram similarity is below the threshold —
+    the reference's ES fuzzy clause (apiserver/search/union.py:95)."""
+    from auctus_ray.functions.scalars import (
+        edit_distance,
+        fuzzy_column_candidates,
+        greedy_column_match,
+    )
+
+    assert edit_distance("price", "pric") == 1
+    assert edit_distance("price", "prcie") == 2
+    assert edit_distance("price", "quantity") == 3  # capped: returns cap+1
+    assert edit_distance("a", "abcd") == 3
+
+    cands = fuzzy_column_candidates(["price", "qty"], ["pric", "qey", "other"])
+    assert ("price", "pric") in cands and ("qty", "qey") in cands
+    assert ("price", "other") not in cands
+
+    # 'qty' vs 'qey': single trigrams, zero 3-gram overlap -> sim 0,
+    # but edit distance 1 rescues it via the fuzzy clause
+    m = greedy_column_match(["qty"], ["qey"], min_sim=0.3)
+    assert m and m[0][:2] == ("qty", "qey")
+    # without fuzzy, the same threshold rejects it
+    assert greedy_column_match(["qty"], ["qey"], min_sim=0.3, fuzzy_max_edits=0) == []
+
+
+def test_union_align_typo_column(ray_session):
+    """End-to-end: a typo'd right-side column still unions onto the left
+    schema via the fuzzy candidate path."""
+    import ray.data
+
+    from auctus_ray.functions.augment import union_align
+
+    left = ray.data.from_arrow(
+        pa.table({"price": pa.array([1.0, 2.0]), "name": pa.array(["a", "b"])})
+    )
+    right = ray.data.from_arrow(
+        pa.table({"pric": pa.array([3.0]), "nam": pa.array(["c"])})
+    )
+    ds, mapping = union_align(left, right, min_similarity=0.5)
+    assert mapping == {"price": "pric", "name": "nam"}
+    out = ds.to_pandas().sort_values("price").reset_index(drop=True)
+    assert list(out["price"]) == [1.0, 2.0, 3.0]
+    assert list(out["name"]) == ["a", "b", "c"]
