@@ -160,6 +160,20 @@ def _strict_parse_dates(values: list[str]) -> int:
     return ok
 
 
+_ADMIN_RESOLVER = None
+
+
+def _admin_resolver():
+    """Gazetteer lookup built once per process (the reference's
+    per-worker GeoData cache, profiler/profiler.py:193)."""
+    global _ADMIN_RESOLVER
+    if _ADMIN_RESOLVER is None:
+        from auctus_ray.functions.admin import AdminResolver
+
+        _ADMIN_RESOLVER = AdminResolver()
+    return _ADMIN_RESOLVER
+
+
 def finalize_profile(partials: "list[dict]") -> pa.Table:
     """Reduce per-batch partials -> one profile row per column."""
     by_col: dict[str, dict] = {}
@@ -214,12 +228,31 @@ def finalize_profile(partials: "list[dict]") -> pa.Table:
                 semantic.append(T_URL)
             if c["c_file"] >= threshold:
                 semantic.append(T_FILE_PATH)
+            # administrative areas: >=3 distinct values, >=70% resolving
+            # against the gazetteer, consistent level (reference
+            # profile_types.py:266-275; forces categorical)
+            admin_info = None
+            if len(distinct) >= 3:
+                from auctus_ray.functions.admin import (
+                    T_ADMIN,
+                    resolve_admin_column,
+                )
+
+                admin_info = resolve_admin_column(
+                    sorted(distinct)[:2000], _admin_resolver()
+                )
+                if admin_info is not None:
+                    semantic.append(T_ADMIN)
             text_threshold = max(1, (1.0 - TEXT_WORDS_THRESHOLD) * (n - empty))
-            if c["c_text4"] >= text_threshold:
+            if admin_info is None and c["c_text4"] >= text_threshold:
                 semantic.append(T_TEXT)
             else:
                 max_cat = MAX_CATEGORICAL_RATIO * (n - empty)
-                if len(distinct) <= max_cat or T_BOOLEAN in semantic:
+                if (
+                    admin_info is not None
+                    or len(distinct) <= max_cat
+                    or T_BOOLEAN in semantic
+                ):
                     semantic.append(T_CATEGORICAL)
         elif structural == T_INTEGER:
             low = name.lower()

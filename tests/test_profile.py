@@ -321,3 +321,60 @@ def test_profile_temporal_resolution_field():
         pa.table({"h": pa.array([f"2020-01-01 {h:02d}:00:00" for h in range(24)])})
     )
     assert p["h"]["temporal_resolution"] == "hour"
+
+
+def test_admin_area_resolution(ray_session):
+    """T2+ADMIN: a column of country names profiles as AdministrativeArea
+    + categorical (reference profile_types.py:266-275); the gazetteer is
+    actor-state in the tagger stage."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from auctus_ray.pipelines.profile import finalize_profile, profile_partials
+
+    names = ["France", "Germany", "Japan", "Brazil", "Canada",
+             "India", "Kenya", "Peru", "Norway", "Spain"] * 10
+    batch = pa.table({"country": pa.array(names, pa.string())})
+    partials = profile_partials(batch).to_pylist()
+    prof = finalize_profile(partials).to_pylist()
+    sem = prof[0]["semantic_types"]
+    assert "http://schema.org/AdministrativeArea" in sem
+    assert "http://schema.org/Enumeration" in sem
+    assert "http://schema.org/Text" not in sem  # admin forces categorical
+
+    # disambiguation picks the common level: states, not country 'Georgia'
+    from auctus_ray.functions.admin import resolve_admin_column
+
+    states = ["California", "Texas", "Georgia", "Nevada", "Oregon", "Utah"]
+    out = resolve_admin_column(states)
+    assert out["level"] == 1
+    assert [a["code"] for a in out["areas"]] == [
+        "US-CA", "US-TX", "US-GA", "US-NV", "US-OR", "US-UT"
+    ]
+
+    # non-place values stay non-admin
+    assert resolve_admin_column(["alpha", "beta", "gamma", "delta"]) is None
+
+
+def test_admin_tagger_actor_stage(ray_session):
+    """The map_batches actor stage resolves values per batch with the
+    gazetteer built once per actor."""
+    import pyarrow as pa
+    import ray.data
+
+    from auctus_ray.functions.admin import AdminAreaTagger
+
+    ds = ray.data.from_arrow(
+        pa.table({"value": pa.array(["France", "Texas", "not a place"], pa.string())})
+    )
+    out = (
+        ds.map_batches(AdminAreaTagger, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .set_index("value")
+    )
+    assert out.loc["France", "admin_level"] == 0
+    assert out.loc["France", "admin_code"] == "FR"
+    assert out.loc["Texas", "admin_level"] == 1
+    assert out.loc["Texas", "admin_code"] == "US-TX"
+    assert out.loc["not a place", "admin_code"] is None or str(out.loc["not a place", "admin_code"]) in ("None", "nan")
