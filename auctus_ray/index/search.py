@@ -147,8 +147,13 @@ def _topk_push(heap, k, score, doc_id):
         heapq.heapreplace(heap, (score, -doc_id))
 
 
-def _wand_shard(plists: list[_PostingList], k: int, heap: list) -> None:
-    """WAND over one shard's posting lists (OR semantics). Mutates heap."""
+def _wand_shard(plists: list[_PostingList], k: int, heap: list,
+                mask_info: tuple[int, np.ndarray] | None = None) -> None:
+    """WAND over one shard's posting lists (OR semantics). Mutates heap.
+    mask_info = (shard_base_docid, bool mask): filter context applied at
+    score time — masked docs never enter the heap, pruning stays safe
+    (theta only grows slower)."""
+    mbase, mask = mask_info if mask_info is not None else (0, None)
     live = [p for p in plists if not p.exhausted]
     while True:
         live = [p for p in live if not p.exhausted]
@@ -171,11 +176,12 @@ def _wand_shard(plists: list[_PostingList], k: int, heap: list) -> None:
         if live[0].cur_doc == pivot_doc:
             # all iterators at/before pivot are positioned at pivot_doc
             matching = [p for p in live if p.cur_doc == pivot_doc]
-            matching.sort(key=lambda p: p.term)  # float discipline
-            score = 0.0
-            for p in matching:
-                score += p.cur_contrib()
-            _topk_push(heap, k, score, pivot_doc)
+            if mask is None or mask[pivot_doc - mbase]:
+                matching.sort(key=lambda p: p.term)  # float discipline
+                score = 0.0
+                for p in matching:
+                    score += p.cur_contrib()
+                _topk_push(heap, k, score, pivot_doc)
             for p in matching:
                 p.next()
         else:
@@ -187,8 +193,10 @@ def _wand_shard(plists: list[_PostingList], k: int, heap: list) -> None:
             cand.advance_to(pivot_doc)
 
 
-def _and_shard(plists: list[_PostingList], k: int, heap: list) -> None:
+def _and_shard(plists: list[_PostingList], k: int, heap: list,
+               mask_info: tuple[int, np.ndarray] | None = None) -> None:
     """Rarest-first conjunctive intersection with block skipping."""
+    mbase, mask = mask_info if mask_info is not None else (0, None)
     if any(p.exhausted for p in plists):
         return
     order = sorted(plists, key=lambda p: sum(p.ns))  # rarest leader
@@ -208,10 +216,11 @@ def _and_shard(plists: list[_PostingList], k: int, heap: list) -> None:
                     return
                 break
         if ok:
-            score = 0.0
-            for p in by_term:  # float discipline: term-sorted accumulation
-                score += p.cur_contrib()
-            _topk_push(heap, k, score, d)
+            if mask is None or mask[d - mbase]:
+                score = 0.0
+                for p in by_term:  # float discipline: term-sorted accumulation
+                    score += p.cur_contrib()
+                _topk_push(heap, k, score, d)
             lead.next()
         if lead.exhausted:
             return
@@ -317,43 +326,70 @@ class Searcher:
 
     # ---------------- search ----------------
 
-    def _attr_codes(self, attr: str) -> tuple[np.ndarray, list]:
-        """Dense docID-indexed attribute codes from the forward map
-        (loaded once; the ES 'keyword field' for filter context/facets).
-        At larger scale this is a per-shard columnar read, not one array."""
+    def _shard_attr_codes(self, shard_file: str, attr: str):
+        """Shard-LOCAL attribute codes from the shard's own forward-map
+        slice (docmap/bucket=N.parquet): (base_docid, codes, values).
+
+        docIDs are dense ranks within a bucket, so the codes array is
+        exactly the shard's row count — no n_docs-sized allocation
+        anywhere (round-2 rewrite of the global dense _attr_codes; each
+        shard actor in DistributedSearcher holds only its own slices,
+        the per-shard keyword-field layout ES uses for filter context).
+        """
         cached = getattr(self, "_attr_cache", None)
         if cached is None:
             cached = self._attr_cache = {}
-        if attr not in cached:
-            files = sorted(
-                glob.glob(os.path.join(self.index_dir, "docmap", "*.parquet"))
-            )
-            tbl = pa.concat_tables(
-                [pq.read_table(f, columns=["doc_id", attr]) for f in files]
-            )
+        key = (shard_file, attr)
+        if key not in cached:
+            bucket = os.path.basename(shard_file).split("=", 1)[1].split(".", 1)[0]
+            dm = os.path.join(self.index_dir, "docmap", f"bucket={bucket}.parquet")
+            tbl = pq.read_table(dm, columns=["doc_id", attr])
+            dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            base = int(dids.min()) if dids.size else 0
             enc = tbl[attr].combine_chunks().dictionary_encode()
-            codes = np.full(self.n_docs, -1, dtype=np.int32)
-            # null attribute values encode to null indices; keep them as
-            # the -1 "missing" sentinel (to_numpy would smuggle them in
-            # as NaN-cast garbage ints)
             idx = pc.fill_null(enc.indices, -1).to_numpy(zero_copy_only=False)
-            codes[tbl["doc_id"].to_numpy(zero_copy_only=False)] = idx.astype(np.int32)
-            cached[attr] = (codes, enc.dictionary.to_pylist())
-        return cached[attr]
+            codes = np.full(dids.size, -1, dtype=np.int32)
+            codes[dids - base] = idx.astype(np.int32)
+            cached[key] = (base, codes, enc.dictionary.to_pylist())
+        return cached[key]
 
-    def _doc_mask(self, filters: dict[str, list] | None) -> np.ndarray | None:
-        """AND of keyword filters -> boolean mask over dense docIDs
-        (reference filter context, apiserver/search/__init__.py:81-107)."""
+    def _shard_doc_mask(self, shard_file: str, filters: dict[str, list] | None):
+        """AND of keyword filters over ONE shard's docID span ->
+        (base_docid, bool mask) or None (reference filter context,
+        apiserver/search/__init__.py:81-107)."""
         if not filters:
             return None
-        mask = np.ones(self.n_docs, dtype=bool)
+        base = None
+        mask = None
         for attr, allowed in filters.items():
-            codes, values = self._attr_codes(attr)
+            b, codes, values = self._shard_attr_codes(shard_file, attr)
+            allowed_set = set(allowed)
             allowed_ids = np.array(
-                [i for i, v in enumerate(values) if v in set(allowed)], dtype=np.int32
+                [i for i, v in enumerate(values) if v in allowed_set],
+                dtype=np.int32,
             )
-            mask &= np.isin(codes, allowed_ids)
-        return mask
+            m = np.isin(codes, allowed_ids)
+            if mask is None:
+                base, mask = b, m
+            else:
+                mask &= m
+        return base, mask
+
+    def _shard_facet_counts(self, shard_file: str, attr: str,
+                            docs: np.ndarray, counts: dict) -> None:
+        """Accumulate value->count for the matching docs of ONE shard
+        (ES terms aggs, search/__init__.py:587-603); -1 codes (null
+        value) land in the explicit __missing__ bucket."""
+        base, codes, values = self._shard_attr_codes(shard_file, attr)
+        sel = codes[docs - base]
+        valid = sel >= 0
+        bc = np.bincount(sel[valid], minlength=len(values))
+        for i in np.flatnonzero(bc):
+            v = values[i]
+            counts[v] = counts.get(v, 0) + int(bc[i])
+        n_missing = int((~valid).sum())
+        if n_missing:
+            counts["__missing__"] = counts.get("__missing__", 0) + n_missing
 
     def search(
         self,
@@ -394,8 +430,7 @@ class Searcher:
         if not terms:
             return empty
         idfs = {t: float(bm25_idf(float(dfs[t]), self.n_docs)) for t in terms}
-        doc_mask = self._doc_mask(filters)
-        facet_docs: list | None = [] if facet_by else None
+        counts: dict[str, int] = {}
 
         kk = k + offset
         heap: list = []
@@ -405,6 +440,7 @@ class Searcher:
                 continue
             if not postings:
                 continue
+            mask_info = self._shard_doc_mask(sf, filters)
             alg = algorithm
             if alg == "auto":
                 # conjunctive queries with a rare leader win from skip-based
@@ -415,14 +451,23 @@ class Searcher:
                     alg = "wand" if min(dfs_here) * 10 < max(dfs_here) else "scan"
                 else:
                     alg = "scan"
-            if doc_mask is not None or facet_docs is not None:
-                alg = "scan"  # filter/facet context runs on the dense path
+            if facet_by is not None:
+                # a terms agg counts over ALL matching docs, so the shard
+                # must be fully evaluated — like ES, aggregations pay the
+                # exhaustive path. Plain filters do NOT force this: they
+                # ride along WAND/AND as a score-time mask.
+                alg = "scan"
             if alg == "scan":
                 entries = [(t, idfs[t], e) for t, e in postings.items()]
+                facet_docs: list | None = [] if facet_by else None
                 self._scan_shard_vectorized(
                     entries, self.avgdl, kk, heap, operator,
-                    doc_mask=doc_mask, facet_docs=facet_docs,
+                    mask_info=mask_info, facet_docs=facet_docs,
                 )
+                if facet_by and facet_docs:
+                    self._shard_facet_counts(
+                        sf, facet_by, np.concatenate(facet_docs), counts
+                    )
                 continue
             plists = [
                 _PostingList(
@@ -438,26 +483,15 @@ class Searcher:
                 for t, e in sorted(postings.items())
             ]
             if operator == "and":
-                _and_shard(plists, kk, heap)
+                _and_shard(plists, kk, heap, mask_info=mask_info)
             else:
-                _wand_shard(plists, kk, heap)
+                _wand_shard(plists, kk, heap, mask_info=mask_info)
         # final merge-sort reduce: heap -> (score desc, docID asc)
         items = sorted(heap, key=lambda x: (-x[0], -x[1]))[offset : offset + k]
         doc_ids = np.array([-d for _, d in items], dtype=np.int64)
         scores = np.array([s for s, _ in items], dtype=np.float64)
         if facet_by is None:
             return doc_ids, scores
-        codes, values = self._attr_codes(facet_by)
-        counts: dict[str, int] = {}
-        if facet_docs:
-            all_docs = np.concatenate(facet_docs)
-            sel = codes[all_docs]
-            valid = sel >= 0  # -1 = null value or doc absent from docmap
-            bc = np.bincount(sel[valid], minlength=len(values))
-            counts = {values[i]: int(bc[i]) for i in np.flatnonzero(bc)}
-            n_missing = int((~valid).sum())
-            if n_missing:  # ES terms-agg style explicit missing bucket
-                counts["__missing__"] = n_missing
         return doc_ids, scores, counts
 
     @staticmethod
@@ -477,7 +511,7 @@ class Searcher:
     def _scan_shard_vectorized(
         term_entries: list[tuple[str, float, dict]], avgdl: float, k: int,
         heap: list, operator: str,
-        doc_mask: np.ndarray | None = None,
+        mask_info: tuple[int, np.ndarray] | None = None,
         facet_docs: list | None = None,
     ) -> None:
         """Vectorized exhaustive evaluation of one shard: decode every
@@ -526,8 +560,11 @@ class Searcher:
             scores[lo : lo + contrib.size] += contrib
             counts[lo : lo + present.size] += present
         cond = counts == len(dense) if operator == "and" else counts > 0
-        if doc_mask is not None:
-            cond &= doc_mask[base : base + span]
+        if mask_info is not None:
+            mbase, mask = mask_info
+            # posting docIDs lie inside the shard's docID range, so the
+            # slice below is always within the shard-local mask
+            cond &= mask[base - mbase : base - mbase + span]
         nz = np.flatnonzero(cond)
         if nz.size == 0:
             return

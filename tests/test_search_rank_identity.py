@@ -286,3 +286,25 @@ def test_prefix_wildcard_queries(searcher, oracle_small):
     # no match
     d3, _ = pe.search("zzznope*", k=5)
     assert d3.size == 0
+
+
+def test_filtered_wand_rank_identity(searcher, oracle_small):
+    """Round 2: plain filters no longer force the exhaustive scan — they
+    ride WAND/AND as a score-time mask over the shard-local docmap
+    slice. Every algorithm must agree with the oracle under filters."""
+    for q, op in [("the license", "or"), ("def return", "and"),
+                  ("import license copyright", "or")]:
+        for langs in (["python"], ["python", "md", "go"],):
+            od, osc = oracle_small.search(q, k=15, operator=op,
+                                          filters={"lang": langs})
+            for alg in ("wand", "scan", "auto"):
+                ed, esc = searcher.search(q, k=15, operator=op,
+                                          algorithm=alg,
+                                          filters={"lang": langs})
+                assert (od == ed).all() and (osc == esc).all(), (q, op, alg, langs)
+    # the per-shard layout keeps no n_docs-sized global attribute array
+    assert not hasattr(searcher, "_doc_mask")
+    for (shard_file, attr), (base, codes, values) in getattr(
+        searcher, "_attr_cache", {}
+    ).items():
+        assert codes.size < searcher.n_docs  # shard slice, not global
