@@ -72,17 +72,17 @@ def docs_index(sf_dir: str, n_shards: int = 8):
     )
 
 
-def _docid_lookup(index_dir: str) -> dict[int, int]:
-    """engine docID -> original documents.doc_id (via forward map `path`)."""
-    files = sorted(
-        glob.glob(os.path.join(index_dir, "docmap", "**/*.parquet"), recursive=True)
-    )
-    lut = {}
-    for f in files:
-        t = pq.read_table(f, columns=["doc_id", "path"])
-        for eng, orig in zip(t["doc_id"].to_pylist(), t["path"].to_pylist()):
-            lut[eng] = int(orig)
-    return lut
+def _translate_docids(index_dir: str, eng_ids: np.ndarray) -> np.ndarray:
+    """engine docID -> original documents.doc_id (forward map `path`),
+    via a FILTERED read of only the hit ids — the hydrate_hits shape
+    (index/search.py), not a full docmap dict for k=10 hits."""
+    import pyarrow.dataset as pads
+
+    want = pa.array([int(d) for d in eng_ids], pa.int64())
+    ds = pads.dataset(os.path.join(index_dir, "docmap"), format="parquet")
+    t = ds.to_table(columns=["doc_id", "path"], filter=pads.field("doc_id").isin(want))
+    lut = dict(zip(t["doc_id"].to_pylist(), t["path"].to_pylist()))
+    return np.array([int(lut[int(d)]) for d in eng_ids], dtype=np.int64)
 
 
 def _bm25_query(sf_dir: str, query: str, k: int, operator: str) -> pa.Table:
@@ -91,8 +91,7 @@ def _bm25_query(sf_dir: str, query: str, k: int, operator: str) -> pa.Table:
     res = docs_index(sf_dir)
     s = Searcher(res.index_dir)
     eng_ids, scores = s.search(query, k=k, operator=operator)
-    lut = _docid_lookup(res.index_dir)
-    orig = np.array([lut[int(d)] for d in eng_ids], dtype=np.int64)
+    orig = _translate_docids(res.index_dir, eng_ids)
     return pa.table(
         {
             "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),

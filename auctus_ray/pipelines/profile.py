@@ -174,8 +174,16 @@ def _admin_resolver():
     return _ADMIN_RESOLVER
 
 
-def finalize_profile(partials: "list[dict]") -> pa.Table:
-    """Reduce per-batch partials -> one profile row per column."""
+def finalize_profile(partials: "list[dict]",
+                     annotations: dict | None = None) -> pa.Table:
+    """Reduce per-batch partials -> one profile row per column.
+
+    annotations: optional manual per-column overrides
+    ``{column: {"structural_type": ..., "semantic_types": [...]}}`` —
+    user-supplied types REPLACE the inferred ones while computed
+    statistics are kept, the reference's manual-annotation hook
+    (lib_profiler core.py:612-619, profile_types.py:188-189, 217-240).
+    """
     by_col: dict[str, dict] = {}
     for p in partials:
         c = by_col.setdefault(
@@ -294,6 +302,13 @@ def finalize_profile(partials: "list[dict]") -> pa.Table:
                     resolution = get_temporal_resolution(vals)
             except (ValueError, TypeError):
                 resolution = None
+
+        ann = (annotations or {}).get(name)
+        if ann:
+            if "structural_type" in ann:
+                structural = ann["structural_type"]
+            if "semantic_types" in ann:
+                semantic = list(ann["semantic_types"])
 
         nnum = c["num_cnt"]
         mean = c["num_sum"] / nnum if nnum else None

@@ -378,3 +378,37 @@ def test_admin_tagger_actor_stage(ray_session):
     assert out.loc["Texas", "admin_level"] == 1
     assert out.loc["Texas", "admin_code"] == "US-TX"
     assert out.loc["not a place", "admin_code"] is None or str(out.loc["not a place", "admin_code"]) in ("None", "nan")
+
+
+def test_manual_annotation_overrides(ray_session):
+    """Manual per-column annotations replace inferred types while the
+    computed statistics stay (reference core.py:612-619)."""
+    import pyarrow as pa
+
+    from auctus_ray.pipelines.profile import (
+        T_CATEGORICAL,
+        T_ID,
+        T_INTEGER,
+        T_TEXT,
+        finalize_profile,
+        profile_partials,
+    )
+
+    batch = pa.table({"code": pa.array(["1", "2", "3", "4"] * 5, pa.string())})
+    partials = profile_partials(batch).to_pylist()
+    # inferred: integer
+    prof = finalize_profile(partials).to_pylist()[0]
+    assert prof["structural_type"] == T_INTEGER
+    # annotated: force text + categorical-id semantics
+    prof2 = finalize_profile(
+        partials,
+        annotations={
+            "code": {
+                "structural_type": T_TEXT,
+                "semantic_types": [T_ID, T_CATEGORICAL],
+            }
+        },
+    ).to_pylist()[0]
+    assert prof2["structural_type"] == T_TEXT
+    assert set(prof2["semantic_types"].split(";")) == {T_ID, T_CATEGORICAL}
+    assert prof2["num_distinct_values"] == 4  # stats preserved
