@@ -187,6 +187,49 @@ def tokenize_batch(
     )
 
 
+_ENCODE_PARALLEL_CACHE: int | None = None
+
+
+def _probe_encode_parallel(cores: int) -> int:
+    """Pick the concurrent-encoder count from MEASURED DRAM bandwidth.
+
+    Encode streams ~1.2 GB/s per task; running more tasks than the
+    memory bus feeds degrades all of them (observed 3x on a ~9 GB/s
+    bus). The probe sums a 200 MB array on 1 and then 4 threads
+    (numpy releases the GIL, so 4 threads genuinely stream in
+    parallel, ~0.8 s once per process):
+      * 4-thread aggregate scaling near-linearly (> 3x single) means
+        the bus is not the binding resource -> use every core;
+      * otherwise the aggregate IS the bus -> size encoders to
+        aggregate_bw / 1.2 GB/s.
+    """
+    global _ENCODE_PARALLEL_CACHE
+    if _ENCODE_PARALLEL_CACHE is not None:
+        return _ENCODE_PARALLEL_CACHE
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    a = np.random.rand(25_000_000)
+
+    def stream() -> float:
+        t0 = _time.time()
+        n = 0
+        while _time.time() - t0 < 0.35:
+            a.sum()
+            n += 1
+        return n * a.nbytes / (_time.time() - t0)
+
+    b1 = stream()
+    with ThreadPoolExecutor(4) as ex:
+        b4 = sum(f.result() for f in [ex.submit(stream) for _ in range(4)])
+    if b4 > 3.0 * b1:
+        par = cores
+    else:
+        par = int(max(4, min(cores, b4 / 1.2e9)))
+    _ENCODE_PARALLEL_CACHE = par
+    return par
+
+
 # ---------------------------------------------------------------- encode (the wide stage)
 
 
@@ -541,17 +584,17 @@ def build_index(
                     )
                 return pa.concat_tables(outs)
 
-            # encode tasks are DRAM-bandwidth-bound, not CPU-bound: reserve
-            # several CPUs per task so concurrency tracks the memory bus
-            # rather than the core count (32 concurrent encoders on one
-            # bus degrade ~10x; ~8 run at near-solo speed on THIS VM).
-            # The divisor is a per-machine knob: AUCTUS_ENCODE_PARALLEL
-            # overrides the default 8 concurrent encoders per node —
-            # tune it to the node's memory-bus lanes on a real cluster.
+            # encode tasks are DRAM-bandwidth-bound, not CPU-bound:
+            # reserve several CPUs per task so concurrency tracks the
+            # measured memory bus, not the core count. The default comes
+            # from a one-shot bandwidth probe (below); the
+            # AUCTUS_ENCODE_PARALLEL env knob overrides it on clusters
+            # where the driver node is not representative.
             import os as _os
 
             avail = int(ray.cluster_resources().get("CPU", 8))
-            enc_parallel = int(_os.environ.get("AUCTUS_ENCODE_PARALLEL", "8"))
+            env = _os.environ.get("AUCTUS_ENCODE_PARALLEL")
+            enc_parallel = int(env) if env else _probe_encode_parallel(avail)
             encode_cpus = max(1, avail // max(1, enc_parallel))
             summaries = (
                 ray.data.from_arrow(
