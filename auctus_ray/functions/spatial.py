@@ -139,6 +139,119 @@ class GeohashSketch:
         return sorted(self.levels[p - 1].items())
 
 
+class GridNearestIndex:
+    """T5 spatial-index replacement for the reference's KDTree
+    (lib_augmentation/augmentation.py:342-370): uniform-grid bucketing
+    of the left point set, built ONCE (broadcast via ray.put, queried
+    per batch — the big-read-only-resource actor pattern).
+
+    Exactness: the query grid's cell size equals the match radius
+    (max_dist = 2x median NN distance, the reference's snap rule), so
+    every point within max_dist of a query lies in the query cell's 3x3
+    neighborhood — matched results are identical to brute force, and
+    the quadratic all-pairs matrix is gone (build O(n), query O(1)
+    expected per point)."""
+
+    def __init__(self, lats: np.ndarray, longs: np.ndarray):
+        self.left = np.stack([lats, longs], axis=1).astype(np.float64)
+        uniq = np.unique(self.left, axis=0)
+        self.max_dist = (
+            2.0 * float(np.median(self._nn_dists(uniq)))
+            if uniq.shape[0] > 1
+            else np.inf
+        )
+        cell = self.max_dist if np.isfinite(self.max_dist) and self.max_dist > 0 else 1.0
+        self.cell = cell
+        cx = np.floor(self.left[:, 0] / cell).astype(np.int64)
+        cy = np.floor(self.left[:, 1] / cell).astype(np.int64)
+        self.buckets: dict[tuple[int, int], np.ndarray] = {}
+        order = np.lexsort((cy, cx))
+        cxs, cys = cx[order], cy[order]
+        change = np.concatenate(
+            [[True], (cxs[1:] != cxs[:-1]) | (cys[1:] != cys[:-1])]
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], cxs.size)
+        for s0, e0 in zip(starts, ends):
+            self.buckets[(int(cxs[s0]), int(cys[s0]))] = order[s0:e0]
+
+    @staticmethod
+    def _nn_dists(uniq: np.ndarray) -> np.ndarray:
+        """Per-point nearest-neighbor distance. Grid with ring expansion
+        (vectorized per ring radius); O(n^2) fallback only for tiny sets."""
+        n = uniq.shape[0]
+        if n <= 2048:
+            d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
+            np.fill_diagonal(d2, np.inf)
+            return np.sqrt(d2.min(axis=1))
+        # heuristic cell from extent: ~1 point per cell on average
+        extent = max(np.ptp(uniq[:, 0]), np.ptp(uniq[:, 1])) or 1.0
+        cell = extent / max(1.0, np.sqrt(n))
+        cx = np.floor(uniq[:, 0] / cell).astype(np.int64)
+        cy = np.floor(uniq[:, 1] / cell).astype(np.int64)
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for i, key in enumerate(zip(cx.tolist(), cy.tolist())):
+            buckets.setdefault(key, []).append(i)
+        best = np.full(n, np.inf)
+        for i in range(n):
+            r = 1
+            while True:
+                cand: list[int] = []
+                for dx in range(-r, r + 1):
+                    for dy in range(-r, r + 1):
+                        cand.extend(buckets.get((int(cx[i]) + dx, int(cy[i]) + dy), ()))
+                cand = [c for c in cand if c != i]
+                if cand:
+                    d = np.sqrt(
+                        ((uniq[cand] - uniq[i]) ** 2).sum(axis=1)
+                    ).min()
+                    # a neighbor may still hide in the next ring if the
+                    # found one is farther than the ring's guaranteed cover
+                    if d <= r * cell or r > 64:
+                        best[i] = d
+                        break
+                    best[i] = d
+                r += 1
+                if r > 64 and not np.isfinite(best[i]):
+                    break
+        return best[np.isfinite(best)]
+
+    def query(self, qlats: np.ndarray, qlongs: np.ndarray):
+        """(indices into left, matched mask) — vectorized per occupied
+        query cell; candidates from the 3x3 neighborhood."""
+        q = np.stack([qlats, qlongs], axis=1).astype(np.float64)
+        nq = q.shape[0]
+        idx = np.zeros(nq, np.int64)
+        dist = np.full(nq, np.inf)
+        cell = self.cell
+        qcx = np.floor(q[:, 0] / cell).astype(np.int64)
+        qcy = np.floor(q[:, 1] / cell).astype(np.int64)
+        order = np.lexsort((qcy, qcx))
+        cxs, cys = qcx[order], qcy[order]
+        change = np.concatenate(
+            [[True], (cxs[1:] != cxs[:-1]) | (cys[1:] != cys[:-1])]
+        )
+        starts = np.flatnonzero(change)
+        ends = np.append(starts[1:], cxs.size)
+        for s0, e0 in zip(starts, ends):
+            key = (int(cxs[s0]), int(cys[s0]))
+            rows = order[s0:e0]
+            cand = [
+                self.buckets.get((key[0] + dx, key[1] + dy))
+                for dx in (-1, 0, 1)
+                for dy in (-1, 0, 1)
+            ]
+            cand = [c for c in cand if c is not None]
+            if not cand:
+                continue
+            cidx = np.concatenate(cand)
+            d2 = ((q[rows][:, None, :] - self.left[cidx][None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            idx[rows] = cidx[a]
+            dist[rows] = np.sqrt(d2[np.arange(rows.size), a])
+        return idx, dist <= self.max_dist
+
+
 def nearest_join(
     left_lats: np.ndarray,
     left_longs: np.ndarray,
@@ -148,21 +261,24 @@ def nearest_join(
     """Snap query points to the nearest left point within 2x the median
     nearest-neighbor distance of the left set (reference augmentation.py:
     342-370, 417-444); returns (indices into left, matched mask).
-    Broadcast the (small) left arrays via ray.put and call per batch."""
+    Broadcast the (small) left arrays via ray.put and call per batch.
+    Small left sets run the exact O(n*m) matrix; larger ones build the
+    GridNearestIndex (identical matched output, linear cost)."""
     left = np.stack([left_lats, left_longs], axis=1).astype(np.float64)
-    uniq = np.unique(left, axis=0)
-    # median nearest-neighbor distance of the (deduped) left set
-    d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
-    np.fill_diagonal(d2, np.inf)
-    if uniq.shape[0] > 1:
-        max_dist = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
-    else:
-        max_dist = np.inf
-    q = np.stack([query_lats, query_longs], axis=1).astype(np.float64)
-    qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
-    idx = qd2.argmin(axis=1)
-    dist = np.sqrt(qd2[np.arange(len(q)), idx])
-    return idx, dist <= max_dist
+    if left.shape[0] <= 1024:
+        uniq = np.unique(left, axis=0)
+        d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
+        np.fill_diagonal(d2, np.inf)
+        if uniq.shape[0] > 1:
+            max_dist = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
+        else:
+            max_dist = np.inf
+        q = np.stack([query_lats, query_longs], axis=1).astype(np.float64)
+        qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
+        idx = qd2.argmin(axis=1)
+        dist = np.sqrt(qd2[np.arange(len(q)), idx])
+        return idx, dist <= max_dist
+    return GridNearestIndex(left_lats, left_longs).query(query_lats, query_longs)
 
 
 def spatial_ranges_kmeans(

@@ -65,7 +65,7 @@ def file_fingerprint(paths: list[str]) -> str:
     ordered = sorted(paths)
     # cold-cache file opens dominate (observed ~20 ms/file on this VM);
     # the digests are pure I/O, so thread them
-    with ThreadPoolExecutor(min(16, max(1, len(ordered)))) as ex:
+    with ThreadPoolExecutor(min(32, max(1, len(ordered)))) as ex:
         digests = list(ex.map(_edge_digest, ordered))
     return fingerprint(
         [

@@ -456,3 +456,33 @@ def test_union_align_typo_column(ray_session):
     out = ds.to_pandas().sort_values("price").reset_index(drop=True)
     assert list(out["price"]) == [1.0, 2.0, 3.0]
     assert list(out["name"]) == ["a", "b", "c"]
+
+
+def test_grid_nearest_join_matches_brute_force():
+    """T5 scale path: the grid index returns the SAME matched pairs as
+    the O(n*m) brute force (cell size == match radius => 3x3 coverage)."""
+    from auctus_ray.functions.spatial import GridNearestIndex
+
+    rng = np.random.Generator(np.random.PCG64(17))
+    n = 3000
+    left = rng.uniform(0, 100, (n, 2))
+    q = np.concatenate([left[:500] + rng.normal(0, 0.05, (500, 2)),
+                        rng.uniform(0, 100, (200, 2))])
+
+    # brute force reference
+    uniq = np.unique(left, axis=0)
+    d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
+    np.fill_diagonal(d2, np.inf)
+    max_dist = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
+    qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
+    bf_idx = qd2.argmin(axis=1)
+    bf_dist = np.sqrt(qd2[np.arange(len(q)), bf_idx])
+    bf_matched = bf_dist <= max_dist
+
+    gi = GridNearestIndex(left[:, 0], left[:, 1])
+    g_idx, g_matched = gi.query(q[:, 0], q[:, 1])
+    assert gi.max_dist == pytest.approx(max_dist)
+    assert (g_matched == bf_matched).all()
+    # matched rows must snap to the identical left point
+    m = bf_matched
+    assert (g_idx[m] == bf_idx[m]).all()
