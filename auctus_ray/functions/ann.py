@@ -189,3 +189,112 @@ def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, dim: int | None = None,
 
     cand = ds.map_batches(keep_candidates, batch_format="pyarrow")
     return brute_force_topk(cand, query_vecs, k=k, id_col=id_col, vec_col=vec_col)
+
+
+# ------------------------------------------------------------------ IVF
+
+
+class IVFIndexParams:
+    """Trained coarse quantizer for IVF search: `centroids` (k, dim),
+    unit-normalized. Train ONCE on a sample (driver-side numpy k-means,
+    seeded Lloyd on quantile-ish init), broadcast via ray.put; every
+    stage (assignment, query) is a vectorized matmul against it."""
+
+    __slots__ = ("centroids",)
+
+    def __init__(self, centroids: np.ndarray):
+        self.centroids = centroids
+
+
+def train_ivf(ds, n_centroids: int = 64, sample_size: int = 20000,
+              n_iters: int = 20, seed: int = 89,
+              vec_col: str = "embedding") -> IVFIndexParams:
+    """Coarse quantizer from a bounded sample of the corpus (spherical
+    k-means: cosine assignment, mean + renormalize update). The sample
+    is the only thing that leaves the cluster; training is O(sample)."""
+    rng = np.random.Generator(np.random.PCG64(seed))
+    n_rows = ds.count()
+    take = min(sample_size, n_rows)
+    sample_rows = ds.limit(take).take_all()
+    m = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in sample_rows])
+    m = _normalize(m)
+    k = min(n_centroids, m.shape[0])
+    centroids = m[rng.choice(m.shape[0], k, replace=False)]
+    for _ in range(n_iters):
+        sims = m @ centroids.T
+        assign = sims.argmax(axis=1)
+        new = np.empty_like(centroids)
+        for j in range(k):
+            members = m[assign == j]
+            if members.shape[0]:
+                c = members.mean(axis=0)
+                nc = np.linalg.norm(c)
+                new[j] = c / nc if nc else centroids[j]
+            else:  # dead centroid: reseed deterministically
+                new[j] = m[int(rng.integers(0, m.shape[0]))]
+        if np.allclose(new, centroids, atol=1e-9):
+            centroids = new
+            break
+        centroids = new
+    return IVFIndexParams(centroids)
+
+
+def ivf_assign(ds, params: IVFIndexParams,
+               id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Append `ivf_list` (nearest-centroid id) per row — one matmul per
+    batch against the broadcast centroid matrix. Partitioning the output
+    by ivf_list (write_parquet partition_cols) gives the on-disk layout
+    a query touches nprobe/k of."""
+    import ray
+
+    ref = ray.put(params.centroids)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(ref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        lists = (
+            (m @ cents.T).argmax(axis=1).astype(np.int32)
+            if m.size
+            else np.empty(0, np.int32)
+        )
+        return batch.append_column("ivf_list", pa.array(lists))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10,
+             params: IVFIndexParams | None = None, n_centroids: int = 64,
+             nprobe: int = 8, seed: int = 89,
+             id_col: str = "vec_id", vec_col: str = "embedding"):
+    """IVF approximate top-k: score only rows whose coarse list is among
+    each query's `nprobe` nearest centroids (the classic
+    inverted-file ANN layout; recall grows with nprobe, exact at
+    nprobe == n_centroids). Rows outside every query's probe set are
+    dropped inside the map — the scan is corpus-wide but the exact
+    distance work (and any shuffle) is nprobe/n_centroids of it."""
+    import ray
+
+    if params is None:
+        params = train_ivf(
+            ds, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+        )
+    q = _normalize(np.ascontiguousarray(query_vecs, dtype=np.float64))
+    qsims = q @ params.centroids.T
+    npb = min(nprobe, params.centroids.shape[0])
+    probe = np.argpartition(-qsims, npb - 1, axis=1)[:, :npb]
+    probe_set = np.unique(probe.ravel())
+    cref = ray.put((params.centroids, probe_set))
+
+    def keep_probed(batch: pa.Table) -> pa.Table:
+        cents, probed = ray.get(cref)
+        m = _normalize(_to_matrix(batch[vec_col]))
+        if m.size == 0:
+            return batch
+        lists = (m @ cents.T).argmax(axis=1)
+        pos = np.searchsorted(probed, lists)
+        pos_c = np.clip(pos, 0, probed.size - 1)
+        hit = (pos < probed.size) & (probed[pos_c] == lists)
+        return batch.filter(pa.array(hit))
+
+    cand = ds.map_batches(keep_probed, batch_format="pyarrow")
+    return brute_force_topk(cand, query_vecs, k=k, id_col=id_col, vec_col=vec_col)

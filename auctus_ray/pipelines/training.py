@@ -189,6 +189,30 @@ def near_dup_embeddings(sf_dir: str):
     return pairs.map_batches(round6, batch_format="pyarrow")
 
 
+def ann_ivf_topk(sf_dir: str):
+    """IVF ANN (coarse k-means lists, nprobe probing; rows-only driver
+    check — recall judged in pytest vs brute force). With nprobe covering
+    half the lists on this small corpus, the result matches exact search
+    on the driver data in practice."""
+    from auctus_ray.functions.ann import ivf_topk
+
+    q = _query_vectors(sf_dir)
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = ivf_topk(ds, q, k=10, n_centroids=16, nprobe=8)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN (approximate; rows-only driver check — recall is
     judged in pytest against the brute-force baseline). Banded
@@ -258,6 +282,7 @@ QUERIES = {
     "near_dup_simhash": near_dup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "near_dup_embeddings": near_dup_embeddings,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,

@@ -486,3 +486,123 @@ def test_grid_nearest_join_matches_brute_force():
     # matched rows must snap to the identical left point
     m = bf_matched
     assert (g_idx[m] == bf_idx[m]).all()
+
+
+def test_ivf_topk_recall_and_exactness(ray_session):
+    """IVF ANN: nprobe == n_centroids is EXACT (equals brute force);
+    modest nprobe keeps the self-hit and real overlap."""
+    import ray.data
+
+    from auctus_ray.functions.ann import brute_force_topk, ivf_topk, train_ivf
+
+    rng = np.random.Generator(np.random.PCG64(9))
+    n, d = 600, 16
+    mat = rng.standard_normal((n, d)).astype(np.float32)
+    flat = pa.array(mat.ravel(), pa.float32())
+    offs = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+    table = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.ListArray.from_arrays(offs, flat),
+        }
+    )
+    ds = ray.data.from_arrow(table)
+    q = mat[:2].astype(np.float64)
+    bf = brute_force_topk(ds, q, k=5).to_pandas()
+
+    params = train_ivf(ds, n_centroids=16, sample_size=600)
+    assert params.centroids.shape == (16, d)
+
+    # exact when probing every list
+    exact = ivf_topk(ds, q, k=5, params=params, nprobe=16).to_pandas()
+    for qi in range(2):
+        b = bf[bf["query_id"] == qi].reset_index(drop=True)
+        e = exact[exact["query_id"] == qi].reset_index(drop=True)
+        assert list(b["vec_id"]) == list(e["vec_id"])
+        assert np.allclose(b["cosine"], e["cosine"])
+
+    # approximate at nprobe=4: the identical vector must survive
+    approx = ivf_topk(ds, q, k=5, params=params, nprobe=4).to_pandas()
+    for qi in range(2):
+        ids = list(approx[approx["query_id"] == qi]["vec_id"])
+        assert qi in ids
+        bf_ids = set(bf[bf["query_id"] == qi]["vec_id"])
+        assert len(bf_ids & set(ids)) >= 1
+
+
+def test_real_multimodal_decoders(ray_session):
+    """PPM and WAV payloads decode for REAL (pure numpy) through the
+    actor-pool stages; unsupported formats fail fast with
+    DecodeUnavailable."""
+    import ray.data
+
+    from auctus_ray.functions.multimodal import (
+        PPMImageDecoder,
+        WavAudioDecoder,
+        decode_ppm,
+        encode_ppm,
+        encode_wav,
+        image_grid_features,
+        resize_nearest,
+    )
+
+    rng = np.random.Generator(np.random.PCG64(21))
+    imgs = [rng.integers(0, 256, (16 + i, 20, 3), dtype=np.uint8) for i in range(4)]
+    media = pa.table(
+        {
+            "media_id": pa.array(range(4), pa.int64()),
+            "format": pa.array(["ppm"] * 4, pa.string()),
+            "payload": pa.array([encode_ppm(a) for a in imgs], pa.binary()),
+        }
+    )
+    out = (
+        ray.data.from_arrow(media)
+        .map_batches(
+            PPMImageDecoder, batch_format="pyarrow", batch_size=2, concurrency=(1, 2)
+        )
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert len(out) == 4
+    # distributed features == local decode + describe
+    got = np.array(list(out["features"]))
+    want = np.stack([image_grid_features(a) for a in imgs])
+    assert np.allclose(got, want, atol=1e-6)
+
+    # resize invariant: resizing to the same size is identity
+    assert (resize_nearest(imgs[0], 20, 16) == imgs[0]).all()
+    assert decode_ppm(encode_ppm(imgs[0])).shape == imgs[0].shape
+
+    waves = [np.sin(np.linspace(0, 50 * (i + 1), 4000)) for i in range(3)]
+    audio = pa.table(
+        {
+            "media_id": pa.array(range(3), pa.int64()),
+            "format": pa.array(["wav"] * 3, pa.string()),
+            "payload": pa.array([encode_wav(w) for w in waves], pa.binary()),
+        }
+    )
+    aout = (
+        ray.data.from_arrow(audio)
+        .map_batches(WavAudioDecoder, batch_format="pyarrow", concurrency=(1, 2))
+        .to_pandas()
+        .sort_values("media_id")
+    )
+    assert list(aout["sample_rate"]) == [16000] * 3
+    assert all(len(f) == 7 for f in aout["features"])
+
+    # fail-fast on formats that need absent libraries
+    import pytest as _pytest
+
+    from auctus_ray.functions.multimodal import DecodeUnavailable
+
+    bad = pa.table(
+        {
+            "media_id": pa.array([0], pa.int64()),
+            "format": pa.array(["png"], pa.string()),
+            "payload": pa.array([b"\x89PNG"], pa.binary()),
+        }
+    )
+    with _pytest.raises(Exception):  # DecodeUnavailable inside the task
+        ray.data.from_arrow(bad).map_batches(
+            PPMImageDecoder, batch_format="pyarrow"
+        ).materialize()
