@@ -221,6 +221,39 @@ def cmd_stats(args) -> int:
     return 0
 
 
+def cmd_profile_doc(args) -> int:
+    """Print the reference-shaped profile document for one table."""
+    import json
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    doc = profile_dataset_document(args.input, include_sample=not args.no_sample)
+    print(json.dumps(doc, indent=2, sort_keys=True))
+    return 0
+
+
+def cmd_joinsearch(args) -> int:
+    """Print the containment-ranked join candidates for the catalog."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from auctus_ray.pipelines.joinsearch import join_search_textual
+
+    t = join_search_textual(args.sf_dir)
+    for d, c, sc in zip(
+        t["dataset_id"].to_pylist(),
+        t["column_name"].to_pylist(),
+        t["containment"].to_pylist(),
+    ):
+        print(f"{sc:10.6f}  {d}.{c}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -264,6 +297,19 @@ def main(argv=None) -> int:
     v.add_argument("--index", required=True)
     v.add_argument("--input", required=True)
     v.set_defaults(fn=cmd_verify)
+
+    pd = sub.add_parser(
+        "profile-doc", help="assembled profile document (JSON) for a parquet table"
+    )
+    pd.add_argument("--input", required=True, help="path to a .parquet table")
+    pd.add_argument("--no-sample", action="store_true")
+    pd.set_defaults(fn=cmd_profile_doc)
+
+    js = sub.add_parser(
+        "joinsearch", help="containment-ranked joinable columns for an sf dir"
+    )
+    js.add_argument("--sf-dir", required=True)
+    js.set_defaults(fn=cmd_joinsearch)
 
     args = p.parse_args(argv)
     try:
