@@ -148,6 +148,43 @@ def _query_bench(index_dir: str, repeats: int = 5) -> tuple[float, dict]:
     }
 
 
+def _distributed_query_bench(index_dir: str, repeats: int = 3) -> dict:
+    """Per-query shard fan-out path (DistributedSearcher): actor tasks
+    over shard groups + merge-sort reduce — the north-star serving
+    shape. Reported separately from the single-process numbers (actor
+    RPC adds fixed latency; the win is shard parallelism at scale)."""
+    import numpy as np
+
+    from auctus_ray.index.search import DistributedSearcher
+    from auctus_ray.sources.code_corpus import generate_query_set
+
+    ds = DistributedSearcher(index_dir, n_actors=4)
+    try:
+        qs = generate_query_set()
+        rows = list(
+            zip(qs["query"].to_pylist(), qs["k"].to_pylist(), qs["operator"].to_pylist())
+        )
+        for q, k, op in rows:  # warm actors + index reads
+            ds.search(q, k=k, operator=op)
+        lat = []
+        t0 = time.time()
+        for _ in range(repeats):
+            for q, k, op in rows:
+                t1 = time.time()
+                ds.search(q, k=k, operator=op)
+                lat.append(time.time() - t1)
+        wall = time.time() - t0
+        lat_ms = np.array(lat) * 1000
+        return {
+            "queries_per_sec": round(len(lat) / wall, 2),
+            "p50_ms": round(float(np.percentile(lat_ms, 50)), 2),
+            "p99_ms": round(float(np.percentile(lat_ms, 99)), 2),
+            "n_actors": 4,
+        }
+    finally:
+        ds.shutdown()
+
+
 def run_full() -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
@@ -160,6 +197,7 @@ def run_full() -> dict:
     qwall, qinfo = _query_bench(info["index_dir"])
     queries["query_set_wall"] = round(qwall, 3)
     extra["query"] = {k: round(v, 2) for k, v in qinfo.items()}
+    extra["query_distributed"] = _distributed_query_bench(info["index_dir"])
 
     from auctus_ray.pipelines import fulltext, relational, training
 
