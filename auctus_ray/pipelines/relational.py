@@ -440,7 +440,103 @@ FROM events GROUP BY 1, 2
 """
 
 
+def events_asof_attribution(sf_dir: str):
+    """AS-OF join (the brief's canonical custom temporal operator):
+    attribute each 'purchase' event to the same user's latest signup at
+    or before it. One groupby(user) shuffle co-locates both sides; the
+    per-group merge is a vectorized searchsorted
+    (functions/windows.py:asof_join). Oracle: DuckDB ASOF LEFT JOIN."""
+    from auctus_ray.functions.windows import asof_join
+
+    ev = _read(sf_dir, "events", columns=["event_id", "ts", "user_id", "event_type"])
+
+    def to_us(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t["event_id"], pa.int64()),
+                "user_id": pc.cast(t["user_id"], pa.int64()),
+                "ts_us": pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64()),
+                "event_type": t["event_type"],
+            }
+        )
+
+    ev = ev.map_batches(to_us, batch_format="pyarrow")
+    purchases = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "user_id", "ts_us"]
+    )
+    signups = (
+        ev.filter(expr="event_type == 'signup'")
+        .select_columns(["event_id", "user_id", "ts_us"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "user_id": t["user_id"],
+                    "ts_us": t["ts_us"],
+                    "signup_event_id": t["event_id"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    joined = asof_join(
+        purchases, signups, key="user_id", ts_col="ts_us",
+        right_cols=["signup_event_id"], right_suffix="_signup",
+    )
+
+    def fmt(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "user_id": t["user_id"],
+                "signup_ts_us": t["ts_us_signup"],
+                "signup_event_id": t["signup_event_id_signup"],
+            }
+        )
+
+    return joined.map_batches(fmt, batch_format="pyarrow")
+
+
+SQL_EVENTS_ASOF_ATTRIBUTION = """
+SELECT p.event_id, p.user_id,
+       epoch_us(s.ts) AS signup_ts_us,
+       s.event_id AS signup_event_id
+FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') s
+  ON p.user_id = s.user_id AND p.ts >= s.ts
+"""
+
+
+def events_hopping_window(sf_dir: str, size_minutes: int = 60, hop_minutes: int = 30):
+    """Hopping windowed aggregate (60-min windows every 30 min): each
+    event lands in 2 overlapping windows via an arithmetic explode,
+    then one groupby(window) reduce (functions/windows.py)."""
+    from auctus_ray.functions.windows import hopping_window_agg
+
+    ds = _read(sf_dir, "events", columns=["ts", "value"])
+    return hopping_window_agg(
+        ds, "ts", "value", size_minutes=size_minutes, hop_minutes=hop_minutes
+    )
+
+
+SQL_EVENTS_HOPPING_WINDOW = """
+WITH exploded AS (
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 AS window_start_us,
+         CAST(ROUND(value * 100) AS BIGINT) AS cents
+  FROM events
+  UNION ALL
+  SELECT (epoch_us(ts) // 1800000000) * 1800000000 - 1800000000,
+         CAST(ROUND(value * 100) AS BIGINT)
+  FROM events
+)
+SELECT window_start_us, COUNT(*) AS n_events,
+       CAST(SUM(cents) AS BIGINT) AS sum_value_cents
+FROM exploded GROUP BY window_start_us
+"""
+
+
 QUERIES = {
+    "events_asof_attribution": events_asof_attribution,
+    "events_hopping_window": events_hopping_window,
     "pricing_summary": pricing_summary,
     "revenue_by_nation": revenue_by_nation,
     "top_orders": top_orders,
@@ -453,6 +549,8 @@ QUERIES = {
 }
 
 SQL = {
+    "events_asof_attribution": SQL_EVENTS_ASOF_ATTRIBUTION,
+    "events_hopping_window": SQL_EVENTS_HOPPING_WINDOW,
     "pricing_summary": SQL_PRICING_SUMMARY,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
     "top_orders": SQL_TOP_ORDERS,

@@ -96,3 +96,77 @@ def test_entry_smoke(ray_session):
     e = importlib.import_module("__ray_entry__")
     out = _to_pandas(e.entry())
     assert len(out) >= 0 and "doc_id" in out.columns
+
+
+def test_asof_join_semantics(ray_session):
+    """AS-OF join: latest right row at-or-before each left ts per key;
+    no prior row -> nulls; exact-ts match counts; tie on ts -> greatest
+    payload wins (deterministic)."""
+    import ray.data
+    import pyarrow as pa
+
+    from auctus_ray.functions.windows import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "user_id": pa.array([7, 7, 7, 9], pa.int64()),
+                "ts_us": pa.array([100, 205, 50, 500], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7, 7, 7, 8], pa.int64()),
+                "ts_us": pa.array([100, 200, 200, 1], pa.int64()),
+                "signup_event_id": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="user_id", ts_col="ts_us",
+                  right_cols=["signup_event_id"], right_suffix="_s")
+        .to_pandas()
+        .set_index("event_id")
+    )
+    assert out.loc[1, "ts_us_s"] == 100 and out.loc[1, "signup_event_id_s"] == 10
+    # tie at ts=200: greatest signup_event_id (12) wins
+    assert out.loc[2, "ts_us_s"] == 200 and out.loc[2, "signup_event_id_s"] == 12
+    # before any right row -> null
+    assert out.loc[3, ["ts_us_s", "signup_event_id_s"]].isna().all()
+    # user with NO right rows at all -> null
+    assert out.loc[4, ["ts_us_s", "signup_event_id_s"]].isna().all()
+
+
+def test_hopping_window_agg(ray_session):
+    """Each event lands in exactly size/hop windows; counts add up."""
+    import numpy as np
+    import ray.data
+    import pyarrow as pa
+
+    from auctus_ray.functions.windows import hopping_window_agg
+
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    ts = [base + np.timedelta64(m, "m") for m in (0, 10, 45, 75)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "value": pa.array([1.0, 2.0, 3.0, 4.0]),
+            }
+        )
+    )
+    out = hopping_window_agg(ds, "ts", "value", 60, 30).to_pandas()
+    # 4 events x 2 windows = 8 exploded rows
+    assert out["n_events"].sum() == 8
+    got = dict(zip(out["window_start_us"], out["n_events"]))
+    m30 = 30 * 60 * 1_000_000
+    b = int(np.int64(base.astype("int64")))
+    # window starting at t=0 contains events at 0,10,45 min
+    assert got[b] == 3
+    # window starting at -30min contains events at 0,10 min
+    assert got[b - m30] == 2
+    # window at +30min: events at 45,75; window at +60min: event at 75
+    assert got[b + m30] == 2 and got[b + 2 * m30] == 1
