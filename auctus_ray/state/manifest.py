@@ -161,3 +161,44 @@ def atomic_output_dir(final_dir: str):
             return False
 
     return _Ctx()
+
+
+def resumable_partitioned_write(
+    partitions: "dict[str, list[str]]",
+    out_dir: str,
+    run_partition,
+    stage: str = "write",
+    extra_fingerprint: tuple = (),
+) -> dict:
+    """Generic resumable partitioned-Parquet sink (the brief's
+    'resumable output' rule, generalized from the index build):
+
+      partitions       — {partition_name: [input files]} (one output
+                         directory per input shard / key range)
+      run_partition    — fn(input_files, tmp_dir) writing that
+                         partition's parquet into tmp_dir; it runs
+                         inside atomic write-temp-then-rename, so a
+                         partition is either absent or complete
+      returns          — {partition: "done" | "skipped"}
+
+    A failed run re-invoked with the same inputs skips every finished
+    partition (content-derived fingerprints — not mtime, not size-only);
+    changed inputs invalidate exactly their partitions.
+    """
+    man = Manifest(out_dir)
+    results: dict[str, str] = {}
+    for part, files in sorted(partitions.items()):
+        fp = fingerprint(file_fingerprint(files), stage, *extra_fingerprint)
+        final = os.path.join(out_dir, f"part={part}")
+        if man.is_done(stage, part, fp) and os.path.exists(final):
+            results[part] = "skipped"
+            continue
+        t0 = time.time()
+        with atomic_output_dir(final) as tmp:
+            run_partition(files, tmp)
+        man.mark(
+            stage, part, fp, "done",
+            {"seconds": time.time() - t0, "n_inputs": len(files)},
+        )
+        results[part] = "done"
+    return results
