@@ -47,8 +47,12 @@ QUERY_TABLE, QUERY_COL = "customer", "c_custkey"
 
 
 def _distinct(sf_dir: str, table: str, col: str):
+    # single-column reads of small-to-mid tables: one block per table
+    # keeps Ray task overhead off the 16-way catalog sweep (at real
+    # scale the default splitting takes over via larger files)
     ds = ray.data.read_parquet(
-        os.path.join(sf_dir, f"{table}.parquet"), columns=[col]
+        os.path.join(sf_dir, f"{table}.parquet"), columns=[col],
+        override_num_blocks=1,
     )
     return distinct_str_values(ds, col)
 
@@ -61,7 +65,8 @@ def _catalog_values(sf_dir: str):
         if t == QUERY_TABLE and c == QUERY_COL:
             continue
         ds = ray.data.read_parquet(
-            os.path.join(sf_dir, f"{t}.parquet"), columns=[c]
+            os.path.join(sf_dir, f"{t}.parquet"), columns=[c],
+            override_num_blocks=2,
         )
 
         def tag(batch: pa.Table, t=t, c=c) -> pa.Table:
