@@ -240,7 +240,8 @@ def disambiguate_admin_areas(admin_areas: list[list[Area]]):
 def resolve_admin_column(distinct_values: list[str],
                          resolver: AdminResolver | None = None):
     """The profile-time check (profile_types.py:266-275): >= 3 distinct
-    values, >= 70% resolving to areas, and a consistent disambiguation.
+    values, STRICTLY MORE than 70% resolving to areas (the reference
+    uses `>`, profile_types.py:270), and a consistent disambiguation.
     Returns {'level': int, 'areas': [{'name','code','parent'}...]} or None."""
     if len(distinct_values) < 3:
         return None

@@ -179,12 +179,13 @@ def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, dim: int | None = None,
         if m.size == 0:
             return batch
         buckets = hasher.bucket_of(m)  # (n, T)
+        from auctus_ray.util import sorted_membership
+
         qb = np.asarray(bucket_arr)
         hit = np.zeros(m.shape[0], bool)
         for t in range(buckets.shape[1]):
-            pos = np.searchsorted(qb, buckets[:, t])
-            pos_c = np.clip(pos, 0, qb.size - 1)
-            hit |= (pos < qb.size) & (qb[pos_c] == buckets[:, t])
+            mask, _ = sorted_membership(qb, buckets[:, t])
+            hit |= mask
         return batch.filter(pa.array(hit))
 
     cand = ds.map_batches(keep_candidates, batch_format="pyarrow")
@@ -290,10 +291,10 @@ def ivf_topk(ds, query_vecs: np.ndarray, k: int = 10,
         m = _normalize(_to_matrix(batch[vec_col]))
         if m.size == 0:
             return batch
+        from auctus_ray.util import sorted_membership
+
         lists = (m @ cents.T).argmax(axis=1)
-        pos = np.searchsorted(probed, lists)
-        pos_c = np.clip(pos, 0, probed.size - 1)
-        hit = (pos < probed.size) & (probed[pos_c] == lists)
+        hit, _ = sorted_membership(probed, lists)
         return batch.filter(pa.array(hit))
 
     cand = ds.map_batches(keep_probed, batch_format="pyarrow")

@@ -378,11 +378,12 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
         href = ray.put(hot_keys)
 
         def only_hot(batch: pa.Table) -> pa.Table:
+            from auctus_ray.util import sorted_membership
+
             hk = ray.get(href)
             b = batch["bkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(hk, b)
-            pos_c = np.clip(pos, 0, hk.size - 1)
-            return batch.filter(pa.array((pos < hk.size) & (hk[pos_c] == b)))
+            mask, _ = sorted_membership(hk, b)
+            return batch.filter(pa.array(mask))
 
         hot_rows = banded.map_batches(only_hot, batch_format="pyarrow")
     else:
@@ -429,11 +430,11 @@ def candidate_shingle_sets(docs_ds, id_arr: np.ndarray, id_col: str,
     ref = ray.put(ids_sorted)
 
     def keep_and_sketch(batch: pa.Table) -> pa.Table:
+        from auctus_ray.util import sorted_membership
+
         wanted = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(wanted, ids)
-        pos_c = np.clip(pos, 0, wanted.size - 1)
-        mask = (pos < wanted.size) & (wanted[pos_c] == ids)
+        mask, _ = sorted_membership(wanted, ids)
         sub = batch.filter(pa.array(mask))
         texts = sub[text_col]
         if isinstance(texts, pa.ChunkedArray):
@@ -598,27 +599,12 @@ class SimHasher:
         n_docs = toff.size - 1
         if len(flat) == 0:
             return np.zeros(n_docs, np.uint64)
-        if isinstance(flat, pa.ChunkedArray):
-            flat = flat.combine_chunks()
-        enc = flat.dictionary_encode()
-        vocab = enc.dictionary.to_pylist()
-        uh = np.fromiter(
-            (
-                int.from_bytes(
-                    hashlib.blake2b(t.encode(), digest_size=8).digest(), "big"
-                )
-                for t in vocab
-            ),
-            dtype=np.uint64,
-            count=len(vocab),
-        )
-        # (n_vocab, 64) signs in int8, gathered per occurrence
-        bits = ((uh[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+        # token hash shared with the minhash/shingle chain (_token_hashes)
+        th = _token_hashes(flat)
+        bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
             np.int8
         )
-        signs = (bits * 2 - 1).astype(np.int32)
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        occ = signs[idx]  # (n_flat, 64)
+        occ = (bits * 2 - 1).astype(np.int32)  # (n_flat, 64) signs
         csum = np.zeros((occ.shape[0] + 1, 64), np.int64)
         np.cumsum(occ, axis=0, out=csum[1:])
         acc = csum[toff[1:]] - csum[toff[:-1]]  # (n_docs, 64)
@@ -783,9 +769,14 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int | None =
     pairs = bucketed.groupby("lsh_bucket").map_groups(
         bucket_pairs, batch_format="pyarrow"
     )
-    if n_tables > 1:  # a pair can collide in several tables: dedup
-        pairs = pairs.groupby(["id_a", "id_b"]).map_groups(
-            lambda g: g.slice(0, 1), batch_format="pyarrow"
+    if n_tables > 1:
+        # a pair can collide in several tables: dedup with a VECTORIZED
+        # aggregate (cosine is identical for every copy of a pair, so
+        # Max is a deterministic pick), not a per-pair map_groups call
+        from ray.data.aggregate import Max
+
+        pairs = pairs.groupby(["id_a", "id_b"]).aggregate(
+            Max("cosine", alias_name="cosine")
         )
     return pairs
 

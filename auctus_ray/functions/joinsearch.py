@@ -84,13 +84,12 @@ def exact_containment_count(cand_distinct_ds, query_vals_sorted: np.ndarray) -> 
     ref = ray.put(query_vals_sorted)
 
     def count_hits(batch: pa.Table) -> pa.Table:
+        from auctus_ray.util import sorted_membership
+
         q = ray.get(ref)
-        v = np.asarray(batch["value"].to_pylist(), dtype=object)
-        vs = v.astype(str)
-        pos = np.searchsorted(q, vs)
-        pos_c = np.clip(pos, 0, q.size - 1)
-        hits = int(((pos < q.size) & (q[pos_c] == vs)).sum())
-        return pa.table({"hits": pa.array([hits], pa.int64())})
+        vs = np.asarray(batch["value"].to_pylist(), dtype=object).astype(str)
+        mask, _ = sorted_membership(q, vs)
+        return pa.table({"hits": pa.array([int(mask.sum())], pa.int64())})
 
     out = cand_distinct_ds.map_batches(count_hits, batch_format="pyarrow").sum("hits")
     return int(out or 0)
@@ -217,11 +216,11 @@ def exact_containment_scores(
                 "value": batch["value"],
             }
         )
+        from auctus_ray.util import sorted_membership
+
         g = tbl.group_by(["dataset_id", "column_name", "value"]).aggregate([])
         v = np.asarray(g["value"].to_pylist(), dtype=object).astype(str)
-        pos = np.searchsorted(q, v)
-        pos_c = np.clip(pos, 0, q.size - 1)
-        hit = (pos < q.size) & (q[pos_c] == v)
+        hit, pos_c = sorted_membership(q, v)
         sub = g.filter(pa.array(hit))
         return pa.table(
             {

@@ -144,6 +144,8 @@ def edit_distance(a: str, b: str, cap: int = 2) -> int:
         return cap + 1
     if a == b:
         return 0
+    if la == 0 or lb == 0:  # banded loop below skips empty strings
+        return max(la, lb)
     prev = list(range(lb + 1))
     for i in range(1, la + 1):
         cur = [i] + [0] * lb

@@ -58,16 +58,20 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
 
     def merge(group: pa.Table) -> pa.Table:
         side = group["_side"].to_numpy(zero_copy_only=False)
-        ts = group[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         lmask = side == 0
         lt = group.filter(pa.array(lmask))
+        rt = group.filter(pa.array(~lmask))
         lcols_out = {c: lt[c] for c in lcols}
         n = lt.num_rows
-        rts = ts[~lmask]
+        # right rows carry no nulls in ts/payload, so these convert as
+        # int64 directly — never through NaN-padded float64, which would
+        # silently corrupt ids above 2^53
+        rts = rt[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         rpay = {
-            c: group[c].to_numpy(zero_copy_only=False)[~lmask].astype(np.int64)
+            c: rt[c].to_numpy(zero_copy_only=False).astype(np.int64)
             for c in right_cols
         }
+        lts = lt[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if n == 0:
             names = lcols + [ts_col + right_suffix] + [c + right_suffix for c in right_cols]
             return pa.table({c: pa.array([], pa.int64()) for c in names})
@@ -80,7 +84,6 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         order = np.lexsort((rpay[payload0], rts))
         rts = rts[order]
         rpay = {c: v[order] for c, v in rpay.items()}
-        lts = ts[lmask]
         pos = np.searchsorted(rts, lts, side="right") - 1
         matched = pos >= 0
         pos_c = np.clip(pos, 0, rts.size - 1)
@@ -123,10 +126,10 @@ def hopping_window_agg(ds, ts_col: str, value_col: str,
             base[None, :].repeat(n_offsets, axis=0)
             - (np.arange(n_offsets, dtype=np.int64) * hop_us)[:, None]
         ).ravel()
-        cents = np.rint(
-            pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
-            * 100.0
-        ).astype(np.int64)
+        v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
+        # half-AWAY rounding, matching DuckDB ROUND() in the oracle
+        # (np.rint is half-to-even and diverges on exact .5 cents)
+        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
         return pa.table(
             {
                 "window_start_us": pa.array(starts),

@@ -56,6 +56,30 @@ SAMPLE_ROWS = 20  # reference core.py SAMPLE_ROWS
 MAX_GEOHASHES = 100
 
 
+def _numeric_values(col, keep_shape: bool = False) -> np.ndarray:
+    """Finite float64 values of a column that the PROFILER classified as
+    numeric — which tolerates up to 2% unclean cells in a string column.
+    Arrow's cast has no parse-to-null mode (profile.py:100), so string
+    columns are regex-gated first; unparsable cells become NaN
+    (keep_shape=True) or are dropped."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+        filled = pc.fill_null(col, "")
+        ok = pc.match_substring_regex(
+            filled, r"^[+-]?(?:[0-9]+\.?[0-9]*|\.[0-9]+)(?:[eE][+-]?[0-9]+)?$"
+        )
+        safe = pc.if_else(ok, filled, "0")
+        x = pc.cast(safe, pa.float64()).to_numpy(zero_copy_only=False).copy()
+        bad = ~ok.to_numpy(zero_copy_only=False)
+        x[bad] = np.nan
+    else:
+        x = pc.cast(col, pa.float64()).to_numpy(zero_copy_only=False)
+    if keep_shape:
+        return x
+    return x[np.isfinite(x)]
+
+
 def _attribute_keywords(names: list[str]) -> list[str]:
     """Reference core.py:965-972: the column name itself, plus its
     expand_attribute_name parts when splitting changed anything."""
@@ -79,8 +103,7 @@ def _numeric_plots(ds, numeric_cols: list[str], ranges: dict[str, tuple[float, f
         rows = []
         for col in numeric_cols:
             lo, hi = ranges[col]
-            x = pc.cast(batch[col], pa.float64()).to_numpy(zero_copy_only=False)
-            x = x[np.isfinite(x)]
+            x = _numeric_values(batch[col])
             if hi > lo:
                 b = np.minimum(
                     np.floor((x - lo) * bins / (hi - lo)), bins - 1
@@ -125,8 +148,8 @@ def _spatial_coverage(ds, pairs: list[tuple[str, str]],
     out = []
     for lat_col, lon_col in pairs:
         def partial(batch: pa.Table, lat_col=lat_col, lon_col=lon_col) -> pa.Table:
-            lat = pc.cast(batch[lat_col], pa.float64()).to_numpy(zero_copy_only=False)
-            lon = pc.cast(batch[lon_col], pa.float64()).to_numpy(zero_copy_only=False)
+            lat = _numeric_values(batch[lat_col], keep_shape=True)
+            lon = _numeric_values(batch[lon_col], keep_shape=True)
             m = (
                 np.isfinite(lat) & np.isfinite(lon)
                 & (-90.0 < lat) & (lat < 90.0)
@@ -312,7 +335,45 @@ def profile_dataset_document(
         pass
 
     if coverage:
-        pairs = [(la, lo) for la, lo in zip(lat_cols, lon_cols)]
+        # pair lat/lon columns by RESIDUAL NAME similarity (the name
+        # minus its latitude/longitude keyword: 'pickup_latitude' pairs
+        # 'pickup_longitude' whatever the column order), index distance
+        # as tie-break — positional zip silently mispairs interleaved
+        # [a_lat, b_lat, b_lon, a_lon] layouts
+        from auctus_ray.functions.scalars import name_similarity
+        from auctus_ray.pipelines.profile import LATITUDE_NAMES, LONGITUDE_NAMES
+
+        def residual(name: str, keywords) -> str:
+            low = name.lower()
+            for kw in sorted(keywords, key=len, reverse=True):
+                low = low.replace(kw, "")
+            return low.strip("_- ")
+
+        order = {n: i for i, n in enumerate(names)}
+        cands = sorted(
+            (
+                (
+                    -name_similarity(
+                        residual(la, LATITUDE_NAMES), residual(lo, LONGITUDE_NAMES)
+                    ),
+                    abs(order[la] - order[lo]),
+                    la,
+                    lo,
+                )
+                for la in lat_cols
+                for lo in lon_cols
+            ),
+        )
+        pairs = []
+        used_la: set[str] = set()
+        used_lo: set[str] = set()
+        for _, _, la, lo in cands:
+            if la in used_la or lo in used_lo:
+                continue
+            used_la.add(la)
+            used_lo.add(lo)
+            pairs.append((la, lo))
+        pairs.sort(key=lambda p_: order[p_[0]])
         if pairs:
             sc = _spatial_coverage(ds, pairs)
             if sc:

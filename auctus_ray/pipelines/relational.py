@@ -110,10 +110,10 @@ def revenue_by_nation(sf_dir: str):
             self.ckeys, self.ncode, self.names = ray.get(ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            from auctus_ray.util import sorted_membership
+
             keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            pos = np.searchsorted(self.ckeys, keys)
-            pos_c = np.clip(pos, 0, self.ckeys.size - 1)
-            hit = (pos < self.ckeys.size) & (self.ckeys[pos_c] == keys)
+            hit, pos_c = sorted_membership(self.ckeys, keys)
             name_arr = np.where(hit, self.names[self.ncode[pos_c]], "")
             cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
             t = pa.table(

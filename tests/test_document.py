@@ -122,3 +122,46 @@ def test_profile_document_driver_query(ray_session):
     assert docs["events"]["nb_columns"] == 6
     assert "temporal_coverage" in docs["events"]
     assert docs["documents"]["nb_rows"] > 0
+
+
+def test_profile_document_unclean_numeric_column(ray_session, tmp_path):
+    """A string column the profiler classifies numeric under the 2%
+    unclean tolerance must still produce a plot (regression: raw Arrow
+    cast raised ArrowInvalid on the junk cells)."""
+    import pyarrow.parquet as pq
+
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    vals = [str(i) for i in range(99)] + ["N/A"]
+    p = tmp_path / "unclean.parquet"
+    pq.write_table(pa.table({"reading": pa.array(vals, pa.string())}), str(p))
+    doc = profile_dataset_document(str(p), include_sample=False)
+    col = doc["columns"][0]
+    assert col["structural_type"].endswith("Integer")
+    assert sum(b["count"] for b in col["plot"]["data"]) == 99  # junk excluded
+
+
+def test_latlong_pairing_by_index_proximity(ray_session, tmp_path):
+    """Interleaved [a_lat, b_lat, b_lon, a_lon] layouts pair each lat
+    with its OWN lon (nearest column index), not positionally."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    n = 200
+    rng = np.random.Generator(np.random.PCG64(5))
+    tbl = pa.table(
+        {
+            "pickup_latitude": pa.array(40.7 + rng.normal(0, 0.01, n)),
+            "dropoff_latitude": pa.array(34.0 + rng.normal(0, 0.01, n)),
+            "dropoff_longitude": pa.array(-118.2 + rng.normal(0, 0.01, n)),
+            "pickup_longitude": pa.array(-74.0 + rng.normal(0, 0.01, n)),
+        }
+    )
+    p = tmp_path / "geo2.parquet"
+    pq.write_table(tbl, str(p))
+    doc = profile_dataset_document(str(p), include_sample=False)
+    pairs = [tuple(sc["column_names"]) for sc in doc["spatial_coverage"]]
+    assert ("pickup_latitude", "pickup_longitude") in pairs
+    assert ("dropoff_latitude", "dropoff_longitude") in pairs

@@ -606,3 +606,13 @@ def test_real_multimodal_decoders(ray_session):
         ray.data.from_arrow(bad).map_batches(
             PPMImageDecoder, batch_format="pyarrow"
         ).materialize()
+
+
+def test_edit_distance_empty_strings():
+    """Regression: the banded loop skipped empty strings entirely."""
+    from auctus_ray.functions.scalars import edit_distance
+
+    assert edit_distance("ab", "") == 2
+    assert edit_distance("", "ab") == 2
+    assert edit_distance("", "") == 0
+    assert edit_distance("abc", "") == 3  # over cap -> cap+1

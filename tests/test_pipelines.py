@@ -170,3 +170,35 @@ def test_hopping_window_agg(ray_session):
     assert got[b - m30] == 2
     # window at +30min: events at 45,75; window at +60min: event at 75
     assert got[b + m30] == 2 and got[b + 2 * m30] == 1
+
+
+def test_asof_join_large_ids_no_float_corruption(ray_session):
+    """Right-side 64-bit ids above 2^53 survive the join exactly
+    (regression: NaN-padded float64 roundtrip rounded them)."""
+    import ray.data
+    import pyarrow as pa
+
+    from auctus_ray.functions.windows import asof_join
+
+    big = 9_223_372_036_854_775_000  # > 2^53, near int64 max
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array([1], pa.int64()),
+                "user_id": pa.array([7], pa.int64()),
+                "ts_us": pa.array([100], pa.int64()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7], pa.int64()),
+                "ts_us": pa.array([50], pa.int64()),
+                "signup_event_id": pa.array([big], pa.int64()),
+            }
+        )
+    )
+    out = asof_join(left, right, key="user_id", ts_col="ts_us",
+                    right_cols=["signup_event_id"], right_suffix="_s").to_pandas()
+    assert int(out.loc[0, "signup_event_id_s"]) == big
