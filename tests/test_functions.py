@@ -616,3 +616,37 @@ def test_edit_distance_empty_strings():
     assert edit_distance("", "ab") == 2
     assert edit_distance("", "") == 0
     assert edit_distance("abc", "") == 3  # over cap -> cap+1
+
+
+def test_minhash_verify_join_path(dup_docs):
+    """The Dataset.join verify path (taken when the candidate set
+    exceeds the broadcast threshold) produces the same verified pairs
+    as the broadcast path."""
+    from auctus_ray.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_jaccard,
+    )
+
+    ds, table = dup_docs
+    sigs = minhash_signatures(ds, n_perm=64, k_shingle=3)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16)
+    bcast = verify_pairs_jaccard(pairs, ds, threshold=0.5, k=3).to_pandas()
+    joined = verify_pairs_jaccard(
+        pairs, ds, threshold=0.5, k=3, broadcast_threshold=0
+    ).to_pandas()
+    a = set(zip(bcast["id_a"], bcast["id_b"], bcast["jaccard"].round(9)))
+    b = set(zip(joined["id_a"], joined["id_b"], joined["jaccard"].round(9)))
+    assert a == b and len(a) > 0
+
+
+def test_lsh_hot_bucket_join_path(dup_docs):
+    """The distributed hot-bucket semi-join (broadcast_threshold=0)
+    yields the same candidate pairs as the broadcast filter."""
+    from auctus_ray.functions.dedup import lsh_candidate_pairs, minhash_signatures
+
+    ds, _ = dup_docs
+    sigs = minhash_signatures(ds, n_perm=64, k_shingle=3).materialize()
+    p_b = lsh_candidate_pairs(sigs, n_bands=16).to_pandas()
+    p_j = lsh_candidate_pairs(sigs, n_bands=16, broadcast_threshold=0).to_pandas()
+    assert set(zip(p_b["id_a"], p_b["id_b"])) == set(zip(p_j["id_a"], p_j["id_b"]))
