@@ -136,7 +136,14 @@ def cmd_verify(args) -> int:
     from auctus_ray.index.search import Searcher
     from auctus_ray.sources.code_corpus import generate_query_set
 
-    files = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+    files = sorted(
+        glob.glob(os.path.join(args.input, "*.parquet"))
+        # --input may be a glob pattern or a single file, not a directory
+        or glob.glob(args.input)
+    )
+    if not files:
+        print(f"no parquet files under {args.input!r}")
+        return 2
     corpus = pa.concat_tables([pq.read_table(p) for p in files])
     searcher = Searcher(args.index)
     oracle = OracleIndex(corpus, analyzer=searcher.analyzer)

@@ -413,6 +413,8 @@ def build_index(
         input_paths = sorted(
             glob.glob(os.path.join(input_paths, "*.parquet"))
             or glob.glob(os.path.join(input_paths, "**/*.parquet"), recursive=True)
+            # the string may itself be a glob pattern or a single file
+            or glob.glob(input_paths)
         )
     if not input_paths:
         raise ValueError("no input parquet files")
