@@ -32,7 +32,9 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
     searchsorted of left timestamps into the sorted right timestamps.
     Partitioning assumption: one key's rows fit one task.
     """
-    lcols = left_ds.schema().names
+    lschema = left_ds.schema()
+    lcols = lschema.names
+    ltypes = {n: t for n, t in zip(lschema.names, lschema.types)}
 
     def pad_l(t: pa.Table) -> pa.Table:
         for c in right_cols:
@@ -47,7 +49,9 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         out = pa.table(cols)
         for c in lcols:
             if c not in out.column_names:
-                out = out.append_column(c, pa.nulls(t.num_rows, pa.int64()))
+                # null placeholders typed from the LEFT schema, so the
+                # union works for string/float left columns too
+                out = out.append_column(c, pa.nulls(t.num_rows, ltypes[c]))
         out = out.select(lcols + [c for c in right_cols if c not in lcols])
         return out.append_column("_side", pa.array([1] * t.num_rows, pa.int8()))
 

@@ -202,3 +202,39 @@ def test_asof_join_large_ids_no_float_corruption(ray_session):
     out = asof_join(left, right, key="user_id", ts_col="ts_us",
                     right_cols=["signup_event_id"], right_suffix="_s").to_pandas()
     assert int(out.loc[0, "signup_event_id_s"]) == big
+
+
+def test_asof_join_nonint_left_columns(ray_session):
+    """Left tables with string payload columns survive the tagged union
+    (right-side null placeholders are typed from the left schema)."""
+    import ray.data
+    import pyarrow as pa
+
+    from auctus_ray.functions.windows import asof_join
+
+    left = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7, 7], pa.int64()),
+                "ts_us": pa.array([100, 10], pa.int64()),
+                "label": pa.array(["buy", "view"], pa.string()),
+            }
+        )
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([7], pa.int64()),
+                "ts_us": pa.array([50], pa.int64()),
+                "ref_id": pa.array([42], pa.int64()),
+            }
+        )
+    )
+    out = (
+        asof_join(left, right, key="user_id", ts_col="ts_us",
+                  right_cols=["ref_id"], right_suffix="_r")
+        .to_pandas()
+        .set_index("label")
+    )
+    assert out.loc["buy", "ref_id_r"] == 42
+    assert out.loc["view"][["ts_us_r", "ref_id_r"]].isna().all()
