@@ -97,20 +97,49 @@ class LangId:
         self.profiles = {lg: frozenset(ws) for lg, ws in STOPWORDS.items()}
 
     def predict(self, text: str) -> str:
-        from auctus_ray.tokenize import tokenize_text
+        """Single-text path (tests); same decision as the batch path."""
+        return self._predict_array(pa.array([text or ""], pa.string()))[0]
 
-        toks = tokenize_text(text or "", "simple")
-        if not toks:
-            return "und"
-        best, best_hits = "und", 0
-        for lg in sorted(self.profiles):
-            hits = sum(t in self.profiles[lg] for t in toks)
-            if hits > best_hits:
-                best, best_hits = lg, hits
-        return best
+    def _predict_array(self, texts: pa.Array) -> list[str]:
+        """Vectorized batch path: stopword membership is computed ONCE
+        per unique token of the batch (dictionary encode), per-doc hit
+        counts per language are cumsum-diff segment sums, and the
+        argmax keeps the per-row loop's exact tie semantics (first
+        language in sorted order wins; zero hits -> 'und')."""
+        from auctus_ray.tokenize import tokenize_array
+
+        toks = tokenize_array(texts, "simple")
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_docs = offs.size - 1
+        flat = toks.flatten()
+        langs = sorted(self.profiles)
+        if len(flat) == 0:
+            return ["und"] * n_docs
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        enc = flat.dictionary_encode()
+        vocab = enc.dictionary.to_pylist()
+        member = np.zeros((len(vocab), len(langs)), np.int32)
+        for j, lg in enumerate(langs):
+            prof = self.profiles[lg]
+            for i, tok in enumerate(vocab):
+                if tok in prof:
+                    member[i, j] = 1
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        occ = member[idx]  # (n_flat, n_langs)
+        csum = np.zeros((occ.shape[0] + 1, len(langs)), np.int64)
+        np.cumsum(occ, axis=0, out=csum[1:])
+        hits = csum[offs[1:]] - csum[offs[:-1]]  # (n_docs, n_langs)
+        best = hits.argmax(axis=1)  # first max wins == sorted-order tie
+        has = hits[np.arange(n_docs), best] > 0
+        return [langs[b] if h else "und" for b, h in zip(best, has)]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self.predict(t) for t in batch[self.text_col].to_pylist()]
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        preds = self._predict_array(texts)
         return pa.table(
             {self.id_col: batch[self.id_col], "lang_pred": pa.array(preds, pa.string())}
         )
@@ -118,30 +147,41 @@ class LangId:
 
 def fingerprint_batch(batch: pa.Table, *, id_col: str = "doc_id",
                       text_col: str = "text", window: int = 8) -> pa.Table:
-    """Winnowing-style document fingerprint: rolling blake2b over token
-    windows, keep the minimum hash per doc plus the full-content sha256.
-    Deterministic; rows-only oracle (not SQL-expressible)."""
-    from auctus_ray.tokenize import tokenize_text
+    """Winnowing-style document fingerprint: the minimum windowed
+    token-hash per doc plus the full-content sha256. Deterministic;
+    rows-only oracle (not SQL-expressible).
 
-    ids = batch[id_col].to_pylist()
-    texts = batch[text_col].to_pylist()
-    mins, shas = [], []
-    for t in texts:
-        toks = tokenize_text(t or "", "simple")
-        if len(toks) < window:
-            grams = [" ".join(toks)] if toks else []
-        else:
-            grams = [" ".join(toks[i : i + window]) for i in range(len(toks) - window + 1)]
-        hs = [
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=8).digest(), "big") >> 1
-            for g in grams
-        ]
-        mins.append(min(hs) if hs else 0)
-        shas.append(hashlib.sha256((t or "").encode()).hexdigest())
+    Round-2: the window hash is the same vectorized rolling-polynomial
+    over blake2b token hashes the dedup chain uses
+    (functions/dedup.py:_shingle_hashes) — one batch-level pass instead
+    of per-row Python hashing of joined token strings. The fingerprint
+    VALUES therefore changed definition between rounds (both are
+    deterministic content fingerprints; no external contract)."""
+    from auctus_ray.functions.dedup import _shingle_hashes, _token_hashes
+    from auctus_ray.tokenize import tokenize_array
+
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = tokenize_array(texts, "simple")
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    th = _token_hashes(toks.flatten())
+    sh, soff = _shingle_hashes(th, offs, window)
+    sh = (sh >> np.uint64(1)).astype(np.int64)
+    n_docs = soff.size - 1
+    mins = np.zeros(n_docs, np.int64)
+    nonempty = np.flatnonzero(np.diff(soff) > 0)
+    if nonempty.size:
+        mins[nonempty] = np.minimum.reduceat(sh, soff[nonempty])
+    shas = [
+        hashlib.sha256((t or "").encode()).hexdigest()
+        for t in texts.to_pylist()
+    ]
     return pa.table(
         {
-            id_col: pa.array(ids, pa.int64()),
-            "fingerprint_min": pa.array(mins, pa.int64()),
+            id_col: pc.cast(batch[id_col], pa.int64()),
+            "fingerprint_min": pa.array(mins),
             "content_sha256": pa.array(shas, pa.string()),
         }
     )
