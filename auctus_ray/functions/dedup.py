@@ -68,10 +68,12 @@ def _perm_params(n_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
 
 
 def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
-    """Append sha256(text) — the exact-dedup key (vectorized-ish C loop)."""
-    vals = batch[text_col].to_pylist()
-    h = [hashlib.sha256((v or "").encode()).hexdigest() for v in vals]
-    return batch.append_column("content_sha256", pa.array(h, pa.string()))
+    """Append sha256(text) — the exact-dedup key. Hashes the Arrow value
+    buffer by offsets (util.sha256_hex_array): no per-row Python strings
+    in this corpus-wide stage."""
+    from auctus_ray.util import sha256_hex_array
+
+    return batch.append_column("content_sha256", sha256_hex_array(batch[text_col]))
 
 
 def exact_dedup(ds, id_col: str = "doc_id", text_col: str = "text"):
@@ -348,7 +350,13 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
     # its strategy by the hot-key volume — broadcast searchsorted filter
     # while the collision set is bounded (one sorted int64 array in the
     # object store), Dataset.join once it is not (the 100-TB path).
-    banded = banded.materialize()
+    # The n_docs x n_bands explode is consumed twice (count + semi-join):
+    # checkpoint it to the FILESYSTEM (zstd Parquet, per-block files)
+    # instead of pinning O(n_docs) rows in the object store — round 3
+    # fix of the `banded.materialize()` scale residual.
+    from auctus_ray.util import fs_checkpoint
+
+    banded = fs_checkpoint(banded, name_hint="lsh_bands")
     hot = (
         banded.groupby("bkey")
         .aggregate(Count(alias_name="n"))
@@ -419,11 +427,29 @@ def jaccard(text_a: str, text_b: str, k: int = 5) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
+def _sketch_table(sub: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table:
+    """(id, text) rows -> (id, sh) rows: per-doc sorted unique shingle
+    hashes packed as binary blobs (Acero, the join kernel under
+    Dataset.join, rejects list-typed non-key fields)."""
+    texts = sub[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    sh, soff = shingle_hash_sets(texts, k)
+    blobs = [sh[soff[i] : soff[i + 1]].tobytes() for i in range(len(soff) - 1)]
+    return pa.table(
+        {
+            id_col: sub[id_col],
+            "sh": pa.array(blobs, pa.large_binary()),
+        }
+    )
+
+
 def candidate_shingle_sets(docs_ds, id_arr: np.ndarray, id_col: str,
                            text_col: str, k: int):
     """Docs filtered to the candidate id set (sorted-array membership via
     searchsorted inside map_batches — no Python set), then per-doc sorted
-    unique shingle hashes as a list<int64> column."""
+    unique shingle hashes as binary blobs. Broadcast-side variant; the
+    join-side variant is `candidate_shingle_sets_join`."""
     import ray
 
     ids_sorted = np.sort(np.asarray(id_arr, np.int64))
@@ -435,23 +461,27 @@ def candidate_shingle_sets(docs_ds, id_arr: np.ndarray, id_col: str,
         wanted = ray.get(ref)
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         mask, _ = sorted_membership(wanted, ids)
-        sub = batch.filter(pa.array(mask))
-        texts = sub[text_col]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        sh, soff = shingle_hash_sets(texts, k)
-        # binary blobs, not list<int64>: Acero (the join kernel under
-        # Dataset.join) rejects list-typed non-key fields
-        blobs = [sh[soff[i] : soff[i + 1]].tobytes() for i in range(len(soff) - 1)]
-        return pa.table(
-            {
-                id_col: sub[id_col],
-                "sh": pa.array(blobs, pa.large_binary()),
-            }
-        )
+        return _sketch_table(batch.filter(pa.array(mask)), id_col, text_col, k)
 
     return docs_ds.select_columns([id_col, text_col]).map_batches(
         keep_and_sketch, batch_format="pyarrow"
+    )
+
+
+def candidate_shingle_sets_join(docs_ds, cand_ds, id_col: str,
+                                text_col: str, k: int, num_partitions: int):
+    """Join-side variant: semi-join the docs against the distinct
+    candidate-id Dataset (hash shuffle — the 100-TB shape; no id array
+    ever leaves the cluster), then sketch the survivors in place."""
+    sub = docs_ds.select_columns([id_col, text_col]).join(
+        cand_ds,
+        "inner",
+        num_partitions=_join_partitions(num_partitions),
+        on=(id_col,),
+        right_on=("cid",),
+    )
+    return sub.map_batches(
+        lambda t: _sketch_table(t, id_col, text_col, k), batch_format="pyarrow"
     )
 
 
@@ -461,41 +491,62 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
                          broadcast_threshold: int = 200_000):
     """Exact Jaccard >= threshold filter over LSH candidate pairs.
 
-    Scale path (round-2 rewrite): the corpus text NEVER reaches the
-    driver. Candidate ids (bounded by LSH collisions, not corpus size)
-    select the docs via a distributed searchsorted filter; those docs'
-    shingle sets are computed distributed. Strategy selection mirrors a
-    broadcast-vs-shuffle join planner: while the candidate set is under
-    `broadcast_threshold`, the sketches broadcast once via ray.put and
-    one map over the pairs verifies; beyond it the sketches hash-join
-    onto the pairs twice (id_a side, id_b side). The Jaccard itself is
-    sorted-array intersection per pair in both paths.
+    Scale path (round-3 rewrite): neither the corpus text NOR the
+    candidate-pairs table ever reaches the driver. The pairs Dataset is
+    FS-checkpointed (it is consumed twice: id explode + verify) and the
+    distinct candidate ids come from a DISTRIBUTED aggregate over it.
+    Strategy selection mirrors a broadcast-vs-shuffle join planner:
+    while the distinct-candidate count is under `broadcast_threshold`,
+    the (collision-bounded) id array and sketches broadcast once via
+    ray.put and one map over the pairs Dataset verifies; beyond it the
+    docs semi-join the candidate ids and the sketches hash-join onto
+    the pairs twice (id_a side, id_b side) — no driver materialization
+    on either path. The Jaccard itself is sorted-array intersection per
+    pair in both paths.
     """
     import ray
+    from ray.data.aggregate import Count
 
-    pairs_t = pyarrow_concat(
-        list(pairs_ds.select_columns(["id_a", "id_b"]).iter_batches(
-            batch_format="pyarrow"))
+    from auctus_ray.util import fs_checkpoint
+
+    empty = pa.table(
+        {
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard": pa.array([], pa.float64()),
+        }
     )
-    if pairs_t.num_rows == 0:
-        return ray.data.from_arrow(
-            pa.table(
-                {
-                    "id_a": pa.array([], pa.int64()),
-                    "id_b": pa.array([], pa.int64()),
-                    "jaccard": pa.array([], pa.float64()),
-                }
-            )
-        )
-    cand_ids = np.unique(
-        np.concatenate(
-            [
-                pairs_t["id_a"].to_numpy(zero_copy_only=False),
-                pairs_t["id_b"].to_numpy(zero_copy_only=False),
-            ]
-        )
+    pairs_ds = fs_checkpoint(
+        pairs_ds.select_columns(["id_a", "id_b"]), name_hint="lsh_pairs"
     )
-    sketches = candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k)
+    if pairs_ds.count() == 0:
+        return ray.data.from_arrow(empty)
+
+    def explode_ids(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cid": pa.array(
+                    np.concatenate(
+                        [
+                            t["id_a"].to_numpy(zero_copy_only=False),
+                            t["id_b"].to_numpy(zero_copy_only=False),
+                        ]
+                    )
+                )
+            }
+        )
+
+    # distinct candidate ids: DISTRIBUTED aggregate (bounded by LSH
+    # collisions, not corpus size); materialized because it feeds both
+    # the count and the chosen strategy — O(candidates), not O(n_docs)
+    cand_ds = (
+        pairs_ds.map_batches(explode_ids, batch_format="pyarrow")
+        .groupby("cid")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["cid"])
+        .materialize()
+    )
+    n_cand = cand_ds.count()
 
     def _jaccard_arrays(A: np.ndarray, B: np.ndarray) -> float:
         if A.size == 0 and B.size == 0:
@@ -505,10 +556,20 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
         inter = np.intersect1d(A, B, assume_unique=True).size
         return inter / (A.size + B.size - inter)
 
-    if cand_ids.size <= broadcast_threshold:
+    if n_cand <= broadcast_threshold:
         # broadcast path: candidate sketches (bounded by the LSH
         # collision set, not corpus size) go to the object store once;
-        # one map over the pairs does vectorized lookups. No joins.
+        # one map over the pairs Dataset does vectorized lookups.
+        cand_ids = np.sort(
+            np.concatenate(
+                [
+                    b["cid"].to_numpy(zero_copy_only=False)
+                    for b in cand_ds.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
+            )
+        )
+        sketches = candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k)
         sk: dict[int, bytes] = {}
         for b in sketches.iter_batches(batch_format="pyarrow"):
             for i, blob in zip(b[id_col].to_pylist(), b["sh"].to_pylist()):
@@ -529,21 +590,22 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             )
             return out.filter(pc.greater_equal(out["jaccard"], threshold))
 
-        out = ray.data.from_arrow(pairs_t).map_batches(
-            verify_bcast, batch_format="pyarrow"
-        )
+        out = pairs_ds.map_batches(verify_bcast, batch_format="pyarrow")
         return out.sort(["id_a", "id_b"])
 
-    # join path (the 100-TB shape): sketches hash-join onto the pairs
+    # join path (the 100-TB shape): docs semi-join the candidate ids,
+    # sketches hash-join onto the pairs — everything stays a Dataset
+    sketches = candidate_shingle_sets_join(
+        docs_ds, cand_ds, id_col, text_col, k, num_partitions
+    )
     sk_a = sketches.map_batches(
         lambda t: t.rename_columns(["id_a", "sh_a"]), batch_format="pyarrow"
     )
     sk_b = sketches.map_batches(
         lambda t: t.rename_columns(["id_b", "sh_b"]), batch_format="pyarrow"
     )
-    pairs = ray.data.from_arrow(pairs_t)
     nparts = _join_partitions(num_partitions)
-    joined = pairs.join(sk_a, "inner", num_partitions=nparts, on=("id_a",))
+    joined = pairs_ds.join(sk_a, "inner", num_partitions=nparts, on=("id_a",))
     joined = joined.join(sk_b, "inner", num_partitions=nparts, on=("id_b",))
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -566,14 +628,6 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
 
     out = joined.map_batches(verify, batch_format="pyarrow")
     return out.sort(["id_a", "id_b"])
-
-
-def pyarrow_concat(batches: list[pa.Table]) -> pa.Table:
-    if not batches:
-        return pa.table(
-            {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
-        )
-    return pa.concat_tables(batches)
 
 
 # -------------------------------------------------------------- simhash

@@ -10,8 +10,6 @@ tables (stopword profiles) are built once per actor.
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -174,14 +172,13 @@ def fingerprint_batch(batch: pa.Table, *, id_col: str = "doc_id",
     nonempty = np.flatnonzero(np.diff(soff) > 0)
     if nonempty.size:
         mins[nonempty] = np.minimum.reduceat(sh, soff[nonempty])
-    shas = [
-        hashlib.sha256((t or "").encode()).hexdigest()
-        for t in texts.to_pylist()
-    ]
+    from auctus_ray.util import sha256_hex_array
+
     return pa.table(
         {
             id_col: pc.cast(batch[id_col], pa.int64()),
             "fingerprint_min": pa.array(mins),
-            "content_sha256": pa.array(shas, pa.string()),
+            # buffer-level pass shared with index/build.py — no to_pylist()
+            "content_sha256": sha256_hex_array(texts),
         }
     )

@@ -91,15 +91,12 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         pos = np.searchsorted(rts, lts, side="right") - 1
         matched = pos >= 0
         pos_c = np.clip(pos, 0, rts.size - 1)
+        unmatched = ~matched
         out = dict(lcols_out)
-        out[ts_col + right_suffix] = pa.array(
-            [int(rts[p]) if m else None for p, m in zip(pos_c, matched)], pa.int64()
-        )
+        # vectorized null-masked gather (mask=True marks nulls)
+        out[ts_col + right_suffix] = pa.array(rts[pos_c], mask=unmatched)
         for c in right_cols:
-            v = rpay[c]
-            out[c + right_suffix] = pa.array(
-                [int(v[p]) if m else None for p, m in zip(pos_c, matched)], pa.int64()
-            )
+            out[c + right_suffix] = pa.array(rpay[c][pos_c], mask=unmatched)
         return pa.table(out)
 
     return both.groupby(key).map_groups(merge, batch_format="pyarrow")

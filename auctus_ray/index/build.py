@@ -141,17 +141,9 @@ def tokenize_batch(
     # decodes only its own 560-byte prefix (4 bytes/char upper bound for
     # the 140-char truncation window).
     from auctus_ray.functions.scalars import truncate_string
+    from auctus_ray.util import string_buffer_view
 
-    carr = content.combine_chunks() if isinstance(content, pa.ChunkedArray) else content
-    if pa.types.is_large_string(carr.type):
-        _odt, _ow = np.int64, 8
-    else:
-        _odt, _ow = np.int32, 4
-    _bufs = carr.buffers()
-    coffs = np.frombuffer(
-        _bufs[1], dtype=_odt, count=len(carr) + 1, offset=carr.offset * _ow
-    )
-    cbuf = memoryview(_bufs[2]) if _bufs[2] is not None else memoryview(b"")
+    coffs, cbuf = string_buffer_view(content)
     base = 0  # value-buffer offsets are absolute into cbuf
     sha = np.empty(n, dtype=object)
     snips = np.empty(n, dtype=object)

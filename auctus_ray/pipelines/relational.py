@@ -570,36 +570,35 @@ def user_sessions(sf_dir: str, gap_minutes: int = 30):
     """Streaming-shaped session windows: per user, events sorted by ts;
     a gap > 30 min starts a new session (ray_guide 'Streaming-shaped
     workloads': ordered-log groupby + per-group windowing; the
-    gaps-and-islands oracle uses LAG + cumulative sum)."""
-    import pandas as pd
+    gaps-and-islands oracle uses LAG + cumulative sum).
 
+    The per-group merge is vectorized Arrow/numpy gaps-and-islands
+    (sort + diff + boundary indices) — no Arrow→pandas conversion per
+    tiny group (round-3 rewrite of the pandas map_groups)."""
+    gap_us = gap_minutes * 60 * 1_000_000
     ds = _read(sf_dir, "events", columns=["user_id", "ts", "event_id"])
 
-    def sessions(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"])
-        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum()
-        out = g.groupby(sid).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("event_id", "count"),
+    def sessions(g: pa.Table) -> pa.Table:
+        ts = (
+            pc.cast(pc.cast(g["ts"], pa.timestamp("us")), pa.int64())
+            .to_numpy(zero_copy_only=False)
         )
-        return out.reset_index(drop=True)
-
-    res = ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
-
-    def fmt(batch: pa.Table) -> pa.Table:
+        ev = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ev, ts))
+        ts = ts[order]
+        # session boundaries: first event + every gap > threshold
+        starts = np.flatnonzero(np.concatenate([[True], np.diff(ts) > gap_us]))
+        counts = np.diff(np.append(starts, ts.size))
+        uid = g["user_id"][0].as_py()
         return pa.table(
             {
-                "user_id": batch["user_id"],
-                "session_start_us": pc.cast(
-                    pc.cast(batch["session_start"], pa.timestamp("us")), pa.int64()
-                ),
-                "n_events": pc.cast(batch["n_events"], pa.int64()),
+                "user_id": pa.array(np.full(starts.size, uid, dtype=np.int64)),
+                "session_start_us": pa.array(ts[starts]),
+                "n_events": pa.array(counts.astype(np.int64)),
             }
         )
 
-    return res.map_batches(fmt, batch_format="pyarrow")
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pyarrow")
 
 
 SQL_USER_SESSIONS = """

@@ -3,6 +3,72 @@
 from __future__ import annotations
 
 
+def string_buffer_view(arr):
+    """(offsets, value-memoryview) for a (large_)string Array — the
+    zero-copy access pattern for hashing/slicing string payloads without
+    materializing Python objects (factored out of index/build.py's fused
+    sha256+snippet pass so every corpus-wide hashing stage shares it).
+
+    Null slots have equal adjacent offsets, so a consumer hashing
+    [lo, hi) slices treats null exactly like the empty string.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    odt, ow = (np.int64, 8) if pa.types.is_large_string(arr.type) else (np.int32, 4)
+    bufs = arr.buffers()
+    offs = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * ow)
+    view = memoryview(bufs[2]) if bufs[2] is not None else memoryview(b"")
+    return offs, view
+
+
+def sha256_hex_array(arr):
+    """Vectorized-at-the-buffer sha256 hexdigest per string value: one
+    pass over the Arrow value buffer, no per-row Python string objects
+    (null hashes as empty string — the `(v or "")` convention)."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    offs, view = string_buffer_view(arr)
+    n = len(offs) - 1
+    out = np.empty(n, dtype=object)
+    for i in range(n):
+        out[i] = hashlib.sha256(view[int(offs[i]) : int(offs[i + 1])]).hexdigest()
+    return pa.array(out, pa.string())
+
+
+def fs_checkpoint(ds, name_hint: str = "ckpt", base_dir: str | None = None):
+    """Checkpoint a Dataset to partitioned Parquet and read it back.
+
+    The scale-honest alternative to `ds.materialize()` when a wide
+    intermediate is consumed more than once: the blocks land on the
+    filesystem (zstd Parquet, one file per block — resumable layout)
+    instead of pinning the whole explode in the object store, and each
+    consumer re-reads with column pruning. Files live under /tmp scratch
+    (or `base_dir`) and are best-effort cleaned at process exit.
+    """
+    import atexit
+    import shutil
+    import tempfile
+
+    import ray
+
+    path = tempfile.mkdtemp(prefix=f"auctus_{name_hint}_", dir=base_dir or "/tmp")
+    ds.write_parquet(path, compression="zstd")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    import glob as _glob
+
+    if not _glob.glob(f"{path}/*.parquet"):
+        # empty dataset may write no files; fall back to the (cheap,
+        # empty) input pipeline rather than a failing read
+        return ds
+    return ray.data.read_parquet(path)
+
+
 def join_partitions(requested: int) -> int:
     """Clamp Dataset.join partition count to the cluster size: the hash
     shuffle spawns aggregator ACTORS that each need a CPU slot, and
