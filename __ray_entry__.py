@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         profile,
         relational,
         training,
+        unionsearch,
     )
 
     out: dict[str, Callable[[str], Any]] = {}
@@ -42,12 +43,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     out.update(training.QUERIES)
     out.update(profile.QUERIES)
     out.update(joinsearch.QUERIES)
+    out.update(unionsearch.QUERIES)
     out.update(document.QUERIES)
     return out
 
 
 def oracle_sql() -> dict[str, str]:
-    from auctus_ray.pipelines import fulltext, joinsearch, profile, relational, training
+    from auctus_ray.pipelines import (
+        fulltext,
+        joinsearch,
+        profile,
+        relational,
+        training,
+        unionsearch,
+    )
 
     out: dict[str, str] = {}
     out.update(relational.SQL)
@@ -55,4 +64,5 @@ def oracle_sql() -> dict[str, str]:
     out.update(training.SQL)
     out.update(profile.SQL)
     out.update(joinsearch.SQL)
+    out.update(unionsearch.SQL)
     return out

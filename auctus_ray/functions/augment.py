@@ -50,6 +50,163 @@ def union_align(left_ds, right_ds, mapping: dict[str, str] | None = None,
     return left_ds.union(projected), mapping
 
 
+AGG_NAMES = ("first", "mean", "sum", "max", "min", "count")
+
+
+def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
+                   agg_spec: dict[str, list[str] | str],
+                   order_col: str | None = None, num_partitions: int = 32):
+    """Left-cardinality-preserving join with USER-SPECIFIED per-column
+    aggregation functions — the reference augmentation's `agg_functions`
+    knob (lib_augmentation/augmentation.py:250-336: per column any of
+    first/mean/sum/max/min/count, output renamed to "{agg} {col}").
+
+    Semantics mirrored from the reference's pandas agg map
+    (augmentation.py:234-257):
+      * sum/mean/max/min skip nulls and are null for all-null groups
+        (the reference's NaN-preserving `_sum`/np.mean);
+      * count counts non-null values;
+      * first is the value at the FIRST row of the group — the reference
+        takes data order (`series.iloc[0]`); a distributed engine has no
+        stable data order, so `order_col` defines it explicitly and MUST
+        be unique within each key (e.g. a row id) or the winner is
+        nondeterministic;
+      * left rows with no right match keep nulls for every agg column.
+
+    Shape: per-batch vectorized partial aggregation (pyarrow group_by)
+    -> one small groupby(key) merge of partials -> hash-partitioned
+    `Dataset.join` (left_outer) onto the left. Only partial rows (one
+    per key per batch) shuffle — never the right table's raw rows.
+    """
+    import pyarrow.compute as pc
+
+    from auctus_ray.util import join_partitions
+
+    spec: dict[str, list[str]] = {
+        c: [f] if isinstance(f, str) else list(f) for c, f in agg_spec.items()
+    }
+    for c, fs in spec.items():
+        for f in fs:
+            if f not in AGG_NAMES:
+                raise ValueError(f"unknown aggregation {f!r} for column {c!r}")
+    needs_first = any("first" in fs for fs in spec.values())
+    if needs_first and order_col is None:
+        raise ValueError("agg 'first' requires order_col")
+
+    read_cols = [right_on] + sorted(spec)
+    if needs_first and order_col not in read_cols:
+        read_cols.append(order_col)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if needs_first:
+            batch = batch.sort_by([(order_col, "ascending")])
+        aggs, names = [], []
+        for c, fs in spec.items():
+            want = set(fs)
+            if want & {"sum", "mean"}:
+                aggs.append((c, "sum"))
+                names.append(f"s__{c}")
+            if want & {"count", "mean"}:
+                aggs.append((c, "count"))
+                names.append(f"c__{c}")
+            if "min" in want:
+                aggs.append((c, "min"))
+                names.append(f"mn__{c}")
+            if "max" in want:
+                aggs.append((c, "max"))
+                names.append(f"mx__{c}")
+            if "first" in want:
+                aggs.append((c, "first", pc.ScalarAggregateOptions(skip_nulls=False)))
+                names.append(f"fv__{c}")
+        if needs_first:
+            aggs.append((order_col, "min"))
+            names.append("fo__")
+        g = batch.select(read_cols).group_by(right_on).aggregate(aggs)
+        # aggregate outputs come back in request order (named
+        # "{col}_{agg}"); map them positionally onto our partial names
+        data = {right_on: g[right_on]}
+        out_cols = [n for n in g.column_names if n != right_on]
+        for out_name, src in zip(names, out_cols):
+            data[out_name] = g[src]
+        return pa.table(data)
+
+    partials = right_ds.map_batches(partial, batch_format="pyarrow")
+    if needs_first:
+        # partials are consumed twice (mergeable aggregate + first-value
+        # retrieval join): checkpoint once instead of recomputing
+        from auctus_ray.util import fs_checkpoint
+
+        partials = fs_checkpoint(partials, name_hint="aggjoin")
+
+    # merge of partials: fully VECTORIZED Ray aggregate (sum/count/min/
+    # max are mergeable; no per-group Python). `first` is resolved by
+    # one extra hash join of the winning (key, min order) partial rows.
+    from ray.data.aggregate import Max as RMax
+    from ray.data.aggregate import Min as RMin
+    from ray.data.aggregate import Sum as RSum
+
+    raggs = []
+    for c, fs in spec.items():
+        want = set(fs)
+        if want & {"sum", "mean"}:
+            raggs.append(RSum(f"s__{c}", alias_name=f"s__{c}"))
+        if want & {"count", "mean"}:
+            raggs.append(RSum(f"c__{c}", alias_name=f"c__{c}"))
+        if "min" in want:
+            raggs.append(RMin(f"mn__{c}", alias_name=f"mn__{c}"))
+        if "max" in want:
+            raggs.append(RMax(f"mx__{c}", alias_name=f"mx__{c}"))
+    if needs_first:
+        raggs.append(RMin("fo__", alias_name="fo_min"))
+    merged = partials.groupby(right_on).aggregate(*raggs)
+
+    nparts = join_partitions(num_partitions)
+    if needs_first:
+        fv_cols = [f"fv__{c}" for c, fs in spec.items() if "first" in fs]
+        firsts = partials.select_columns([right_on, "fo__"] + fv_cols)
+        merged = merged.join(firsts, "inner", num_partitions=nparts, on=(right_on,))
+
+        def keep_winner(t: pa.Table) -> pa.Table:
+            # the partial whose local first-order equals the global min
+            # order holds the group's first value (order_col is unique
+            # per key, so exactly one partial row wins)
+            sub = t.filter(pc.equal(t["fo__"], t["fo_min"]))
+            return sub.drop_columns(["fo__", "fo_min"])
+
+        merged = merged.map_batches(keep_winner, batch_format="pyarrow")
+
+    def finalize(t: pa.Table) -> pa.Table:
+        data = {right_on: t[right_on]}
+        for c, fs in spec.items():
+            for f in fs:
+                name = f"{f} {c}"
+                if f == "sum":
+                    data[name] = t[f"s__{c}"]
+                elif f == "count":
+                    data[name] = pc.cast(t[f"c__{c}"], pa.int64())
+                elif f == "mean":
+                    data[name] = pc.divide(
+                        pc.cast(t[f"s__{c}"], pa.float64()),
+                        pc.cast(t[f"c__{c}"], pa.float64()),
+                    )
+                elif f == "min":
+                    data[name] = t[f"mn__{c}"]
+                elif f == "max":
+                    data[name] = t[f"mx__{c}"]
+                elif f == "first":
+                    data[name] = t[f"fv__{c}"]
+        return pa.table(data)
+
+    merged = merged.map_batches(finalize, batch_format="pyarrow")
+    return left_ds.join(
+        merged,
+        "left_outer",
+        num_partitions=nparts,
+        on=(left_on,),
+        right_on=(right_on,),
+    )
+
+
 def pivot_wide_to_long(ds, carried_cols: list[str], value_cols: list[str],
                        var_name: str = "date", value_name: str = "value"):
     """S5 wide->long unpivot (reference pivot converter,

@@ -118,10 +118,12 @@ def hash_json(obj: dict | None = None, **kwargs) -> str:
 # ---------------------------------------------------------------- 3-gram similarity
 
 
-def name_similarity(a: str, b: str) -> float:
-    """Union-search column-name similarity (apiserver/search/union.py:13-30):
-    multiset-Jaccard over character 3-grams; strings shorter than 3 chars
-    count as a single gram."""
+def name_similarity_counts(a: str, b: str) -> tuple[int, int]:
+    """(intersection, union) multiset counts of character 3-grams —
+    the exact-integer core of the union-search similarity
+    (apiserver/search/union.py:13-30); strings shorter than 3 chars
+    count as a single gram. Integer output keeps downstream scores
+    hash-comparable with a SQL oracle (no float drift)."""
     from collections import Counter
 
     def grams(s: str) -> Counter:
@@ -132,6 +134,13 @@ def name_similarity(a: str, b: str) -> float:
     ga, gb = grams(a), grams(b)
     inter = sum((ga & gb).values())
     union = sum((ga | gb).values())
+    return inter, union
+
+
+def name_similarity(a: str, b: str) -> float:
+    """Union-search column-name similarity (apiserver/search/union.py:13-30):
+    multiset-Jaccard over character 3-grams."""
+    inter, union = name_similarity_counts(a, b)
     return inter / union if union else 0.0
 
 

@@ -556,16 +556,93 @@ GROUP BY o.o_orderkey
 """
 
 
+def customer_order_aggs_spec(sf_dir: str):
+    """The augment join with a USER-SPECIFIED per-column aggregation map
+    (the reference's `agg_functions` knob, augmentation.py:250-336):
+    customers augmented with their orders' totalprice aggregated five
+    ways and o_orderstatus by reference-style `first` (data order
+    defined by the globally-unique o_orderkey), outputs renamed
+    "{agg} {col}". Left rows with no match keep nulls (the reference's
+    left-join NaN semantics). Exercises functions/augment.py:
+    aggregate_join end-to-end."""
+    import ray
+
+    from auctus_ray.functions.augment import aggregate_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice", "o_orderstatus"],
+    ).map_batches(
+        lambda b: pa.table(
+            {
+                "o_custkey": b["o_custkey"],
+                "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
+                "price_cents": pc.cast(
+                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
+                ),
+                "o_orderstatus": b["o_orderstatus"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"])
+    joined = aggregate_join(
+        cust,
+        orders,
+        left_on="c_custkey",
+        right_on="o_custkey",
+        agg_spec={
+            "price_cents": ["mean", "sum", "max", "min", "count"],
+            "o_orderstatus": "first",
+        },
+        order_col="o_orderkey",
+    )
+    keep = [
+        "c_custkey",
+        "mean price_cents",
+        "sum price_cents",
+        "max price_cents",
+        "min price_cents",
+        "count price_cents",
+        "first o_orderstatus",
+    ]
+    return joined.map_batches(lambda t: t.select(keep), batch_format="pyarrow")
+
+
+SQL_CUSTOMER_ORDER_AGGS_SPEC = """
+WITH agg AS (
+  SELECT o_custkey,
+         CAST(SUM(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS sum_c,
+         COUNT(o_totalprice) AS cnt_c,
+         CAST(MIN(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS min_c,
+         CAST(MAX(CAST(ROUND(o_totalprice*100) AS BIGINT)) AS BIGINT) AS max_c,
+         arg_min(o_orderstatus, o_orderkey) AS first_s
+  FROM orders GROUP BY o_custkey
+)
+SELECT c.c_custkey,
+       CAST(a.sum_c AS DOUBLE) / CAST(a.cnt_c AS DOUBLE) AS "mean price_cents",
+       a.sum_c AS "sum price_cents",
+       a.max_c AS "max price_cents",
+       a.min_c AS "min price_cents",
+       a.cnt_c AS "count price_cents",
+       a.first_s AS "first o_orderstatus"
+FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
+"""
+
+
 QUERIES = {
     "profile_orders": profile_orders,
     "profile_documents": profile_documents,
     "histogram_quantity": histogram_quantity,
     "range_overlap_search": range_overlap_search,
     "orders_with_line_aggs": orders_with_line_aggs,
+    "customer_order_aggs_spec": customer_order_aggs_spec,
 }
 
 SQL = {
     "histogram_quantity": SQL_HISTOGRAM_QUANTITY,
     "range_overlap_search": SQL_RANGE_OVERLAP_SEARCH,
     "orders_with_line_aggs": SQL_ORDERS_WITH_LINE_AGGS,
+    "customer_order_aggs_spec": SQL_CUSTOMER_ORDER_AGGS_SPEC,
 }

@@ -87,52 +87,93 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------- Q: revenue by nation
 
 
-def revenue_by_nation(sf_dir: str):
-    """Broadcast hash join (J1 pattern): customer->nation is the small
-    side -> ray.put ONE sorted-key/value-code pair of numpy arrays,
-    vectorized searchsorted lookup inside map_batches over orders
-    (round-2: no per-row Python dict.get), then pre-aggregated groupby.
-    Reference: equi-join + group-agg (lib_augmentation/augmentation.py:376-624)."""
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+def revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000):
+    """Equi-join + group-agg with a thresholded broadcast-vs-shuffle
+    planner (J1 pattern; reference lib_augmentation/augmentation.py:376-624).
+
+    Customer is a GROWING dimension, so the plan is chosen from its row
+    count (Parquet footers — no data read): under `broadcast_threshold`
+    the sorted key/nation-code arrays are built inside a REMOTE task —
+    they land in the object store and the driver only ever holds the
+    ObjectRef (round-3 fix of the driver-side `.to_pandas()` build) —
+    and a vectorized searchsorted lookup rides map_batches over orders;
+    beyond the threshold orders hash-join customer (`Dataset.join`).
+    Nation is bounded (25 rows) and always broadcasts."""
+    from auctus_ray.util import join_partitions
+
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nat_names = nation.sort_values("n_nationkey")["n_name"].to_numpy()
     nat_keys = nation.sort_values("n_nationkey")["n_nationkey"].to_numpy()
-    ckeys = cust["c_custkey"].to_numpy()
-    order = np.argsort(ckeys)
-    ckeys_sorted = ckeys[order]
-    cnat = cust["c_nationkey"].to_numpy()[order]
-    # customer -> nation-name code (nation table is tiny; map via searchsorted)
-    nat_code = np.searchsorted(nat_keys, cnat)
-    ref = ray.put((ckeys_sorted, nat_code, nat_names))
 
-    class JoinAgg:
-        def __init__(self):
-            self.ckeys, self.ncode, self.names = ray.get(ref)
+    cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    n_cust = cust_ds.count()
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            from auctus_ray.util import sorted_membership
+    if n_cust > broadcast_threshold:
+        # shuffle path: orders hash-join customer, nation via broadcast
+        joined = orders.join(
+            cust_ds,
+            "inner",
+            num_partitions=join_partitions(32),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
 
-            keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
-            hit, pos_c = sorted_membership(self.ckeys, keys)
-            name_arr = np.where(hit, self.names[self.ncode[pos_c]], "")
-            cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+        def agg_joined(batch: pa.Table) -> pa.Table:
+            code = np.searchsorted(
+                nat_keys, batch["c_nationkey"].to_numpy(zero_copy_only=False)
+            )
             t = pa.table(
                 {
-                    "n_name": pa.array(name_arr, pa.string()),
-                    "cents": pa.array(cents),
+                    "n_name": pa.array(nat_names[code], pa.string()),
+                    "cents": _cents(batch["o_totalprice"]),
                 }
             )
             g = t.group_by("n_name").aggregate([("cents", "sum"), ("cents", "count")])
             return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
 
-    ds = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    return (
-        ds.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 2))
-        .groupby("n_name")
-        .aggregate(
-            Sum("revenue_cents", alias_name="revenue_cents"),
-            Sum("n_orders", alias_name="n_orders"),
-        )
+        mapped = joined.map_batches(agg_joined, batch_format="pyarrow")
+    else:
+        # broadcast path: the lookup arrays are built OFF-driver
+        @ray.remote(num_cpus=1)
+        def build_side(path: str):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(path, columns=["c_custkey", "c_nationkey"])
+            ck = t["c_custkey"].to_numpy(zero_copy_only=False)
+            order = np.argsort(ck)
+            cnat = t["c_nationkey"].to_numpy(zero_copy_only=False)[order]
+            return ck[order], np.searchsorted(nat_keys, cnat)
+
+        side_ref = build_side.remote(f"{sf_dir}/customer.parquet")
+
+        class JoinAgg:
+            def __init__(self):
+                self.ckeys, self.ncode = ray.get(side_ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                from auctus_ray.util import sorted_membership
+
+                keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
+                hit, pos_c = sorted_membership(self.ckeys, keys)
+                name_arr = np.where(hit, nat_names[self.ncode[pos_c]], "")
+                cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+                t = pa.table(
+                    {
+                        "n_name": pa.array(name_arr, pa.string()),
+                        "cents": pa.array(cents),
+                    }
+                )
+                g = t.group_by("n_name").aggregate(
+                    [("cents", "sum"), ("cents", "count")]
+                )
+                return g.rename_columns(["n_name", "revenue_cents", "n_orders"])
+
+        mapped = orders.map_batches(JoinAgg, batch_format="pyarrow", concurrency=(1, 2))
+
+    return mapped.groupby("n_name").aggregate(
+        Sum("revenue_cents", alias_name="revenue_cents"),
+        Sum("n_orders", alias_name="n_orders"),
     )
 
 
@@ -282,33 +323,79 @@ FROM u GROUP BY src
 # ---------------------------------------------------------------- Q: anti join
 
 
-def customers_without_orders(sf_dir: str, min_price: float = 300000.0):
-    """J10 anti-join: broadcast the keyset of customers holding a
-    large order, filter the customer table inside map_batches (semi/anti
-    join via broadcast — ray_guide pattern; reference deletion sweep
-    socrata_discovery.py:66-98). The price threshold keeps the result
-    non-empty on the synthetic data at every test scale factor."""
+def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
+                             broadcast_threshold: int = 2_000_000):
+    """J10 anti-join with a thresholded broadcast-vs-join planner
+    (reference deletion sweep socrata_discovery.py:66-98; planner shape
+    shared with functions/dedup.py's hot-bucket semi-join).
+
+    The distinct big-order keyset is a DISTRIBUTED aggregate; its count
+    picks the plan: under `broadcast_threshold` the sorted key array
+    broadcasts once (`ray.put`) and an anti searchsorted filter rides
+    map_batches (round-3 fix of the driver `take_all()` keyset); beyond
+    it the anti-join runs as `Dataset.join(left_outer)` + null-marker
+    filter. The price threshold keeps the result non-empty on the
+    synthetic data at every test scale factor."""
+    from auctus_ray.util import join_partitions
+
     okeys = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
     def partial_keys(b: pa.Table) -> pa.Table:
         big = b.filter(pc.greater_equal(b["o_totalprice"], min_price))
         return pa.table({"k": pc.unique(big["o_custkey"])})
 
-    key_parts = okeys.map_batches(partial_keys, batch_format="pyarrow").take_all()
-    with_orders = set()
-    for row in key_parts:
-        with_orders.add(int(row["k"]))
-    ref = ray.put(np.array(sorted(with_orders), dtype=np.int64))
+    keys_ds = (
+        okeys.map_batches(partial_keys, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["k"])
+        .materialize()  # O(distinct big-order customers), not O(orders)
+    )
+    n_keys = keys_ds.count()
+    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    if n_keys > broadcast_threshold:
+        # join path: left_outer against a marker column, keep null marker
+        marked = keys_ds.map_batches(
+            lambda t: pa.table(
+                {"k": t["k"], "_hit": pa.array(np.ones(t.num_rows, np.int8))}
+            ),
+            batch_format="pyarrow",
+        )
+        joined = cust.join(
+            marked,
+            "left_outer",
+            num_partitions=join_partitions(32),
+            on=("c_custkey",),
+            right_on=("k",),
+        )
+        def keep_unmatched(t: pa.Table) -> pa.Table:
+            sub = t.filter(pc.is_null(t["_hit"]))
+            return pa.table(
+                {"c_custkey": sub["c_custkey"], "c_nationkey": sub["c_nationkey"]}
+            )
+
+        return joined.map_batches(keep_unmatched, batch_format="pyarrow")
+
+    keys_np = np.sort(
+        np.concatenate(
+            [
+                b["k"].to_numpy(zero_copy_only=False)
+                for b in keys_ds.iter_batches(batch_format="pyarrow")
+            ]
+            or [np.empty(0, np.int64)]
+        )
+    )
+    ref = ray.put(keys_np)
 
     def anti(batch: pa.Table) -> pa.Table:
+        from auctus_ray.util import sorted_membership
+
         keys = ray.get(ref)
         c = batch["c_custkey"].to_numpy(zero_copy_only=False)
-        pos = np.searchsorted(keys, c)
-        pos = np.clip(pos, 0, len(keys) - 1)
-        mask = keys[pos] != c
-        return batch.filter(pa.array(mask))
+        hit, _ = sorted_membership(keys, c)
+        return batch.filter(pa.array(~hit))
 
-    cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     return cust.map_batches(anti, batch_format="pyarrow", zero_copy_batch=True)
 
 

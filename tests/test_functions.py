@@ -650,3 +650,24 @@ def test_lsh_hot_bucket_join_path(dup_docs):
     p_b = lsh_candidate_pairs(sigs, n_bands=16).to_pandas()
     p_j = lsh_candidate_pairs(sigs, n_bands=16, broadcast_threshold=0).to_pandas()
     assert set(zip(p_b["id_a"], p_b["id_b"])) == set(zip(p_j["id_a"], p_j["id_b"]))
+
+
+def test_union_search_pagination_and_greedy(ray_session):
+    """union_search returns ranked candidates; pagination slices the
+    same ranked list; greedy 1-1 never reuses a column on either side."""
+    from auctus_ray.pipelines.unionsearch import union_search
+
+    full = union_search("/root/testdata/sf0.001").to_pandas()
+    assert list(full["rank"]) == list(range(1, len(full) + 1))
+    assert (full["n_pairs"] >= 2).all()
+    # descending score order, ties by table name
+    s = list(zip(-full["sum_sim_e9"], full["cand_table"]))
+    assert s == sorted(s)
+    for m in full["matched"]:
+        ls = [p.split("=")[0] for p in m.split(",")]
+        rs = [p.split("=")[1] for p in m.split(",")]
+        assert len(set(ls)) == len(ls) and len(set(rs)) == len(rs)
+    page2 = union_search("/root/testdata/sf0.001", page=1, size=1).to_pandas()
+    if len(full) > 1:
+        assert page2["cand_table"].iloc[0] == full["cand_table"].iloc[1]
+        assert page2["rank"].iloc[0] == 2

@@ -238,3 +238,25 @@ def test_asof_join_nonint_left_columns(ray_session):
     )
     assert out.loc["buy", "ref_id_r"] == 42
     assert out.loc["view"][["ts_us_r", "ref_id_r"]].isna().all()
+
+
+def test_relational_join_path_planners(ray_session, con):
+    """broadcast_threshold=0 forces the Dataset.join plans of
+    revenue_by_nation and customers_without_orders; rows must match the
+    DuckDB oracles exactly (same check the broadcast paths pass)."""
+    from auctus_ray.pipelines.relational import (
+        SQL_CUSTOMERS_WITHOUT_ORDERS,
+        SQL_REVENUE_BY_NATION,
+        customers_without_orders,
+        revenue_by_nation,
+    )
+
+    got = _canon(revenue_by_nation(SF_DIR, broadcast_threshold=0).to_pandas())
+    want = _canon(con.execute(SQL_REVENUE_BY_NATION).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    got = _canon(
+        customers_without_orders(SF_DIR, broadcast_threshold=0).to_pandas()
+    )
+    want = _canon(con.execute(SQL_CUSTOMERS_WITHOUT_ORDERS).df())
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
