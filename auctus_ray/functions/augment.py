@@ -198,7 +198,10 @@ def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
         return pa.table(data)
 
     merged = merged.map_batches(finalize, batch_format="pyarrow")
-    return left_ds.join(
+    from auctus_ray.util import drop_schema_metadata
+
+    # metadata-free schemas keep Ray's join-stage schema hashing happy
+    return drop_schema_metadata(left_ds).join(
         merged,
         "left_outer",
         num_partitions=nparts,

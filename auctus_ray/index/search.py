@@ -226,6 +226,44 @@ def _and_shard(plists: list[_PostingList], k: int, heap: list,
             return
 
 
+def load_synonyms(path: str) -> dict[str, list[str]]:
+    """Parse a Solr/ES-format synonyms file (the artifact the reference
+    mounts into Elasticsearch: docker/synonyms.txt wired through
+    elasticsearch.yml:16-31) into the Searcher's expansion dict.
+
+    Supported syntax (Solr synonym_graph format):
+      * '# ...' comments and blank lines are skipped;
+      * 'a, b, c'    — equivalence group: each term expands to the rest;
+      * 'a, b => c'  — explicit mapping: each LHS term expands to every
+                       RHS term (RHS terms are not expanded back).
+    """
+    out: dict[str, list[str]] = {}
+
+    def add(term: str, exps: list[str]) -> None:
+        term = term.strip()
+        cur = out.setdefault(term, [])
+        for e in exps:
+            e = e.strip()
+            if e and e != term and e not in cur:
+                cur.append(e)
+
+    with open(path, encoding="utf-8") as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            if "=>" in line:
+                lhs, rhs = line.split("=>", 1)
+                rhs_terms = [t for t in rhs.split(",") if t.strip()]
+                for term in lhs.split(","):
+                    add(term, rhs_terms)
+            else:
+                group = [t.strip() for t in line.split(",") if t.strip()]
+                for term in group:
+                    add(term, group)
+    return out
+
+
 class Searcher:
     """Single-process searcher over a built index directory.
 
@@ -235,11 +273,15 @@ class Searcher:
     actor pools (`BatchSearcher`) for distributed serving.
     """
 
-    def __init__(self, index_dir: str, synonyms: dict[str, list[str]] | None = None):
+    def __init__(self, index_dir: str,
+                 synonyms: dict[str, list[str]] | str | None = None):
         # search-time-only synonym expansion, mirroring the reference's
         # default_search analyzer (synonym_graph applied at query time
         # only, elasticsearch.yml:16-31). Simplification: term-level OR
-        # expansion; each expanded term scores with its own idf.
+        # expansion; each expanded term scores with its own idf. A str
+        # value is a Solr-format synonyms.txt path (load_synonyms).
+        if isinstance(synonyms, str):
+            synonyms = load_synonyms(synonyms)
         self.synonyms = synonyms or {}
         self.index_dir = index_dir
         gs = pq.read_table(os.path.join(index_dir, "global_stats.parquet"))
@@ -323,6 +365,24 @@ class Searcher:
                 d, _, _ = decode_blocks_concat(e["blobs"], e["n"])
                 out.update(int(x) for x in d)
         return out
+
+    def term_tfnorms(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, tfnorm) for every posting of `term` across shards —
+        the idf-free BM25 component tf/(tf + k1*(1-b+b*dl/avgdl)), used
+        by cross-field blended scoring where the idf is NOT this field's
+        own (CrossFieldsSearcher)."""
+        ds, ts = [], []
+        for sf in self.shard_files:
+            e = self._shard_postings(sf, [term]).get(term)
+            if e:
+                d, tf, dl = decode_blocks_concat(e["blobs"], e["n"])
+                tf = tf.astype(np.float64)
+                dl = dl.astype(np.float64)
+                ds.append(d.astype(np.int64))
+                ts.append(tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
+        if not ds:
+            return np.empty(0, np.int64), np.empty(0, np.float64)
+        return np.concatenate(ds), np.concatenate(ts)
 
     # ---------------- search ----------------
 
@@ -642,6 +702,31 @@ class _ShardGroupSearcher:
             query, k=k, operator=operator, algorithm=algorithm, **kw
         )
 
+    def hydrate_local(self, doc_ids: list[int]) -> dict[int, dict]:
+        """Hit metadata for the requested docIDs found in THIS actor's
+        own docmap slices (one file per owned shard) — ids owned by
+        other shards are simply absent from the result."""
+        out: dict[int, dict] = {}
+        if not doc_ids:
+            return out
+        ids = pa.array(sorted(set(int(d) for d in doc_ids)), pa.int64())
+        for sf in self.searcher.shard_files:
+            bucket = os.path.basename(sf).split("=", 1)[1].split(".", 1)[0]
+            dm = os.path.join(
+                self.searcher.index_dir, "docmap", f"bucket={bucket}.parquet"
+            )
+            schema_names = pq.read_schema(dm).names
+            cols = [
+                c
+                for c in ("doc_id", "repo", "path", "commit", "lang", "snippet")
+                if c in schema_names
+            ]
+            tbl = pq.read_table(dm, columns=cols)
+            tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=ids))
+            for r in tbl.to_pylist():
+                out[int(r["doc_id"])] = r
+        return out
+
 
 class DistributedSearcher:
     """Per-query shard fan-out: the query runs as distributed actor tasks
@@ -689,6 +774,25 @@ class DistributedSearcher:
             for v, c in p[2].items():
                 facets[v] = facets.get(v, 0) + c
         return doc_ids[order], scores[order], facets
+
+    def hydrate_hits(self, doc_ids, scores) -> pa.Table:
+        """Distributed hit hydration: each shard actor resolves the ids
+        it owns from ITS OWN docmap slices (the per-shard _source fetch
+        ES does); partial rows merge on the driver in rank order. Same
+        output contract as the module-level `hydrate_hits`."""
+        import ray
+
+        ids = [int(d) for d in doc_ids]
+        parts = ray.get([a.hydrate_local.remote(ids) for a in self.actors])
+        by_id: dict[int, dict] = {}
+        for p in parts:
+            by_id.update(p)
+        rows = []
+        for rank, (d, s) in enumerate(zip(ids, scores), start=1):
+            r = dict(by_id.get(d, {}))
+            r.update({"rank": rank, "doc_id": d, "score": float(s)})
+            rows.append(r)
+        return pa.Table.from_pylist(rows)
 
     def shutdown(self):
         import ray
@@ -778,6 +882,79 @@ class MultiFieldSearcher:
         doc_ids = np.array([d for d, _ in items], dtype=np.int64)
         out = np.array([s for _, s in items], dtype=np.float64)
         return doc_ids, out
+
+
+class CrossFieldsSearcher:
+    """ES `multi_match` in `cross_fields` mode — the reference's actual
+    keyword-query type (`type: cross_fields, operator: and` over
+    id^10/description/name^3/attribute_keywords,
+    apiserver/search/__init__.py:67-79).
+
+    Term-centric blended scoring (Lucene BlendedTermQuery with the
+    default tie_breaker=0, i.e. dismax):
+      * per query term, document frequency is BLENDED across fields:
+        df_blended = max over fields of df_field(term), idf computed
+        from it once (term statistics comparable across fields);
+      * per (term, doc): score = max over fields of
+        boost_field * idf_blended * tfnorm_field(term, doc);
+      * document score = sum of per-term scores in lexicographic term
+        order (the engine-wide float discipline);
+      * operator='and': the doc must contain EVERY query term in at
+        least one field (cross-field conjunction).
+
+    All fields must index the same corpus (shared content-derived
+    docIDs, index/docid.py) with the same analyzer.
+    """
+
+    def __init__(self, fields: dict[str, tuple[str, float]]):
+        # fields: name -> (index_dir, boost); name-sorted for determinism
+        self.fields = {
+            name: (Searcher(d), boost) for name, (d, boost) in sorted(fields.items())
+        }
+
+    def search(self, query: str, k: int = 10, operator: str = "and"):
+        first_searcher = next(iter(self.fields.values()))[0]
+        n_docs = first_searcher.n_docs
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        terms = sorted(set(tokenize_text(query, first_searcher.analyzer)))
+        if not terms:
+            return empty
+        term_docs_list: list[np.ndarray] = []
+        term_score_list: list[np.ndarray] = []
+        for t in terms:  # lexicographic: the float-discipline sum order
+            df_b = max(s.dfs([t])[t] for s, _ in self.fields.values())
+            if df_b == 0:
+                if operator == "and":
+                    return empty
+                continue
+            idf_b = float(bm25_idf(float(df_b), n_docs))
+            docs_parts, contrib_parts = [], []
+            for name, (s, boost) in self.fields.items():  # name-sorted
+                d, tfn = s.term_tfnorms(t)
+                docs_parts.append(d)
+                contrib_parts.append(boost * idf_b * tfn)
+            d = np.concatenate(docs_parts)
+            c = np.concatenate(contrib_parts)
+            order = np.argsort(d, kind="stable")
+            d, c = d[order], c[order]
+            starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            term_docs_list.append(d[starts])
+            term_score_list.append(np.maximum.reduceat(c, starts))  # dismax
+        if not term_docs_list:
+            return empty
+        alld = np.concatenate(term_docs_list)
+        alls = np.concatenate(term_score_list)
+        order = np.argsort(alld, kind="stable")  # stable: term order per doc
+        alld, alls = alld[order], alls[order]
+        starts = np.flatnonzero(np.concatenate([[True], alld[1:] != alld[:-1]]))
+        docs_u = alld[starts]
+        counts = np.diff(np.append(starts, alld.size))
+        scores = np.add.reduceat(alls, starts)  # sums in term order per doc
+        if operator == "and":
+            keep = counts == len(term_docs_list)
+            docs_u, scores = docs_u[keep], scores[keep]
+        sel = np.lexsort((docs_u, -scores))[:k]
+        return docs_u[sel], scores[sel]
 
 
 def _prefix_upper_bound(prefix: str) -> str:

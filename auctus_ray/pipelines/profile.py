@@ -526,7 +526,11 @@ def orders_with_line_aggs(sf_dir: str):
         .groupby("l_orderkey")
         .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n_lines"))
     )
-    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    from auctus_ray.util import drop_schema_metadata
+
+    orders = drop_schema_metadata(
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    )
     joined = orders.join(
         line_aggs,
         "left_outer",

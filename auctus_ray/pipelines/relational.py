@@ -111,8 +111,10 @@ def revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000):
 
     if n_cust > broadcast_threshold:
         # shuffle path: orders hash-join customer, nation via broadcast
-        joined = orders.join(
-            cust_ds,
+        from auctus_ray.util import drop_schema_metadata
+
+        joined = drop_schema_metadata(orders).join(
+            drop_schema_metadata(cust_ds),
             "inner",
             num_partitions=join_partitions(32),
             on=("o_custkey",),
@@ -362,7 +364,9 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
             ),
             batch_format="pyarrow",
         )
-        joined = cust.join(
+        from auctus_ray.util import drop_schema_metadata
+
+        joined = drop_schema_metadata(cust).join(
             marked,
             "left_outer",
             num_partitions=join_partitions(32),

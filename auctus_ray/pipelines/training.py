@@ -35,8 +35,20 @@ from auctus_ray.functions.textstats import (
 
 
 def _docs(sf_dir: str, columns=None):
-    return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns
+    from auctus_ray.util import drop_schema_metadata
+
+    return drop_schema_metadata(
+        ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=columns
+        )
+    )
+
+
+def _embeddings(sf_dir: str):
+    from auctus_ray.util import drop_schema_metadata
+
+    return drop_schema_metadata(
+        ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     )
 
 
@@ -105,7 +117,7 @@ def ann_cosine_topk(sf_dir: str):
     """Brute-force cosine top-10 for query vectors (vec_id 0 and 1):
     broadcast query matrix, per-batch numpy matmul, local top-k, merge."""
     q = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _embeddings(sf_dir)
     out = brute_force_topk(ds, q, k=10)
 
     def round6(batch: pa.Table) -> pa.Table:
@@ -152,7 +164,7 @@ def near_dup_embeddings(sf_dir: str):
     PROBE vectors (copies of vec_id 0 and 1, negative ids, one lightly
     perturbed) are unioned in; the probe pairs (-1,0) and (-2,1) must
     always surface, making the check self-validating."""
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _embeddings(sf_dir)
     base = _query_vectors(sf_dir, vec_ids=(0, 1)).astype(np.float32)
     probe0 = base[0]
     probe1 = base[1] + np.float32(1e-3) * np.abs(base[1])  # cosine ~0.999+
@@ -197,7 +209,7 @@ def ann_ivf_topk(sf_dir: str):
     from auctus_ray.functions.ann import ivf_topk
 
     q = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _embeddings(sf_dir)
     out = ivf_topk(ds, q, k=10, n_centroids=16, nprobe=8)
 
     def round6(batch: pa.Table) -> pa.Table:
@@ -219,7 +231,7 @@ def ann_lsh_topk(sf_dir: str):
     multi-table hashing with corpus-adaptive plane count (buckets stay
     ~256 rows however big the corpus grows)."""
     q = _query_vectors(sf_dir)
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    ds = _embeddings(sf_dir)
     return lsh_topk(ds, q, k=10, n_tables=4)
 
 

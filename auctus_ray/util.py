@@ -69,6 +69,19 @@ def fs_checkpoint(ds, name_hint: str = "ckpt", base_dir: str | None = None):
     return ray.data.read_parquet(path)
 
 
+def drop_schema_metadata(ds):
+    """Strip Arrow schema metadata (e.g. the pandas metadata blob many
+    Parquet writers embed) from every block. Schemas whose metadata
+    defeats hashing break Ray's schema-hash deduplication inside
+    hash-shuffle stages and log 'Failed to hash the schemas' warnings;
+    a metadata-free schema is stable and hashable. Zero-copy."""
+    return ds.map_batches(
+        lambda t: t.replace_schema_metadata(None),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def join_partitions(requested: int) -> int:
     """Clamp Dataset.join partition count to the cluster size: the hash
     shuffle spawns aggregator ACTORS that each need a CPU slot, and

@@ -412,3 +412,54 @@ def test_manual_annotation_overrides(ray_session):
     assert prof2["structural_type"] == T_TEXT
     assert set(prof2["semantic_types"].split(";")) == {T_ID, T_CATEGORICAL}
     assert prof2["num_distinct_values"] == 4  # stats preserved
+
+
+def test_synonyms_from_file(ray_session, tmp_path):
+    """A Solr-format synonyms.txt (equivalence groups + explicit
+    mappings, the reference's docker/synonyms.txt format) loaded by
+    path gives the same results as the equivalent dict."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import Searcher, load_synonyms
+
+    rows = {
+        "repo": [f"r/{i}" for i in range(8)],
+        "path": [f"f{i}.py" for i in range(8)],
+        "commit": [f"c{i}" for i in range(8)],
+        "lang": ["python"] * 8,
+        "content": [
+            "the quick fox", "a fast fox", "a rapid fox", "slow snail",
+            "quick dog", "fast dog", "lazy cat", "speedy cat",
+        ],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    p = str(tmp_path / "synf.parquet")
+    pq.write_table(t, p)
+    idx = str(tmp_path / "synf_idx")
+    build_index([p], idx, n_shards=2)
+
+    syn_path = tmp_path / "synonyms.txt"
+    syn_path.write_text(
+        "# test synonyms (Solr format)\n"
+        "\n"
+        "quick, fast, rapid\n"
+        "speedy => fast\n"
+    )
+    loaded = load_synonyms(str(syn_path))
+    assert loaded["quick"] == ["fast", "rapid"]
+    assert loaded["fast"] == ["quick", "rapid"]
+    assert loaded["speedy"] == ["fast"]
+    assert "fast" in loaded and "speedy" not in loaded.get("fast", [])
+
+    s_file = Searcher(idx, synonyms=str(syn_path))
+    s_dict = Searcher(idx, synonyms={"quick": ["fast", "rapid"]})
+    d_f, sc_f = s_file.search("quick", k=8, operator="or")
+    d_d, sc_d = s_dict.search("quick", k=8, operator="or")
+    assert (d_f == d_d).all() and (sc_f == sc_d).all()
+    # the explicit mapping widens 'speedy' to the fast docs
+    plain = Searcher(idx)
+    d_sp, _ = s_file.search("speedy", k=8, operator="or")
+    d_pl, _ = plain.search("speedy", k=8, operator="or")
+    assert len(d_sp) > len(d_pl)

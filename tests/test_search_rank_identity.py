@@ -308,3 +308,130 @@ def test_filtered_wand_rank_identity(searcher, oracle_small):
         searcher, "_attr_cache", {}
     ).items():
         assert codes.size < searcher.n_docs  # shard slice, not global
+
+
+def test_cross_fields_blended_scoring(ray_session, tmp_path):
+    """ES cross_fields parity: blended df = max over fields, per-term
+    dismax across fields, AND = every term in >=1 field. Verified
+    bit-for-bit against a brute-force oracle computed from the
+    OracleIndex internals with the same formula."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.codec import bm25_idf
+    from auctus_ray.index.oracle import OracleIndex
+    from auctus_ray.index.search import CrossFieldsSearcher
+    from auctus_ray import B, K1
+
+    rows = {
+        "repo": [f"r/{i}" for i in range(8)],
+        "path": [
+            "search/engine.py", "search/index.py", "util/strings.py",
+            "core/engine.py", "core/loop.py", "docs/search.md",
+            "a/engine_test.py", "a/c.py",
+        ],
+        "commit": [f"c{i}" for i in range(8)],
+        "lang": ["python"] * 8,
+        "content": [
+            "the search engine indexes documents",
+            "index building for the engine",
+            "string utilities and helpers",
+            "engine core loop",
+            "event loop internals",
+            "how search works in the engine",
+            "tests for the engine search paths",
+            "miscellaneous",
+        ],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    src = str(tmp_path / "cf.parquet")
+    pq.write_table(t, src)
+    idx_content = str(tmp_path / "cf_content")
+    idx_path = str(tmp_path / "cf_path")
+    build_index([src], idx_content, n_shards=2)
+    build_index([src], idx_path, n_shards=2, content_col="path")
+
+    cf = CrossFieldsSearcher(
+        {"content": (idx_content, 1.0), "path": (idx_path, 3.0)}
+    )
+
+    # oracle over OracleIndex internals, same blended formula
+    o_content = OracleIndex(t)
+    t_path = t.set_column(t.schema.get_field_index("content"), "content", t["path"])
+    o_path = OracleIndex(t_path)
+    oracles = [("content", o_content, 1.0), ("path", o_path, 3.0)]
+
+    def oracle_cross(query, k, operator):
+        terms = sorted(set(
+            __import__("auctus_ray.tokenize", fromlist=["tokenize_text"])
+            .tokenize_text(query, "code")
+        ))
+        per_doc: dict[int, list[float]] = {}
+        n_terms = 0
+        for term in terms:
+            df_b = max(len(o.postings.get(term, {})) for _, o, _ in oracles)
+            if df_b == 0:
+                if operator == "and":
+                    return np.empty(0, np.int64), np.empty(0, np.float64)
+                continue
+            n_terms += 1
+            idf_b = float(bm25_idf(float(df_b), o_content.n_docs))
+            best: dict[int, float] = {}
+            for _, o, boost in oracles:
+                for did, tf in o.postings.get(term, {}).items():
+                    dl = float(o._dl_by_doc[did])
+                    tfn = tf / (tf + K1 * (1.0 - B + B * dl / o.avgdl))
+                    v = boost * idf_b * tfn
+                    if v > best.get(did, -1.0):
+                        best[did] = v
+            for did, v in best.items():
+                per_doc.setdefault(did, []).append(v)
+        items = []
+        for did, vs in per_doc.items():
+            if operator == "and" and len(vs) != n_terms:
+                continue
+            s = 0.0
+            for v in vs:  # appended in term order
+                s += v
+            items.append((did, s))
+        items.sort(key=lambda x: (-x[1], x[0]))
+        items = items[:k]
+        return (
+            np.array([d for d, _ in items], np.int64),
+            np.array([s for _, s in items], np.float64),
+        )
+
+    for q in ("search engine", "engine", "search core loop", "engine util"):
+        for op in ("and", "or"):
+            d, s = cf.search(q, k=6, operator=op)
+            od, osc = oracle_cross(q, 6, op)
+            assert d.tolist() == od.tolist(), (q, op)
+            assert s.tolist() == osc.tolist(), (q, op)
+    # a doc matching all terms only ACROSS fields must survive AND:
+    # row 2 has 'util', 'strings', 'py' in its path but not in content
+    from auctus_ray.index.docid import assign_doc_ids_local
+
+    docid_row2 = int(assign_doc_ids_local(t)[2])
+    d, _ = cf.search("util strings py", k=8, operator="and")
+    assert docid_row2 in d.tolist()
+
+
+def test_distributed_hydrate_matches_local(ray_session, built_index, searcher):
+    """DistributedSearcher.hydrate_hits (per-shard docmap slices) ==
+    module-level hydrate_hits (whole-docmap filtered read)."""
+    from auctus_ray.index.search import DistributedSearcher, hydrate_hits
+
+    d, s = searcher.search("license", k=8, operator="or")
+    assert d.size > 0
+    local = hydrate_hits(built_index.index_dir, d, s)
+    ds = DistributedSearcher(built_index.index_dir, n_actors=2)
+    try:
+        dist = ds.hydrate_hits(d, s)
+    finally:
+        ds.shutdown()
+    lp = local.to_pandas().sort_index(axis=1)
+    dp = dist.to_pandas().sort_index(axis=1)
+    assert list(lp.columns) == list(dp.columns)
+    assert lp.equals(dp)
