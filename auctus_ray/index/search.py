@@ -282,12 +282,26 @@ class Searcher:
         # value is a Solr-format synonyms.txt path (load_synonyms).
         if isinstance(synonyms, str):
             synonyms = load_synonyms(synonyms)
-        self.synonyms = synonyms or {}
         self.index_dir = index_dir
         gs = pq.read_table(os.path.join(index_dir, "global_stats.parquet"))
         self.n_docs = int(gs["n_docs"][0].as_py())
         self.avgdl = float(gs["avgdl"][0].as_py())
         self.analyzer = gs["analyzer"][0].as_py()
+        # Keys are looked up by ANALYZED query token, so normalize each
+        # entry key through the index analyzer (ES analyzes synonym_graph
+        # entries with the same chain) — a raw 'Quick'/'speedy' key would
+        # otherwise never match the lowercased/stemmed token. Expansion
+        # VALUES stay raw: search() re-tokenizes them at query time.
+        # Multi-token keys are term-level inexpressible and kept as-is
+        # (inert), matching the term-level expansion simplification.
+        norm: dict[str, list[str]] = {}
+        for key, exps in (synonyms or {}).items():
+            toks = tokenize_text(key, self.analyzer)
+            nk = toks[0] if len(toks) == 1 else key
+            norm.setdefault(nk, []).extend(
+                e for e in exps if e not in norm.get(nk, ())
+            )
+        self.synonyms = norm
         self.n_shards = int(gs["n_shards"][0].as_py())
         self.shard_files = sorted(
             glob.glob(os.path.join(index_dir, "postings", "shard=*.parquet"))
@@ -709,20 +723,21 @@ class _ShardGroupSearcher:
         out: dict[int, dict] = {}
         if not doc_ids:
             return out
-        ids = pa.array(sorted(set(int(d) for d in doc_ids)), pa.int64())
+        ids = sorted(set(int(d) for d in doc_ids))
         for sf in self.searcher.shard_files:
             bucket = os.path.basename(sf).split("=", 1)[1].split(".", 1)[0]
             dm = os.path.join(
                 self.searcher.index_dir, "docmap", f"bucket={bucket}.parquet"
             )
-            schema_names = pq.read_schema(dm).names
+            dset = pads.dataset(dm, format="parquet")
             cols = [
                 c
                 for c in ("doc_id", "repo", "path", "commit", "lang", "snippet")
-                if c in schema_names
+                if c in dset.schema.names
             ]
-            tbl = pq.read_table(dm, columns=cols)
-            tbl = tbl.filter(pc.is_in(tbl["doc_id"], value_set=ids))
+            # filter pushed into the scan: row groups without requested
+            # ids are pruned, snippet payloads of non-hits never load
+            tbl = dset.to_table(columns=cols, filter=pc.field("doc_id").isin(ids))
             for r in tbl.to_pylist():
                 out[int(r["doc_id"])] = r
         return out
@@ -832,9 +847,14 @@ class MultiFieldSearcher:
     exactly. Accumulation order: fields sorted by name, then the field's
     own term-sorted discipline — mirrored by the test oracle.
 
-    Scale note: exact multi-field top-k needs full per-field score maps;
-    at 10^12 scale this becomes a per-shard fan-out like
-    DistributedSearcher with a blockwise upper-bound prune.
+    EXACT at any size (round-3 rewrite): instead of retrieving each
+    field's top-10000 (whose cap silently truncated dense fields), the
+    query terms' postings are fully decoded per field (term_tfnorms) and
+    the per-doc sums are vectorized reduceats — cost O(postings of the
+    query terms), the same as the scan path, with no cap. At 10^12 scale
+    this becomes a per-shard fan-out like DistributedSearcher.
+    The reference's actual query type (`cross_fields`) lives in
+    CrossFieldsSearcher; this class is the `most_fields` variant.
     """
 
     def __init__(self, fields: dict[str, tuple[str, float]]):
@@ -844,44 +864,59 @@ class MultiFieldSearcher:
         }
 
     def search(self, query: str, k: int = 10, operator: str = "or"):
-        scores: dict[int, float] = {}
-        seen_per_field: list[set] = []
+        first_searcher = next(iter(self.fields.values()))[0]
+        empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
+        terms = sorted(set(tokenize_text(query, first_searcher.analyzer)))
+        if not terms:
+            return empty
+        field_docs: list[np.ndarray] = []
+        field_scores: list[np.ndarray] = []
+        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in terms}
         for name, (searcher, boost) in self.fields.items():  # name-sorted
-            d, s = searcher.search(query, k=10000, operator="or")
-            if len(d) >= 10000:
-                # exactness requires the field's FULL score map; the 10k
-                # retrieval cap silently truncates beyond this point
-                import warnings
-
-                warnings.warn(
-                    f"MultiFieldSearcher: field {name!r} hit the 10000-doc "
-                    "retrieval cap; scores beyond the cap are dropped and "
-                    "the merged top-k may be inexact",
-                    RuntimeWarning,
-                    stacklevel=2,
-                )
-            seen_per_field.append(set(d.tolist()))
-            for did, sc in zip(d.tolist(), s.tolist()):
-                scores[did] = scores.get(did, 0.0) + boost * sc
+            dfs = searcher.dfs(terms)
+            docs_parts, contrib_parts = [], []
+            for t in terms:  # sorted: the field's term-order discipline
+                if dfs[t] == 0:
+                    continue
+                d, tfn = searcher.term_tfnorms(t)
+                idf = float(bm25_idf(float(dfs[t]), searcher.n_docs))
+                docs_parts.append(d)
+                contrib_parts.append(idf * tfn)
+                per_term_docs[t].append(d)
+            if not docs_parts:
+                continue
+            d = np.concatenate(docs_parts)
+            c = np.concatenate(contrib_parts)
+            order = np.argsort(d, kind="stable")  # stable: term order per doc
+            d, c = d[order], c[order]
+            starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
+            field_docs.append(d[starts])
+            field_scores.append(boost * np.add.reduceat(c, starts))
+        if not field_docs:
+            return empty
+        alld = np.concatenate(field_docs)
+        alls = np.concatenate(field_scores)
+        order = np.argsort(alld, kind="stable")  # stable: field order per doc
+        alld, alls = alld[order], alls[order]
+        starts = np.flatnonzero(np.concatenate([[True], alld[1:] != alld[:-1]]))
+        docs_u = alld[starts]
+        scores = np.add.reduceat(alls, starts)
         if operator == "and":
-            # cross-fields conjunction: every query term must appear in at
-            # least one field of the doc (terms analyzed per field)
-            any_searcher = next(iter(self.fields.values()))[0]
-            terms = sorted(set(tokenize_text(query, any_searcher.analyzer)))
-            per_term_docs = []
+            # cross-fields conjunction: every query term must appear in
+            # at least one field of the doc
+            from auctus_ray.util import sorted_membership
+
+            keep = np.ones(docs_u.size, dtype=bool)
             for t in terms:
-                docs_t: set[int] = set()
-                for _, (srch, _) in self.fields.items():
-                    docs_t |= srch.term_docs(t)
-                per_term_docs.append(docs_t)
-            keep = set(scores)
-            for docs_t in per_term_docs:
-                keep &= docs_t
-            scores = {d: s for d, s in scores.items() if d in keep}
-        items = sorted(scores.items(), key=lambda x: (-x[1], x[0]))[:k]
-        doc_ids = np.array([d for d, _ in items], dtype=np.int64)
-        out = np.array([s for _, s in items], dtype=np.float64)
-        return doc_ids, out
+                parts = per_term_docs[t]
+                if not parts:
+                    return empty
+                tdocs = np.unique(np.concatenate(parts))
+                hit, _ = sorted_membership(tdocs, docs_u)
+                keep &= hit
+            docs_u, scores = docs_u[keep], scores[keep]
+        sel = np.lexsort((docs_u, -scores))[:k]
+        return docs_u[sel], scores[sel]
 
 
 class CrossFieldsSearcher:
@@ -921,8 +956,12 @@ class CrossFieldsSearcher:
             return empty
         term_docs_list: list[np.ndarray] = []
         term_score_list: list[np.ndarray] = []
+        # one batched term_stats scan per field, not one per (term, field)
+        field_dfs = {
+            name: s.dfs(terms) for name, (s, _) in self.fields.items()
+        }
         for t in terms:  # lexicographic: the float-discipline sum order
-            df_b = max(s.dfs([t])[t] for s, _ in self.fields.values())
+            df_b = max(dfs[t] for dfs in field_dfs.values())
             if df_b == 0:
                 if operator == "and":
                     return empty

@@ -572,6 +572,7 @@ def customer_order_aggs_spec(sf_dir: str):
     import ray
 
     from auctus_ray.functions.augment import aggregate_join
+    from auctus_ray.pipelines.relational import _cents as _rel_cents
 
     orders = ray.data.read_parquet(
         f"{sf_dir}/orders.parquet",
@@ -581,9 +582,7 @@ def customer_order_aggs_spec(sf_dir: str):
             {
                 "o_custkey": b["o_custkey"],
                 "o_orderkey": pc.cast(b["o_orderkey"], pa.int64()),
-                "price_cents": pc.cast(
-                    pc.round(pc.multiply(b["o_totalprice"], 100.0)), pa.int64()
-                ),
+                "price_cents": _rel_cents(b["o_totalprice"]),
                 "o_orderstatus": b["o_orderstatus"],
             }
         ),

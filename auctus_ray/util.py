@@ -48,16 +48,25 @@ def fs_checkpoint(ds, name_hint: str = "ckpt", base_dir: str | None = None):
     intermediate is consumed more than once: the blocks land on the
     filesystem (zstd Parquet, one file per block — resumable layout)
     instead of pinning the whole explode in the object store, and each
-    consumer re-reads with column pruning. Files live under /tmp scratch
-    (or `base_dir`) and are best-effort cleaned at process exit.
+    consumer re-reads with column pruning.
+
+    MULTI-NODE REQUIREMENT: write tasks run on arbitrary workers, so
+    the checkpoint directory must be visible from every node AND the
+    driver — on a real cluster point `base_dir` (or the
+    `AUCTUS_CKPT_DIR` env var) at shared storage (the same place the
+    index build writes its bucket shuffle files). The `/tmp` default is
+    only correct on this single-node sandbox. Files are best-effort
+    cleaned at process exit.
     """
     import atexit
+    import os
     import shutil
     import tempfile
 
     import ray
 
-    path = tempfile.mkdtemp(prefix=f"auctus_{name_hint}_", dir=base_dir or "/tmp")
+    root = base_dir or os.environ.get("AUCTUS_CKPT_DIR") or "/tmp"
+    path = tempfile.mkdtemp(prefix=f"auctus_{name_hint}_", dir=root)
     ds.write_parquet(path, compression="zstd")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
     import glob as _glob

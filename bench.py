@@ -250,7 +250,13 @@ def run_build_only() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same build at N and 4N CPUs in fresh processes (two 'cluster sizes')."""
+    """Same build at N and 4N CPUs in fresh processes (two 'cluster
+    sizes'). This VM's overall speed DRIFTS on the timescale of single
+    runs (observed 211-296 s for identical 2-CPU builds in one session),
+    so naive best-of pairing mixes machine states. Protocol: alternate
+    hi, lo, hi, lo, hi; estimate each lo run against the MEAN of its two
+    bracketing hi runs (same drift window on both sides); report the
+    MEDIAN of the per-lo estimates plus every raw sample."""
     global BENCH_DOCS
     BENCH_DOCS = int(os.environ.get("GRAFT_SCALE_DOCS", str(max(BENCH_DOCS, 1280000))))
     _init_ray()
@@ -275,30 +281,39 @@ def run_scaling() -> dict:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
-    # warm OS page cache with an untimed low-cpu run? The corpus is small;
-    # the first subprocess warms it for the second — run lo first, then hi,
-    # then lo again and keep the better lo (cache-fair).
-    r_lo1 = sub(lo)
-    r_hi1 = sub(hi)
-    r_lo2 = sub(lo)
-    r_hi2 = sub(hi)
-    t_lo = min(r_lo1["value"], r_lo2["value"])
-    t_hi = min(r_hi1["value"], r_hi2["value"])
-    r_lo2 = r_lo1 if r_lo1["value"] <= r_lo2["value"] else r_lo2
-    r_hi = r_hi1 if r_hi1["value"] <= r_hi2["value"] else r_hi2
-    eff = (t_lo / t_hi) / (hi / lo)
+    n_lo = max(1, int(os.environ.get("GRAFT_SCALE_REPEATS", "2")))
+    samples = {"lo": [], "hi": []}
+    for _ in range(n_lo):
+        samples["hi"].append(sub(hi)["value"])
+        samples["lo"].append(sub(lo)["value"])
+    samples["hi"].append(sub(hi)["value"])
+
+    # sandwich estimates: lo_i vs mean(hi_i, hi_{i+1})
+    ests = []
+    for i in range(n_lo):
+        t_lo = samples["lo"][i]
+        t_hi = (samples["hi"][i] + samples["hi"][i + 1]) / 2
+        ests.append((t_lo / t_hi) / (hi / lo))
+    ests_sorted = sorted(ests)
+    eff = ests_sorted[len(ests_sorted) // 2] if len(ests_sorted) % 2 else (
+        ests_sorted[len(ests_sorted) // 2 - 1] + ests_sorted[len(ests_sorted) // 2]
+    ) / 2
     result = {
         "metric": "indexing-throughput scaling (two parallelism levels)",
         "value": round(eff, 3),
         "unit": "efficiency",
         "cpus_lo": lo,
         "cpus_hi": hi,
-        "sec_lo": t_lo,
-        "sec_hi": t_hi,
-        "docs_per_sec_lo": r_lo2.get("docs_per_sec"),
-        "docs_per_sec_hi": r_hi.get("docs_per_sec"),
+        "sec_lo": min(samples["lo"]),
+        "sec_hi": min(samples["hi"]),
+        "samples_lo_sec": samples["lo"],
+        "samples_hi_sec": samples["hi"],
+        "sandwich_estimates": [round(e, 3) for e in ests],
+        "docs_per_sec_lo": round(BENCH_DOCS / min(samples["lo"]), 1),
+        "docs_per_sec_hi": round(BENCH_DOCS / min(samples["hi"]), 1),
         "n_docs": BENCH_DOCS,
         "scaling_efficiency": round(eff, 3),
+        "protocol": "alternating hi/lo; each lo vs mean of bracketing hi runs; median",
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:
