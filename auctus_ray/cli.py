@@ -261,6 +261,26 @@ def cmd_joinsearch(args) -> int:
     return 0
 
 
+def cmd_ingest(args) -> int:
+    """Sniff a tabular file's format, print the conversion plan, and
+    (optionally) convert it to Parquet — the reference's
+    detect_format_convert_to_csv chain (detect.py:25-193)."""
+    import json as _json
+
+    from auctus_ray.sources.ingest import ingest_to_parquet, sniff_format
+
+    plan = sniff_format(args.input)
+    print(_json.dumps(plan))
+    if args.out:
+        import ray
+
+        if not ray.is_initialized():
+            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        ds, _ = ingest_to_parquet(args.input, args.out)
+        print(f"wrote {ds.count()} rows to {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -317,6 +337,13 @@ def main(argv=None) -> int:
     )
     js.add_argument("--sf-dir", required=True)
     js.set_defaults(fn=cmd_joinsearch)
+
+    ing = sub.add_parser(
+        "ingest", help="sniff a tabular file's format; optionally convert to Parquet"
+    )
+    ing.add_argument("input", help="path to a csv/tsv/parquet/... file")
+    ing.add_argument("--out", help="output Parquet directory (omit to only sniff)")
+    ing.set_defaults(fn=cmd_ingest)
 
     args = p.parse_args(argv)
     try:

@@ -1,0 +1,205 @@
+"""Format sniffing + conversion chain for tabular ingestion (S2/S3/S4).
+
+Re-expresses the reference's detect-and-convert pipeline
+(lib_materialize/datamart_materialize/detect.py:25-193) Ray-Data-first:
+instead of rewriting files to CSV at each step, the sniffer produces a
+CONVERSION PLAN (the reference's `materialize['convert']` entries) and
+`read_table_auto` maps the plan onto ONE distributed read — Parquet
+directly, delimited text via `ray.data.read_csv` with the detected
+delimiter and the garbage-header skip pushed into the Arrow CSV reader
+(no intermediate file materialization).
+
+Formats whose decoders are not in this environment (XLSX/XLS zip+XML,
+SPSS, Stata — reference excel.py/spss.py/stata.py delegate to openpyxl/
+xlrd/pyreadstat) are DETECTED by the same magic bytes and fail fast
+with `ConversionUnavailable`, mirroring the honest-stub pattern of
+functions/multimodal.py.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import itertools
+import os
+
+# the reference's sniffer candidate delimiters (detect.py:22)
+DELIMITERS = ",\t;|"
+# consistent-run constants (lib_profiler core.py:41-44)
+MAX_SKIPPED_ROWS = 6
+HEADER_CONSISTENT_ROWS = 4
+
+_MAGIC_FORMATS = (
+    # (prefix bytes, identifier) — detect.py:39-92
+    (b"PK\x03\x04", "xlsx"),
+    (b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "xls"),
+    (b"PAR1", "parquet"),
+    (b"<stata_dta>", "stata"),
+    (b"\x73\x01\x01\x00", "stata"),
+    (b"\x73\x02\x01\x00", "stata"),
+    (b"\x72\x01\x01\x00", "stata"),
+    (b"\x72\x02\x01\x00", "stata"),
+    (b"\x71\x01\x01\x01", "stata"),
+    (b"\x71\x02\x01\x01", "stata"),
+    (b"\xc1\xe2\xc3\xc9", "spss"),
+    (b"$FL2", "spss"),
+    (b"$FL3", "spss"),
+)
+
+
+class ConversionUnavailable(NotImplementedError):
+    """Format detected but its decoder is not in this environment."""
+
+
+def count_rows_to_skip(fileobj) -> int:
+    """Non-data rows (titles, notes) before the real header: the first
+    run of HEADER_CONSISTENT_ROWS consecutive rows with a stable column
+    count wins (reference count_rows_to_skip, lib_profiler
+    core.py:135-173 — same constants, same stabilization rule)."""
+    if isinstance(fileobj, (str, os.PathLike)):
+        with open(fileobj, newline="") as f:
+            return count_rows_to_skip(f)
+    reader = csv.reader(fileobj)
+    run_start = 0
+    run_cols = None
+    run_len = 0
+    for i, row in enumerate(
+        itertools.islice(reader, MAX_SKIPPED_ROWS + HEADER_CONSISTENT_ROWS)
+    ):
+        if len(row) == run_cols:
+            run_len += 1
+            if run_len == HEADER_CONSISTENT_ROWS:
+                return run_start
+        else:
+            run_start = i
+            run_cols = len(row)
+            run_len = 1
+    return run_start
+
+
+def sniff_format(path: str) -> dict:
+    """Detect the file format and build the conversion plan — the
+    reference's `materialize['convert']` chain (detect.py:25-193).
+
+    Returns {"format": str, "convert": [entries...]} where entries
+    mirror the reference identifiers: `xlsx`/`xls`/`parquet`/`stata`/
+    `spss`, `tsv` (with `separator`), `skip_rows` (with `nb_rows`).
+    """
+    with open(path, "rb") as fp:
+        magic = fp.read(16)
+    plan: list[dict] = []
+    fmt = "csv"
+    for prefix, ident in _MAGIC_FORMATS:
+        if magic[: len(prefix)] == prefix:
+            fmt = ident
+            plan.append({"identifier": ident})
+            break
+    if fmt != "csv":
+        return {"format": fmt, "convert": plan}
+
+    # delimiter sniff over >=3 lines / <=5 MB sample (detect.py:95-125)
+    with open(path, "r", newline="", errors="replace") as fp:
+        sample = fp.read(65536)
+        newlines = sample.count("\n")
+        while newlines < 3 and len(sample) < 5_242_880:
+            more = fp.read(65536)
+            if not more:
+                break
+            sample += more
+            newlines += more.count("\n")
+    delimiter = ","
+    if newlines >= 3:
+        # the reference sniffs the raw sample only (detect.py:106-114),
+        # which fails when garbage title lines precede a non-comma
+        # table; improvement: retry with leading lines dropped (up to
+        # the same MAX_SKIPPED_ROWS budget the skip detector uses)
+        lines = sample.splitlines(keepends=True)
+        for drop in range(0, min(MAX_SKIPPED_ROWS, max(0, len(lines) - 3)) + 1):
+            try:
+                delimiter = csv.Sniffer().sniff(
+                    "".join(lines[drop:]), DELIMITERS
+                ).delimiter
+                break
+            except csv.Error:
+                continue
+    if delimiter != ",":
+        plan.append({"identifier": "tsv", "separator": delimiter})
+
+    # garbage-header skip, evaluated with the detected delimiter
+    reader_like = io.StringIO(sample)
+    nb = _count_rows_to_skip_delim(reader_like, delimiter)
+    if nb > 0:
+        plan.append({"identifier": "skip_rows", "nb_rows": nb})
+    return {"format": "csv", "convert": plan}
+
+
+def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
+    reader = csv.reader(fileobj, delimiter=delimiter)
+    run_start = 0
+    run_cols = None
+    run_len = 0
+    for i, row in enumerate(
+        itertools.islice(reader, MAX_SKIPPED_ROWS + HEADER_CONSISTENT_ROWS)
+    ):
+        if len(row) == run_cols:
+            run_len += 1
+            if run_len == HEADER_CONSISTENT_ROWS:
+                return run_start
+        else:
+            run_start = i
+            run_cols = len(row)
+            run_len = 1
+    return run_start
+
+
+def read_table_auto(path: str, columns: list[str] | None = None):
+    """ONE distributed read implementing the sniffed conversion plan:
+    Parquet reads natively; delimited text reads via `ray.data.read_csv`
+    with the detected delimiter and the garbage rows skipped inside the
+    Arrow CSV reader (the reference's skip_rows/tsv_to_csv rewrites,
+    common.py:10-30 + tsv.py:6-12, fused into read options — no
+    intermediate CSV files). Returns a ray.data.Dataset.
+    """
+    import pyarrow.csv as pacsv
+
+    import ray.data
+
+    from auctus_ray.util import drop_schema_metadata
+
+    plan = sniff_format(path)
+    fmt = plan["format"]
+    if fmt == "parquet":
+        return drop_schema_metadata(ray.data.read_parquet(path, columns=columns))
+    if fmt != "csv":
+        raise ConversionUnavailable(
+            f"{fmt!r} detected by magic bytes, but its decoder "
+            f"(reference {fmt}.py) needs a library not present in this "
+            "environment"
+        )
+    delimiter = ","
+    nb_skip = 0
+    for entry in plan["convert"]:
+        if entry["identifier"] == "tsv":
+            delimiter = entry["separator"]
+        elif entry["identifier"] == "skip_rows":
+            nb_skip = entry["nb_rows"]
+    ds = ray.data.read_csv(
+        path,
+        read_options=pacsv.ReadOptions(skip_rows=nb_skip),
+        parse_options=pacsv.ParseOptions(delimiter=delimiter),
+    )
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def ingest_to_parquet(path: str, out_dir: str, columns: list[str] | None = None):
+    """Sniff -> read -> write the engine's native format (the end state
+    of the reference's conversion chain, with Parquet instead of CSV as
+    the canonical format). Returns (dataset, plan)."""
+    plan = sniff_format(path)
+    ds = read_table_auto(path, columns=columns)
+    ds.write_parquet(out_dir, compression="zstd")
+    import ray.data
+
+    return ray.data.read_parquet(out_dir), plan
