@@ -77,6 +77,45 @@ def count_rows_to_skip(fileobj) -> int:
     return run_start
 
 
+def detect_pivot(columns: list[str]) -> dict | None:
+    """Pivoted-temporal-table detection (reference detect.py:146-192):
+    with >=3 columns, if all but at most max(2, 20%) of the column
+    NAMES parse as dates (or as 4-digit years), the table is a wide
+    pivot and should unpivot to (carried..., date, value) rows."""
+    if len(columns) < 3:
+        return None
+
+    def _is_date(name: str) -> bool:
+        if len(name) < 4:
+            return False
+        try:
+            from dateutil import parser as duparser
+
+            duparser.parse(name)
+            return True
+        except Exception:
+            return False
+
+    def _is_year(name: str, max_year: int = 2100) -> bool:
+        if len(name) != 4:
+            return False
+        try:
+            return 1900 <= int(name) <= max_year
+        except ValueError:
+            return False
+
+    non_dates = [i for i, n in enumerate(columns) if not _is_date(n)]
+    non_years = [i for i, n in enumerate(columns) if not _is_year(n)]
+    non_matches = min([non_dates, non_years], key=len)
+    if len(non_matches) <= max(2.0, 0.20 * len(columns)):
+        return {
+            "identifier": "pivot",
+            "except_columns": non_matches,
+            "date_label": "year" if non_matches is non_years else "date",
+        }
+    return None
+
+
 def sniff_format(path: str) -> dict:
     """Detect the file format and build the conversion plan — the
     reference's `materialize['convert']` chain (detect.py:25-193).
@@ -130,6 +169,18 @@ def sniff_format(path: str) -> dict:
     nb = _count_rows_to_skip_delim(reader_like, delimiter)
     if nb > 0:
         plan.append({"identifier": "skip_rows", "nb_rows": nb})
+
+    # pivoted-temporal-table detection over the real header row
+    try:
+        header = next(
+            csv.reader(io.StringIO(sample.splitlines(keepends=True)[nb]),
+                       delimiter=delimiter)
+        )
+    except (IndexError, StopIteration):
+        header = []
+    pivot = detect_pivot(header)
+    if pivot is not None:
+        plan.append(pivot)
     return {"format": "csv", "convert": plan}
 
 
@@ -178,16 +229,32 @@ def read_table_auto(path: str, columns: list[str] | None = None):
         )
     delimiter = ","
     nb_skip = 0
+    pivot = None
     for entry in plan["convert"]:
         if entry["identifier"] == "tsv":
             delimiter = entry["separator"]
         elif entry["identifier"] == "skip_rows":
             nb_skip = entry["nb_rows"]
+        elif entry["identifier"] == "pivot":
+            pivot = entry
     ds = ray.data.read_csv(
         path,
         read_options=pacsv.ReadOptions(skip_rows=nb_skip),
         parse_options=pacsv.ParseOptions(delimiter=delimiter),
     )
+    if pivot is not None:
+        # wide temporal layout -> (carried..., date, value) long rows
+        # (reference pivot.py via detect.py:176-191; Ray-side unpivot is
+        # the S5 operator, functions/augment.py:pivot_wide_to_long)
+        from auctus_ray.functions.augment import pivot_wide_to_long
+
+        names = ds.schema().names
+        keep = [names[i] for i in pivot["except_columns"]]
+        vals = [n for i, n in enumerate(names) if i not in set(pivot["except_columns"])]
+        ds = pivot_wide_to_long(
+            ds, carried_cols=keep, value_cols=vals,
+            var_name=pivot["date_label"], value_name="value",
+        )
     if columns:
         ds = ds.select_columns(columns)
     return ds

@@ -743,6 +743,19 @@ def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
     df = read_table_auto(str(hard)).to_pandas()
     assert list(df.columns) == ["id", "v"] and len(df) == 3
 
+    # pivoted temporal table: year columns unpivot to long rows
+    piv = tmp_path / "pivot.csv"
+    piv.write_text("region,2018,2019,2020\nN,1,2,3\nS,4,5,6\n")
+    plan = sniff_format(str(piv))
+    pivot_entries = [e for e in plan["convert"] if e["identifier"] == "pivot"]
+    # tie between non_dates and non_years resolves to 'date'
+    # (reference min([non_dates, non_years], key=len) tie order)
+    assert pivot_entries and pivot_entries[0]["date_label"] == "date"
+    assert pivot_entries[0]["except_columns"] == [0]
+    long_df = read_table_auto(str(piv)).to_pandas()
+    assert list(long_df.columns) == ["region", "date", "value"]
+    assert len(long_df) == 6 and long_df["value"].sum() == 21
+
     # end-to-end conversion chain to the native format
     out = tmp_path / "converted"
     ds2, plan2 = ingest_to_parquet(str(csv_path), str(out))
