@@ -131,19 +131,41 @@ def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
         return pa.table(data)
 
     partials = right_ds.map_batches(partial, batch_format="pyarrow")
-    if needs_first:
-        # partials are consumed twice (mergeable aggregate + first-value
-        # retrieval join): checkpoint once instead of recomputing
-        from auctus_ray.util import fs_checkpoint
 
-        partials = fs_checkpoint(partials, name_hint="aggjoin")
-
-    # merge of partials: fully VECTORIZED Ray aggregate (sum/count/min/
-    # max are mergeable; no per-group Python). `first` is resolved by
-    # one extra hash join of the winning (key, min order) partial rows.
+    # merge of partials: ONE Ray aggregate — sum/count/min/max via the
+    # built-in mergeable aggregates, `first` via a custom arg-min
+    # AggregateFn over the (local first-order, local first-value)
+    # partial pair (vectorized np.argmin per block; no extra join,
+    # no per-group Python)
+    from ray.data.aggregate import AggregateFn
     from ray.data.aggregate import Max as RMax
     from ray.data.aggregate import Min as RMin
     from ray.data.aggregate import Sum as RSum
+
+    def argmin_agg(order_name: str, value_name: str, out_name: str) -> AggregateFn:
+        def acc_block(a, block: pa.Table):
+            valid = block.filter(pc.is_valid(block[order_name]))
+            if valid.num_rows == 0:
+                return a
+            fo = valid[order_name].to_numpy(zero_copy_only=False)
+            i = int(np.argmin(fo))
+            cand = (int(fo[i]), valid[value_name][i].as_py())
+            return cand if a[0] is None or cand[0] < a[0] else a
+
+        def merge(a, b):
+            if a[0] is None:
+                return b
+            if b[0] is None:
+                return a
+            return a if a[0] <= b[0] else b
+
+        return AggregateFn(
+            init=lambda k: (None, None),
+            merge=merge,
+            name=out_name,
+            accumulate_block=acc_block,
+            finalize=lambda a: a[1],
+        )
 
     raggs = []
     for c, fs in spec.items():
@@ -156,45 +178,45 @@ def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
             raggs.append(RMin(f"mn__{c}", alias_name=f"mn__{c}"))
         if "max" in want:
             raggs.append(RMax(f"mx__{c}", alias_name=f"mx__{c}"))
-    if needs_first:
-        raggs.append(RMin("fo__", alias_name="fo_min"))
+        if "first" in want:
+            raggs.append(argmin_agg("fo__", f"fv__{c}", f"fv__{c}"))
     merged = partials.groupby(right_on).aggregate(*raggs)
 
     nparts = join_partitions(num_partitions)
-    if needs_first:
-        fv_cols = [f"fv__{c}" for c, fs in spec.items() if "first" in fs]
-        firsts = partials.select_columns([right_on, "fo__"] + fv_cols)
-        merged = merged.join(firsts, "inner", num_partitions=nparts, on=(right_on,))
 
-        def keep_winner(t: pa.Table) -> pa.Table:
-            # the partial whose local first-order equals the global min
-            # order holds the group's first value (order_col is unique
-            # per key, so exactly one partial row wins)
-            sub = t.filter(pc.equal(t["fo__"], t["fo_min"]))
-            return sub.drop_columns(["fo__", "fo_min"])
-
-        merged = merged.map_batches(keep_winner, batch_format="pyarrow")
+    rschema = right_ds.schema()
+    rtypes = {n: t for n, t in zip(rschema.names, rschema.types)}
 
     def finalize(t: pa.Table) -> pa.Table:
+        def typed(col, want):
+            # all-null agg outputs infer Arrow `null`, which Acero (the
+            # join kernel) rejects as a non-key field — pin the dtype
+            return pc.cast(col, want) if col.type != want else col
+
+        def null_typed(col, fallback):
+            # pin only when inference degenerated to `null` (keeps the
+            # aggregate's widened sum type on the normal path)
+            return pc.cast(col, fallback) if pa.types.is_null(col.type) else col
+
         data = {right_on: t[right_on]}
         for c, fs in spec.items():
             for f in fs:
                 name = f"{f} {c}"
                 if f == "sum":
-                    data[name] = t[f"s__{c}"]
+                    data[name] = null_typed(t[f"s__{c}"], rtypes[c])
                 elif f == "count":
-                    data[name] = pc.cast(t[f"c__{c}"], pa.int64())
+                    data[name] = typed(t[f"c__{c}"], pa.int64())
                 elif f == "mean":
                     data[name] = pc.divide(
                         pc.cast(t[f"s__{c}"], pa.float64()),
                         pc.cast(t[f"c__{c}"], pa.float64()),
                     )
                 elif f == "min":
-                    data[name] = t[f"mn__{c}"]
+                    data[name] = typed(t[f"mn__{c}"], rtypes[c])
                 elif f == "max":
-                    data[name] = t[f"mx__{c}"]
+                    data[name] = typed(t[f"mx__{c}"], rtypes[c])
                 elif f == "first":
-                    data[name] = t[f"fv__{c}"]
+                    data[name] = typed(t[f"fv__{c}"], rtypes[c])
         return pa.table(data)
 
     merged = merged.map_batches(finalize, batch_format="pyarrow")

@@ -97,6 +97,13 @@ def join_partitions(requested: int) -> int:
     asking for more partitions than the cluster can host deadlocks a
     small (e.g. 4-CPU test) cluster. On a real multi-node cluster the
     requested count wins (size `requested` to total cluster cores / 2).
+
+    Known Ray 2.49 hazard (observed, not fixed here): a join partition
+    that receives ZERO blocks from one side builds a 0-column table and
+    Acero fails with "No match ... for key field". Keep join inputs
+    schema-stable and avoid far-more-partitions-than-keys layouts;
+    aggregation-of-tiny-inputs paths should avoid a join entirely (see
+    functions/augment.py's custom arg-min AggregateFn).
     """
     import ray
 

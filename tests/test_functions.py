@@ -760,3 +760,49 @@ def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
     out = tmp_path / "converted"
     ds2, plan2 = ingest_to_parquet(str(csv_path), str(out))
     assert ds2.count() == 4 and plan2["format"] == "csv"
+
+
+def test_aggregate_join_null_semantics(ray_session):
+    """Reference agg semantics (augmentation.py:234-257): sum/mean/max/
+    min are null for all-null groups (NaN-preserving _sum/np.mean),
+    count counts non-null, first takes the row at min order even when
+    its value is null, unmatched left rows keep nulls."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from auctus_ray.functions.augment import aggregate_join
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64())})
+    )
+    right = ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([1, 1, 2, 2], pa.int64()),
+                "ord": pa.array([10, 20, 5, 6], pa.int64()),
+                "v": pa.array([None, 7, None, None], pa.int64()),
+            }
+        )
+    )
+    out = (
+        aggregate_join(
+            left, right, left_on="k", right_on="k",
+            agg_spec={"v": ["sum", "mean", "min", "max", "count", "first"]},
+            order_col="ord",
+        )
+        .to_pandas()
+        .set_index("k")
+        .sort_index()
+    )
+    # k=1: one null + one 7 -> sum 7, mean 7.0, count 1, first = null (row ord=10)
+    assert out.loc[1, "sum v"] == 7 and out.loc[1, "count v"] == 1
+    assert out.loc[1, "mean v"] == 7.0
+    assert pd.isna(out.loc[1, "first v"])
+    # k=2: all-null group -> NaN-preserving aggregates, count 0
+    assert pd.isna(out.loc[2, "sum v"]) and pd.isna(out.loc[2, "mean v"])
+    assert pd.isna(out.loc[2, "min v"]) and pd.isna(out.loc[2, "max v"])
+    assert out.loc[2, "count v"] == 0
+    # k=3: unmatched left row -> all nulls
+    assert out.loc[3].isna().all()
