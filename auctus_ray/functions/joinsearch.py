@@ -176,6 +176,7 @@ def exact_containment_scores(
     cand_values_ds,
     max_candidates: int = MAX_LAZO_CANDIDATES,
     catalog: list[tuple[str, str]] | None = None,
+    broadcast_threshold: int = 5_000_000,
 ) -> pa.Table:
     """Exact containment of the query column in EVERY candidate column
     in one Dataset pipeline.
@@ -193,13 +194,61 @@ def exact_containment_scores(
     import ray
     from ray.data.aggregate import Count, Sum
 
+    from auctus_ray.util import join_partitions
+
+    # thresholded broadcast-vs-join planner (same shape as the dedup
+    # hot-bucket filter): the query column's distinct set is a growing
+    # quantity, so count it DISTRIBUTED first and only pull it to the
+    # driver while bounded; beyond the threshold the membership runs as
+    # a hash semi-join and no value array ever leaves the cluster (the
+    # reference's big-vs-big path is the Lazo SKETCH instead).
+    nq = query_distinct_ds.count()
+    if nq == 0:
+        return _rank_and_cap([], max_candidates)
+    if nq > broadcast_threshold:
+        qd = query_distinct_ds.map_batches(
+            lambda t: pa.table({"value": pc.cast(t["value"], pa.string())}),
+            batch_format="pyarrow",
+        )
+
+        def dedup_local(batch: pa.Table) -> pa.Table:
+            g = batch.group_by(["dataset_id", "column_name", "value"]).aggregate([])
+            return pa.table(
+                {
+                    "dataset_id": g["dataset_id"],
+                    "column_name": g["column_name"],
+                    "value": pc.cast(g["value"], pa.string()),
+                }
+            )
+
+        cand_dist = (
+            cand_values_ds.map_batches(dedup_local, batch_format="pyarrow")
+            .groupby(["dataset_id", "column_name", "value"])
+            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+        )
+        hits = (
+            cand_dist.join(
+                qd, "inner",
+                num_partitions=join_partitions(32),
+                on=("value",),
+            )
+            .groupby(["dataset_id", "column_name"])
+            .aggregate(Count(alias_name="hits"))
+            .take_all()  # one row per catalog column — bounded
+        )
+        scored = {
+            (r["dataset_id"], r["column_name"]): int(r["hits"] or 0) / nq
+            for r in hits
+        }
+        rows = [(d, c, s) for (d, c), s in scored.items()]
+        if catalog is not None:
+            rows += [(d, c, 0.0) for (d, c) in catalog if (d, c) not in scored]
+        return _rank_and_cap(rows, max_candidates)
+
     qvals = np.asarray(
         [r["value"] for r in query_distinct_ds.take_all()], dtype=object
     ).astype(str)
     qvals.sort()
-    nq = qvals.size
-    if nq == 0:
-        return _rank_and_cap([], max_candidates)
     ref = ray.put(qvals)
 
     # only HITS shuffle: a candidate value outside Q contributes nothing

@@ -163,3 +163,28 @@ def test_bbox_overlap_scores(ray_session):
     assert got2["inside"] == pytest.approx(4.0 / cov)
     # partial intersects both: 2x2 with the first, 4x4 with the second
     assert got2["partial"] == pytest.approx((4.0 + 16.0) / cov)
+
+
+def test_containment_join_path_matches_broadcast(ray_session):
+    """broadcast_threshold=0 forces the hash-semi-join membership plan;
+    scores must equal the broadcast searchsorted plan exactly."""
+    from auctus_ray.pipelines.joinsearch import (
+        CATALOG,
+        QUERY_COL,
+        QUERY_TABLE,
+        _catalog_values,
+        _distinct,
+    )
+    from auctus_ray.functions.joinsearch import exact_containment_scores
+
+    sf = "/root/testdata/sf0.001"
+    q = _distinct(sf, QUERY_TABLE, QUERY_COL)
+    cat = [(t, c) for t, c in CATALOG if not (t == QUERY_TABLE and c == QUERY_COL)]
+    bcast = exact_containment_scores(
+        q, _catalog_values(sf), catalog=cat
+    ).to_pandas()
+    joined = exact_containment_scores(
+        _distinct(sf, QUERY_TABLE, QUERY_COL), _catalog_values(sf),
+        catalog=cat, broadcast_threshold=0,
+    ).to_pandas()
+    assert bcast.equals(joined)
