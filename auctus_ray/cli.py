@@ -261,6 +261,27 @@ def cmd_joinsearch(args) -> int:
     return 0
 
 
+def cmd_unionsearch(args) -> int:
+    """Ranked union-search candidates for a query table (J8 end-to-end:
+    fuzzy column matching + greedy assignment + dataset scoring)."""
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from auctus_ray.pipelines.unionsearch import union_search
+
+    t = union_search(
+        args.sf_dir, query_table=args.query_table, page=args.page, size=args.size
+    )
+    for r in t.to_pylist():
+        score = r["sum_sim_e9"] / (r["n_query_cols"] * 1e9)
+        print(
+            f"#{r['rank']:<3} {r['cand_table']:<12} score={score:.6f} "
+            f"pairs={r['n_pairs']} [{r['matched']}]"
+        )
+    return 0
+
+
 def cmd_ingest(args) -> int:
     """Sniff a tabular file's format, print the conversion plan, and
     (optionally) convert it to Parquet — the reference's
@@ -344,6 +365,15 @@ def main(argv=None) -> int:
     ing.add_argument("input", help="path to a csv/tsv/parquet/... file")
     ing.add_argument("--out", help="output Parquet directory (omit to only sniff)")
     ing.set_defaults(fn=cmd_ingest)
+
+    us = sub.add_parser(
+        "unionsearch", help="ranked unionable-table candidates for a query table"
+    )
+    us.add_argument("--sf-dir", required=True)
+    us.add_argument("--query-table", default="customer")
+    us.add_argument("--page", type=int, default=0)
+    us.add_argument("--size", type=int, default=50)
+    us.set_defaults(fn=cmd_unionsearch)
 
     args = p.parse_args(argv)
     try:
