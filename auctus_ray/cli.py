@@ -297,7 +297,7 @@ def cmd_ingest(args) -> int:
 
         if not ray.is_initialized():
             ray.init(address="local", include_dashboard=False, logging_level="ERROR")
-        ds, _ = ingest_to_parquet(args.input, args.out)
+        ds, _ = ingest_to_parquet(args.input, args.out, plan=plan)
         print(f"wrote {ds.count()} rows to {args.out}")
     return 0
 

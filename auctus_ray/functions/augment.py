@@ -121,7 +121,12 @@ def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
         if needs_first:
             aggs.append((order_col, "min"))
             names.append("fo__")
-        g = batch.select(read_cols).group_by(right_on).aggregate(aggs)
+        # use_threads=False when first is requested: the threaded hash
+        # aggregate documents NO stable scan order, which would break
+        # the sorted-batch "first" pairing (order_col min <-> value)
+        g = batch.select(read_cols).group_by(
+            right_on, use_threads=not needs_first
+        ).aggregate(aggs)
         # aggregate outputs come back in request order (named
         # "{col}_{agg}"); map them positionally onto our partial names
         data = {right_on: g[right_on]}
@@ -233,30 +238,41 @@ def aggregate_join(left_ds, right_ds, left_on: str, right_on: str,
 
 
 def pivot_wide_to_long(ds, carried_cols: list[str], value_cols: list[str],
-                       var_name: str = "date", value_name: str = "value"):
+                       var_name: str = "date", value_name: str = "value",
+                       value_cast: str = "float"):
     """S5 wide->long unpivot (reference pivot converter,
     lib_materialize/datamart_materialize/pivot.py:9-40: tables whose
     columns are dates/years become (carried..., date, value) rows).
     A flat_map-shaped map_batches: each input row emits one row per
-    value column."""
+    value column. value_cast: "float" (numeric tables) or "string"
+    (mixed/dirty cells carried through untouched, like the reference's
+    CSV rewriter)."""
     import pyarrow as pa
 
     def unpivot(batch: pa.Table) -> pa.Table:
         n = batch.num_rows
         k = len(value_cols)
         cols = {}
+        idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
         for c in carried_cols:
             col = batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c]
             # repeat each carried value k times (row-major explode)
-            idx = pa.array(np.repeat(np.arange(n, dtype=np.int64), k))
             cols[c] = col.take(idx)
         cols[var_name] = pa.array(value_cols * n, pa.string())
-        vals = [batch[vc] for vc in value_cols]
-        casted = [v.cast(pa.float64()) for v in vals]
-        stacked = np.empty(n * k, dtype=np.float64)
-        for j, v in enumerate(casted):
-            stacked[j::k] = v.to_numpy(zero_copy_only=False)
-        cols[value_name] = pa.array(stacked)
+        if value_cast == "string":
+            import pyarrow.compute as pc
+
+            casted = [pc.cast(batch[vc], pa.string()) for vc in value_cols]
+            stacked = np.empty(n * k, dtype=object)
+            for j, v in enumerate(casted):
+                stacked[j::k] = v.to_pylist()
+            cols[value_name] = pa.array(stacked, pa.string())
+        else:
+            casted = [batch[vc].cast(pa.float64()) for vc in value_cols]
+            stacked = np.empty(n * k, dtype=np.float64)
+            for j, v in enumerate(casted):
+                stacked[j::k] = v.to_numpy(zero_copy_only=False)
+            cols[value_name] = pa.array(stacked)
         return pa.table(cols)
 
     return ds.map_batches(unpivot, batch_format="pyarrow")

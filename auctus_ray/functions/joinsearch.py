@@ -224,7 +224,8 @@ def exact_containment_scores(
         cand_dist = (
             cand_values_ds.map_batches(dedup_local, batch_format="pyarrow")
             .groupby(["dataset_id", "column_name", "value"])
-            .map_groups(lambda g: g.slice(0, 1), batch_format="pyarrow")
+            .aggregate(Count(alias_name="_n"))
+            .select_columns(["dataset_id", "column_name", "value"])
         )
         hits = (
             cand_dist.join(

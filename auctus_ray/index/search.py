@@ -380,23 +380,32 @@ class Searcher:
                 out.update(int(x) for x in d)
         return out
 
-    def term_tfnorms(self, term: str) -> tuple[np.ndarray, np.ndarray]:
-        """(doc_ids, tfnorm) for every posting of `term` across shards —
-        the idf-free BM25 component tf/(tf + k1*(1-b+b*dl/avgdl)), used
-        by cross-field blended scoring where the idf is NOT this field's
-        own (CrossFieldsSearcher)."""
-        ds, ts = [], []
+    def terms_tfnorms(self, terms: list[str]) -> dict[str, tuple[np.ndarray, np.ndarray]]:
+        """{term: (doc_ids, tfnorm)} across shards — the idf-free BM25
+        component tf/(tf + k1*(1-b+b*dl/avgdl)), used by multi-field
+        scoring where the idf is applied separately. BATCHED: one
+        filtered postings read per shard covers every requested term
+        (not one read per (term, shard))."""
+        parts: dict[str, tuple[list, list]] = {t: ([], []) for t in terms}
         for sf in self.shard_files:
-            e = self._shard_postings(sf, [term]).get(term)
-            if e:
+            by_term = self._shard_postings(sf, list(terms))
+            for t, e in by_term.items():
                 d, tf, dl = decode_blocks_concat(e["blobs"], e["n"])
                 tf = tf.astype(np.float64)
                 dl = dl.astype(np.float64)
-                ds.append(d.astype(np.int64))
-                ts.append(tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
-        if not ds:
-            return np.empty(0, np.int64), np.empty(0, np.float64)
-        return np.concatenate(ds), np.concatenate(ts)
+                parts[t][0].append(d.astype(np.int64))
+                parts[t][1].append(tf / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
+        out = {}
+        for t, (ds, ts) in parts.items():
+            if ds:
+                out[t] = (np.concatenate(ds), np.concatenate(ts))
+            else:
+                out[t] = (np.empty(0, np.int64), np.empty(0, np.float64))
+        return out
+
+    def term_tfnorms(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Single-term convenience wrapper over terms_tfnorms."""
+        return self.terms_tfnorms([term])[term]
 
     # ---------------- search ----------------
 
@@ -849,12 +858,17 @@ class MultiFieldSearcher:
 
     EXACT at any size (round-3 rewrite): instead of retrieving each
     field's top-10000 (whose cap silently truncated dense fields), the
-    query terms' postings are fully decoded per field (term_tfnorms) and
-    the per-doc sums are vectorized reduceats — cost O(postings of the
-    query terms), the same as the scan path, with no cap. At 10^12 scale
-    this becomes a per-shard fan-out like DistributedSearcher.
-    The reference's actual query type (`cross_fields`) lives in
-    CrossFieldsSearcher; this class is the `most_fields` variant.
+    query terms' postings are fully decoded per field (terms_tfnorms,
+    one batched read per shard) and the per-doc sums are vectorized
+    reduceats — cost O(postings of the query terms), the same as the
+    scan path, with no cap. The query is analyzed PER FIELD, so fields
+    built with different analyzers score correctly; with mixed
+    analyzers the AND conjunction requires every per-field token form
+    somewhere in the doc (an approximation — ES applies AND per field).
+    At 10^12 scale this becomes a per-shard fan-out like
+    DistributedSearcher. The reference's actual query type
+    (`cross_fields`) lives in CrossFieldsSearcher; this class is the
+    `most_fields` variant.
     """
 
     def __init__(self, fields: dict[str, tuple[str, float]]):
@@ -866,23 +880,29 @@ class MultiFieldSearcher:
     def search(self, query: str, k: int = 10, operator: str = "or"):
         first_searcher = next(iter(self.fields.values()))[0]
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        terms = sorted(set(tokenize_text(query, first_searcher.analyzer)))
-        if not terms:
-            return empty
         field_docs: list[np.ndarray] = []
         field_scores: list[np.ndarray] = []
-        per_term_docs: dict[str, list[np.ndarray]] = {t: [] for t in terms}
+        # the query is analyzed PER FIELD (each field's own analyzer
+        # chain, as ES analyzes a multi_match per mapped field); the
+        # per-term docs for the AND filter are collected from whichever
+        # field(s) produced that token
+        per_term_docs: dict[str, list[np.ndarray]] = {}
         for name, (searcher, boost) in self.fields.items():  # name-sorted
-            dfs = searcher.dfs(terms)
+            terms_f = sorted(set(tokenize_text(query, searcher.analyzer)))
+            if not terms_f:
+                continue
+            dfs = searcher.dfs(terms_f)
+            live = [t for t in terms_f if dfs[t] > 0]
+            tfn_by_term = searcher.terms_tfnorms(live)
             docs_parts, contrib_parts = [], []
-            for t in terms:  # sorted: the field's term-order discipline
-                if dfs[t] == 0:
-                    continue
-                d, tfn = searcher.term_tfnorms(t)
+            for t in live:  # sorted: the field's term-order discipline
+                d, tfn = tfn_by_term[t]
                 idf = float(bm25_idf(float(dfs[t]), searcher.n_docs))
                 docs_parts.append(d)
                 contrib_parts.append(idf * tfn)
-                per_term_docs[t].append(d)
+                per_term_docs.setdefault(t, []).append(d)
+            for t in terms_f:
+                per_term_docs.setdefault(t, [])
             if not docs_parts:
                 continue
             d = np.concatenate(docs_parts)
@@ -902,13 +922,12 @@ class MultiFieldSearcher:
         docs_u = alld[starts]
         scores = np.add.reduceat(alls, starts)
         if operator == "and":
-            # cross-fields conjunction: every query term must appear in
-            # at least one field of the doc
+            # cross-fields conjunction: every analyzed query term must
+            # appear (in its field's form) in at least one field
             from auctus_ray.util import sorted_membership
 
             keep = np.ones(docs_u.size, dtype=bool)
-            for t in terms:
-                parts = per_term_docs[t]
+            for t, parts in sorted(per_term_docs.items()):
                 if not parts:
                     return empty
                 tdocs = np.unique(np.concatenate(parts))
@@ -938,7 +957,10 @@ class CrossFieldsSearcher:
         least one field (cross-field conjunction).
 
     All fields must index the same corpus (shared content-derived
-    docIDs, index/docid.py) with the same analyzer.
+    docIDs, index/docid.py) with the SAME analyzer — faithful to ES,
+    where cross_fields groups fields by analyzer and blends only within
+    a group (the query here is analyzed once with the first field's
+    chain).
     """
 
     def __init__(self, fields: dict[str, tuple[str, float]]):
@@ -956,9 +978,14 @@ class CrossFieldsSearcher:
             return empty
         term_docs_list: list[np.ndarray] = []
         term_score_list: list[np.ndarray] = []
-        # one batched term_stats scan per field, not one per (term, field)
+        # one batched term_stats scan + one batched postings read per
+        # field covering every query term (not one per (term, field))
         field_dfs = {
             name: s.dfs(terms) for name, (s, _) in self.fields.items()
+        }
+        field_tfn = {
+            name: s.terms_tfnorms([t for t in terms if field_dfs[name][t] > 0])
+            for name, (s, _) in self.fields.items()
         }
         for t in terms:  # lexicographic: the float-discipline sum order
             df_b = max(dfs[t] for dfs in field_dfs.values())
@@ -969,7 +996,9 @@ class CrossFieldsSearcher:
             idf_b = float(bm25_idf(float(df_b), n_docs))
             docs_parts, contrib_parts = [], []
             for name, (s, boost) in self.fields.items():  # name-sorted
-                d, tfn = s.term_tfnorms(t)
+                d, tfn = field_tfn[name].get(
+                    t, (np.empty(0, np.int64), np.empty(0, np.float64))
+                )
                 docs_parts.append(d)
                 contrib_parts.append(boost * idf_b * tfn)
             d = np.concatenate(docs_parts)

@@ -158,12 +158,16 @@ def revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000):
 
                 keys = batch["o_custkey"].to_numpy(zero_copy_only=False)
                 hit, pos_c = sorted_membership(self.ckeys, keys)
-                name_arr = np.where(hit, nat_names[self.ncode[pos_c]], "")
                 cents = _cents(batch["o_totalprice"]).to_numpy(zero_copy_only=False)
+                # DROP misses — inner-join semantics, identical to the
+                # shuffle path and the oracle (a spurious "" group would
+                # make the answer depend on the planner's threshold)
                 t = pa.table(
                     {
-                        "n_name": pa.array(name_arr, pa.string()),
-                        "cents": pa.array(cents),
+                        "n_name": pa.array(
+                            nat_names[self.ncode[pos_c[hit]]], pa.string()
+                        ),
+                        "cents": pa.array(cents[hit]),
                     }
                 )
                 g = t.group_by("n_name").aggregate(

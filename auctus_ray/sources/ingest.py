@@ -59,22 +59,7 @@ def count_rows_to_skip(fileobj) -> int:
     if isinstance(fileobj, (str, os.PathLike)):
         with open(fileobj, newline="") as f:
             return count_rows_to_skip(f)
-    reader = csv.reader(fileobj)
-    run_start = 0
-    run_cols = None
-    run_len = 0
-    for i, row in enumerate(
-        itertools.islice(reader, MAX_SKIPPED_ROWS + HEADER_CONSISTENT_ROWS)
-    ):
-        if len(row) == run_cols:
-            run_len += 1
-            if run_len == HEADER_CONSISTENT_ROWS:
-                return run_start
-        else:
-            run_start = i
-            run_cols = len(row)
-            run_len = 1
-    return run_start
+    return _count_rows_to_skip_delim(fileobj, ",")
 
 
 def detect_pivot(columns: list[str]) -> dict | None:
@@ -164,9 +149,12 @@ def sniff_format(path: str) -> dict:
     if delimiter != ",":
         plan.append({"identifier": "tsv", "separator": delimiter})
 
-    # garbage-header skip, evaluated with the detected delimiter
-    reader_like = io.StringIO(sample)
-    nb = _count_rows_to_skip_delim(reader_like, delimiter)
+    # garbage-header skip, evaluated with the detected delimiter. The
+    # count is in CSV RECORDS; Arrow's ReadOptions.skip_rows counts
+    # PHYSICAL LINES, so convert (a quoted garbage field may span
+    # multiple lines)
+    nb_records = _count_rows_to_skip_delim(io.StringIO(sample), delimiter)
+    nb = _records_to_physical_lines(sample, delimiter, nb_records)
     if nb > 0:
         plan.append({"identifier": "skip_rows", "nb_rows": nb})
 
@@ -182,6 +170,27 @@ def sniff_format(path: str) -> dict:
     if pivot is not None:
         plan.append(pivot)
     return {"format": "csv", "convert": plan}
+
+
+def _records_to_physical_lines(sample: str, delimiter: str, nb_records: int) -> int:
+    """How many PHYSICAL lines the first `nb_records` CSV records span
+    (a quoted field may contain newlines). Counts lines as the csv
+    reader consumes them from a tracking iterator."""
+    if nb_records <= 0:
+        return 0
+    consumed = 0
+
+    def lines():
+        nonlocal consumed
+        for line in io.StringIO(sample):
+            consumed += 1
+            yield line
+
+    reader = csv.reader(lines(), delimiter=delimiter)
+    for _ in range(nb_records):
+        if next(reader, None) is None:
+            break
+    return consumed
 
 
 def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
@@ -203,13 +212,15 @@ def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
     return run_start
 
 
-def read_table_auto(path: str, columns: list[str] | None = None):
+def read_table_auto(path: str, columns: list[str] | None = None,
+                    plan: dict | None = None):
     """ONE distributed read implementing the sniffed conversion plan:
     Parquet reads natively; delimited text reads via `ray.data.read_csv`
     with the detected delimiter and the garbage rows skipped inside the
     Arrow CSV reader (the reference's skip_rows/tsv_to_csv rewrites,
     common.py:10-30 + tsv.py:6-12, fused into read options — no
-    intermediate CSV files). Returns a ray.data.Dataset.
+    intermediate CSV files). Pass an already-computed `plan` to skip
+    re-sniffing the file. Returns a ray.data.Dataset.
     """
     import pyarrow.csv as pacsv
 
@@ -217,7 +228,8 @@ def read_table_auto(path: str, columns: list[str] | None = None):
 
     from auctus_ray.util import drop_schema_metadata
 
-    plan = sniff_format(path)
+    if plan is None:
+        plan = sniff_format(path)
     fmt = plan["format"]
     if fmt == "parquet":
         return drop_schema_metadata(ray.data.read_parquet(path, columns=columns))
@@ -248,24 +260,38 @@ def read_table_auto(path: str, columns: list[str] | None = None):
         # the S5 operator, functions/augment.py:pivot_wide_to_long)
         from auctus_ray.functions.augment import pivot_wide_to_long
 
-        names = ds.schema().names
+        schema = ds.schema()
+        names = schema.names
         keep = [names[i] for i in pivot["except_columns"]]
         vals = [n for i, n in enumerate(names) if i not in set(pivot["except_columns"])]
+        # value columns stay numeric only when EVERY one is numeric;
+        # otherwise carry as strings (the reference converter never
+        # coerces — a stray "N/A" cell must not fail the ingest)
+        vtypes = [schema.types[names.index(v)] for v in vals]
+        import pyarrow as _pa
+
+        all_numeric = all(
+            _pa.types.is_integer(t) or _pa.types.is_floating(t) for t in vtypes
+        )
         ds = pivot_wide_to_long(
             ds, carried_cols=keep, value_cols=vals,
             var_name=pivot["date_label"], value_name="value",
+            value_cast="float" if all_numeric else "string",
         )
     if columns:
         ds = ds.select_columns(columns)
     return ds
 
 
-def ingest_to_parquet(path: str, out_dir: str, columns: list[str] | None = None):
+def ingest_to_parquet(path: str, out_dir: str, columns: list[str] | None = None,
+                      plan: dict | None = None):
     """Sniff -> read -> write the engine's native format (the end state
     of the reference's conversion chain, with Parquet instead of CSV as
-    the canonical format). Returns (dataset, plan)."""
-    plan = sniff_format(path)
-    ds = read_table_auto(path, columns=columns)
+    the canonical format). Returns (dataset, plan). The file is sniffed
+    once; callers holding a plan pass it through."""
+    if plan is None:
+        plan = sniff_format(path)
+    ds = read_table_auto(path, columns=columns, plan=plan)
     ds.write_parquet(out_dir, compression="zstd")
     import ray.data
 

@@ -806,3 +806,59 @@ def test_aggregate_join_null_semantics(ray_session):
     assert out.loc[2, "count v"] == 0
     # k=3: unmatched left row -> all nulls
     assert out.loc[3].isna().all()
+
+
+def test_ingest_quoted_newline_garbage_and_dirty_pivot(ray_session, tmp_path):
+    """Round-3 review fixes: (a) a quoted garbage field spanning lines
+    is ONE CSV record but multiple physical lines — the skip count must
+    be physical; (b) a pivoted table with a non-numeric cell must carry
+    values as strings, not crash on a float cast."""
+    from auctus_ray.sources.ingest import read_table_auto, sniff_format
+
+    p = tmp_path / "quoted.csv"
+    p.write_text('"Quarterly\nreport"\nid,name,value\n1,a,10\n2,b,20\n3,c,30\n')
+    plan = sniff_format(str(p))
+    skips = [e for e in plan["convert"] if e["identifier"] == "skip_rows"]
+    assert skips and skips[0]["nb_rows"] == 2  # 1 record == 2 physical lines
+    df = read_table_auto(str(p)).to_pandas()
+    assert list(df.columns) == ["id", "name", "value"] and len(df) == 3
+
+    piv = tmp_path / "dirty_pivot.csv"
+    piv.write_text("region,2018,2019,2020\nN,1,2,~missing~\nS,4,5,6\n")
+    df = read_table_auto(str(piv)).to_pandas()
+    assert list(df.columns) == ["region", "date", "value"]
+    assert len(df) == 6 and "~missing~" in set(df["value"])
+
+
+def test_revenue_planner_paths_agree_on_orphan_orders(ray_session, tmp_path):
+    """An order whose customer is missing must not surface as a
+    spurious empty-name group in the broadcast plan (inner-join
+    semantics on both planner paths)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.pipelines.relational import revenue_by_nation
+
+    d = tmp_path / "sf_orphan"
+    d.mkdir()
+    pq.write_table(
+        pa.table({"n_nationkey": pa.array([0, 1]), "n_name": pa.array(["A", "B"])}),
+        d / "nation.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2]), "c_nationkey": pa.array([0, 1])}),
+        d / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 2, 999]),  # 999 has no customer
+                "o_totalprice": pa.array([10.0, 20.0, 30.0]),
+            }
+        ),
+        d / "orders.parquet",
+    )
+    bcast = revenue_by_nation(str(d)).to_pandas().sort_values("n_name").reset_index(drop=True)
+    shuf = revenue_by_nation(str(d), broadcast_threshold=0).to_pandas().sort_values("n_name").reset_index(drop=True)
+    assert bcast.equals(shuf)
+    assert set(bcast["n_name"]) == {"A", "B"}  # no "" group; orphan dropped

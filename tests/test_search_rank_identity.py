@@ -435,3 +435,50 @@ def test_distributed_hydrate_matches_local(ray_session, built_index, searcher):
     dp = dist.to_pandas().sort_index(axis=1)
     assert list(lp.columns) == list(dp.columns)
     assert lp.equals(dp)
+
+
+def test_most_fields_per_field_analyzers(ray_session, tmp_path):
+    """Fields built with DIFFERENT analyzers each analyze the query with
+    their own chain: a stemming field matches 'connections'->'connect'
+    while a code field matches the literal token — both contribute
+    (round-3 fix: the query was analyzed once with the first field's
+    analyzer, silently zeroing differently-analyzed fields)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.docid import assign_doc_ids_local
+    from auctus_ray.index.search import MultiFieldSearcher
+
+    rows = {
+        "repo": [f"r/{i}" for i in range(4)],
+        "path": [
+            "connections/util.py",  # literal 'connections' in path
+            "a/b.py",
+            "c/d.py",
+            "e/f.py",
+        ],
+        "commit": [f"c{i}" for i in range(4)],
+        "lang": ["python"] * 4,
+        "content": [
+            "unrelated words here",
+            "connecting services together",  # stems to 'connect'
+            "more unrelated text",
+            "even more filler",
+        ],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    src = str(tmp_path / "pf.parquet")
+    pq.write_table(t, src)
+    idx_content = str(tmp_path / "pf_content")
+    idx_path = str(tmp_path / "pf_path")
+    build_index([src], idx_content, n_shards=1, analyzer="text_en")
+    build_index([src], idx_path, n_shards=1, content_col="path", analyzer="code")
+
+    mf = MultiFieldSearcher(
+        {"content": (idx_content, 1.0), "path": (idx_path, 1.0)}
+    )
+    d, s = mf.search("connections", k=4, operator="or")
+    ids = assign_doc_ids_local(t)
+    # row 0 matches via the code-analyzed path, row 1 via the stemmed content
+    assert {int(ids[0]), int(ids[1])} <= set(d.tolist())
