@@ -862,3 +862,79 @@ def test_revenue_planner_paths_agree_on_orphan_orders(ray_session, tmp_path):
     shuf = revenue_by_nation(str(d), broadcast_threshold=0).to_pandas().sort_values("n_name").reset_index(drop=True)
     assert bcast.equals(shuf)
     assert set(bcast["n_name"]) == {"A", "B"}  # no "" group; orphan dropped
+
+
+# ---------------------------------------------------------- property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name = st.text(
+    alphabet="abcdefghij_0123456789", min_size=1, max_size=16
+)
+
+
+@given(a=_name, b=_name)
+@settings(max_examples=200, deadline=None)
+def test_name_similarity_counts_properties(a, b):
+    from auctus_ray.functions.scalars import name_similarity_counts
+
+    ia, ua = name_similarity_counts(a, a)
+    assert ia == ua > 0  # self-similarity is exactly 1
+    iab, uab = name_similarity_counts(a, b)
+    iba, uba = name_similarity_counts(b, a)
+    assert (iab, uab) == (iba, uba)  # symmetric
+    assert 0 <= iab <= uab  # jaccard in [0, 1]
+
+
+@given(a=_name, b=_name)
+@settings(max_examples=200, deadline=None)
+def test_edit_distance_matches_full_dp(a, b):
+    """Banded early-exit distance == classic full DP, capped at 3."""
+    from auctus_ray.functions.scalars import edit_distance
+
+    def full_dp(x, y):
+        prev = list(range(len(y) + 1))
+        for i, cx in enumerate(x, 1):
+            cur = [i]
+            for j, cy in enumerate(y, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (cx != cy)))
+            prev = cur
+        return prev[-1]
+
+    cap = 2
+    got = edit_distance(a, b, cap)
+    want = min(full_dp(a, b), cap + 1)
+    assert got == want
+    assert edit_distance(b, a, cap) == got  # symmetric
+
+
+@given(
+    n_garbage=st.integers(0, 3),
+    n_cols=st.integers(2, 5),
+    n_rows=st.integers(4, 8),
+    delim=st.sampled_from([",", ";", "\t", "|"]),
+)
+@settings(max_examples=40, deadline=None)
+def test_sniffer_skip_property(tmp_path_factory, n_garbage, n_cols, n_rows, delim):
+    """For any table preceded by garbage lines with a DIFFERENT column
+    count, the sniffer finds the delimiter and the physical skip."""
+    from auctus_ray.sources.ingest import sniff_format
+
+    d = tmp_path_factory.mktemp("sniffprop")
+    cols = [f"col{i}" for i in range(n_cols)]
+    lines = [f"garbage title {i}" for i in range(n_garbage)]
+    lines.append(delim.join(cols))
+    for r in range(n_rows):
+        lines.append(delim.join(f"v{r}x{c}" for c in range(n_cols)))
+    p = d / "t.csv"
+    p.write_text("\n".join(lines) + "\n")
+    plan = sniff_format(str(p))
+    delims = {e["separator"] for e in plan["convert"] if e["identifier"] == "tsv"}
+    if delim != ",":
+        assert delims == {delim}
+    skip = sum(
+        e["nb_rows"] for e in plan["convert"] if e["identifier"] == "skip_rows"
+    )
+    assert skip == n_garbage
