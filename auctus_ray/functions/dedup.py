@@ -307,7 +307,8 @@ def _fold_band_keys(mat: np.ndarray, n_bands: int) -> np.ndarray:
 
 def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
                         bucket_cap: int = 1000, num_partitions: int = 32,
-                        broadcast_threshold: int = 2_000_000):
+                        broadcast_threshold: int = 2_000_000,
+                        input_bytes: int | None = None):
     """Signatures -> candidate (id_a, id_b) pairs via banded LSH,
     fully distributed:
 
@@ -350,13 +351,14 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
     # its strategy by the hot-key volume — broadcast searchsorted filter
     # while the collision set is bounded (one sorted int64 array in the
     # object store), Dataset.join once it is not (the 100-TB path).
-    # The n_docs x n_bands explode is consumed twice (count + semi-join):
-    # checkpoint it to the FILESYSTEM (zstd Parquet, per-block files)
-    # instead of pinning O(n_docs) rows in the object store — round 3
-    # fix of the `banded.materialize()` scale residual.
-    from auctus_ray.util import fs_checkpoint
+    # The n_docs x n_bands explode is consumed twice (count + semi-join).
+    # cache_dataset picks object-store materialize while the SOURCE size
+    # estimate (`input_bytes`, the docs Parquet file size) is sandbox-
+    # small, and the FS checkpoint (zstd Parquet, per-block files — the
+    # round-3 scale fix) beyond it or when the size is unknown.
+    from auctus_ray.util import cache_dataset
 
-    banded = fs_checkpoint(banded, name_hint="lsh_bands")
+    banded = cache_dataset(banded, "lsh_bands", est_bytes=input_bytes)
     hot = (
         banded.groupby("bkey")
         .aggregate(Count(alias_name="n"))
@@ -488,7 +490,8 @@ def candidate_shingle_sets_join(docs_ds, cand_ds, id_col: str,
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
                          id_col: str = "doc_id", text_col: str = "text", k: int = 5,
                          num_partitions: int = 32,
-                         broadcast_threshold: int = 200_000):
+                         broadcast_threshold: int = 200_000,
+                         input_bytes: int | None = None):
     """Exact Jaccard >= threshold filter over LSH candidate pairs.
 
     Scale path (round-3 rewrite): neither the corpus text NOR the
@@ -507,7 +510,7 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
     import ray
     from ray.data.aggregate import Count
 
-    from auctus_ray.util import fs_checkpoint
+    from auctus_ray.util import cache_dataset
 
     empty = pa.table(
         {
@@ -516,8 +519,8 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             "jaccard": pa.array([], pa.float64()),
         }
     )
-    pairs_ds = fs_checkpoint(
-        pairs_ds.select_columns(["id_a", "id_b"]), name_hint="lsh_pairs"
+    pairs_ds = cache_dataset(
+        pairs_ds.select_columns(["id_a", "id_b"]), "lsh_pairs", est_bytes=input_bytes
     )
     if pairs_ds.count() == 0:
         return ray.data.from_arrow(empty)
@@ -570,20 +573,54 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             )
         )
         sketches = candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k)
-        sk: dict[int, bytes] = {}
-        for b in sketches.iter_batches(batch_format="pyarrow"):
-            for i, blob in zip(b[id_col].to_pylist(), b["sh"].to_pylist()):
-                sk[int(i)] = blob
-        skref = ray.put(sk)
+        # broadcast payload = the codebase's standard (sorted ids,
+        # offsets, concatenated blob) array triple — built straight off
+        # the Arrow buffers (no per-row to_pylist, no dict), shipped as
+        # three numpy arrays, looked up via searchsorted per batch.
+        tabs = list(sketches.iter_batches(batch_format="pyarrow"))
+        skt = (
+            pa.concat_tables(tabs).combine_chunks().sort_by(id_col)
+            if tabs
+            else pa.table({id_col: pa.array([], pa.int64()),
+                           "sh": pa.array([], pa.large_binary())})
+        )
+        sk_ids = skt[id_col].to_numpy(zero_copy_only=False)
+        sh = skt["sh"]
+        if isinstance(sh, pa.ChunkedArray):
+            sh = sh.combine_chunks()
+        bufs = sh.buffers()
+        sk_offs = np.frombuffer(
+            bufs[1], np.int64, count=len(sh) + 1, offset=sh.offset * 8
+        ).copy() if bufs[1] is not None else np.zeros(1, np.int64)
+        sk_blob = (
+            np.frombuffer(bufs[2], np.uint8).copy()
+            if bufs[2] is not None
+            else np.empty(0, np.uint8)
+        )
+        skref = ray.put((sk_ids, sk_offs, sk_blob))
+        _empty64 = np.empty(0, np.int64)
 
         def verify_bcast(batch: pa.Table) -> pa.Table:
-            table = ray.get(skref)
-            ia = batch["id_a"].to_pylist()
-            ib = batch["id_b"].to_pylist()
-            ja = np.empty(len(ia), np.float64)
-            for i, (a, b_) in enumerate(zip(ia, ib)):
-                A = np.frombuffer(table.get(a, b""), np.int64)
-                B = np.frombuffer(table.get(b_, b""), np.int64)
+            from auctus_ray.util import sorted_membership
+
+            ids_s, offs, blob = ray.get(skref)
+            vals = blob.view(np.int64) if blob.size else _empty64
+            a = batch["id_a"].to_numpy(zero_copy_only=False)
+            b_ = batch["id_b"].to_numpy(zero_copy_only=False)
+            ma, pos_a = sorted_membership(ids_s, a)
+            mb, pos_b = sorted_membership(ids_s, b_)
+            ja = np.empty(len(a), np.float64)
+            for i in range(len(a)):
+                A = (
+                    vals[offs[pos_a[i]] // 8 : offs[pos_a[i] + 1] // 8]
+                    if ma[i]
+                    else _empty64
+                )
+                B = (
+                    vals[offs[pos_b[i]] // 8 : offs[pos_b[i] + 1] // 8]
+                    if mb[i]
+                    else _empty64
+                )
                 ja[i] = _jaccard_arrays(A, B)
             out = pa.table(
                 {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(ja)}

@@ -84,12 +84,38 @@ class BuildResult:
 # ---------------------------------------------------------------- tokenize
 
 
+def apply_column_map(
+    batch: pa.Table, column_map: dict[str, str] | tuple | None
+) -> pa.Table:
+    """Project an arbitrary input batch onto the corpus schema
+    (repo/path/commit/lang/content) by renaming — and, for the metadata
+    columns, casting to string — per batch, zero driver involvement.
+    Values of ``column_map`` are INPUT column names; one input column may
+    feed several corpus columns (e.g. a single unique id serving as both
+    ``path`` and ``commit``)."""
+    if not column_map:
+        return batch
+    if not isinstance(column_map, dict):
+        column_map = dict(column_map)  # hashable tuple-of-pairs via fn_kwargs
+    cols: dict[str, pa.Array | pa.ChunkedArray] = {}
+    for out_name, in_name in column_map.items():
+        col = batch[in_name]
+        typ = col.type
+        if out_name != "content" and not (
+            pa.types.is_string(typ) or pa.types.is_large_string(typ)
+        ):
+            col = pc.cast(col, pa.string())
+        cols[out_name] = col
+    return pa.table(cols)
+
+
 def tokenize_batch(
     batch: pa.Table,
     *,
     analyzer: str,
     n_buckets: int,
     content_col: str = "content",
+    column_map: dict[str, str] | None = None,
 ) -> pa.Table:
     """Per-batch vectorized tokenize + per-doc tf + sha256 + key hash.
 
@@ -98,6 +124,7 @@ def tokenize_batch(
     sha256-per-row loop is C-speed hashlib and doubles as the per-row
     invariant required by the graft contract.
     """
+    batch = apply_column_map(batch, column_map)
     n = batch.num_rows
     content = batch[content_col].combine_chunks() if isinstance(
         batch[content_col], pa.ChunkedArray
@@ -392,6 +419,7 @@ def build_index(
     tokenize_batch_size: int = 512,
     tokenize_concurrency: int | None = None,
     content_col: str = "content",
+    column_map: dict[str, str] | None = None,
 ) -> BuildResult:
     """Run the full checkpointed build. Ray must already be initialized
     by the caller (driver contract: this function never calls ray.init).
@@ -412,7 +440,12 @@ def build_index(
         raise ValueError("no input parquet files")
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
-    params_fp = fingerprint(analyzer, n_buckets, content_col, "v4")
+    params_fp = fingerprint(
+        analyzer, n_buckets, content_col, repr(sorted((column_map or {}).items())), "v4"
+    )
+    # prune the read to only the mapped input columns (a documents-style
+    # table carries payload columns the index never touches)
+    read_columns = sorted(set(column_map.values())) if column_map else None
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [
@@ -430,11 +463,16 @@ def build_index(
         if resume and man.is_done("tokenize", part, fp) and os.path.exists(out_dir):
             continue
         t0 = time.time()
-        ds = ray.data.read_parquet(gfiles)
+        ds = ray.data.read_parquet(gfiles, columns=read_columns)
         ds = ds.map_batches(
             tokenize_batch,
-            fn_kwargs={"analyzer": analyzer, "n_buckets": n_buckets,
-                       "content_col": content_col},
+            fn_kwargs={
+                "analyzer": analyzer,
+                "n_buckets": n_buckets,
+                "content_col": content_col,
+                # tuple-of-pairs: dicts defeat Ray's fn_kwargs schema hashing
+                "column_map": tuple(sorted(column_map.items())) if column_map else None,
+            },
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,
             zero_copy_batch=True,

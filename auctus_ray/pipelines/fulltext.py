@@ -13,13 +13,11 @@ library differences in ln() are far below 1e-6).
 
 from __future__ import annotations
 
-import glob
 import hashlib
 import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -34,41 +32,31 @@ def _round_half_away6(x: np.ndarray) -> np.ndarray:
     return np.floor(x * 1e6 + 0.5) / 1e6
 
 
-def _docs_as_corpus(sf_dir: str) -> str:
-    """Materialize documents as a corpus-schema parquet (cached per sf)."""
-    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    out_dir = os.path.join(_CACHE_ROOT, f"docs_corpus_{tag}")
-    out = os.path.join(out_dir, "corpus.parquet")
-    src = os.path.join(sf_dir, "documents.parquet")
-    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(src):
-        return out_dir
-    os.makedirs(out_dir, exist_ok=True)
-    t = pq.read_table(src)
-    ids = [str(i) for i in t["doc_id"].to_pylist()]
-    corpus = pa.table(
-        {
-            "repo": t["source"],
-            "path": pa.array(ids, pa.string()),
-            "commit": pa.array(ids, pa.string()),
-            "lang": t["lang"],
-            "content": t["text"],
-        }
-    )
-    tmp = out + ".tmp"
-    pq.write_table(corpus, tmp)
-    os.replace(tmp, out)
-    return out_dir
+# Corpus-schema projection of the documents table, applied PER BATCH
+# inside the build's tokenize stage (index/build.py:apply_column_map) —
+# no driver-side rewrite or adapter file exists; the index build reads
+# documents.parquet directly with the read pruned to these 4 columns.
+_DOCS_COLUMN_MAP = {
+    "repo": "source",
+    "path": "doc_id",   # doc_id is globally unique; serves as path AND
+    "commit": "doc_id",  # commit so (repo,path,commit) keys stay unique
+    "lang": "lang",
+    "content": "text",
+}
 
 
 def docs_index(sf_dir: str, n_shards: int = 8):
-    """Build (or reuse) the simple-analyzer index over documents."""
+    """Build (or reuse) the simple-analyzer index over documents.
+    Caching = build_index's own manifest/resume (content-fingerprinted
+    per input-file group), keyed per sf by the index_dir tag."""
     from auctus_ray.index.build import build_index
 
-    corpus_dir = _docs_as_corpus(sf_dir)
-    idx_dir = os.path.join(corpus_dir, "index")
-    paths = sorted(glob.glob(os.path.join(corpus_dir, "*.parquet")))
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{tag}")
+    src = os.path.join(sf_dir, "documents.parquet")
     return build_index(
-        paths, idx_dir, analyzer="simple", n_shards=n_shards, files_per_group=4
+        [src], idx_dir, analyzer="simple", n_shards=n_shards,
+        files_per_group=4, column_map=_DOCS_COLUMN_MAP,
     )
 
 

@@ -11,7 +11,6 @@ import os
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 
 import ray
 import ray.data
@@ -79,10 +78,16 @@ FROM documents GROUP BY text
 def near_dup_minhash(sf_dir: str):
     """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.8.
     Rows-only driver check; exact oracle in tests/test_functions.py."""
+    from auctus_ray.util import parquet_bytes
+
     docs = _docs(sf_dir, ["doc_id", "text"])
+    # source-size estimate drives the cache planner inside the dedup
+    # stages: object-store materialize for sandbox-sized corpora, FS
+    # checkpoint (the 100-TB shape) beyond 256 MiB
+    est = parquet_bytes(os.path.join(sf_dir, "documents.parquet"))
     sigs = minhash_signatures(docs, n_perm=64, k_shingle=5)
-    pairs = lsh_candidate_pairs(sigs, n_bands=16)
-    verified = verify_pairs_jaccard(pairs, docs, threshold=0.8)
+    pairs = lsh_candidate_pairs(sigs, n_bands=16, input_bytes=est)
+    verified = verify_pairs_jaccard(pairs, docs, threshold=0.8, input_bytes=est)
 
     def round6(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -105,7 +110,16 @@ def near_dup_simhash(sf_dir: str):
 
 
 def _query_vectors(sf_dir: str, vec_ids=(0, 1)) -> np.ndarray:
-    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    """FILTERED read of just the query rows (isin pushdown over the
+    Parquet dataset — the fulltext.py:_translate_docids shape), never
+    the whole embeddings table on the driver."""
+    import pyarrow.dataset as pads
+
+    want = pa.array([int(v) for v in vec_ids], pa.int64())
+    dset = pads.dataset(os.path.join(sf_dir, "embeddings.parquet"), format="parquet")
+    t = dset.to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(want)
+    )
     by_id = {v: i for i, v in enumerate(t["vec_id"].to_pylist())}
     flat = np.asarray(t["embedding"].combine_chunks().flatten(), dtype=np.float64)
     dim = flat.size // t.num_rows

@@ -9,14 +9,19 @@ def string_buffer_view(arr):
     materializing Python objects (factored out of index/build.py's fused
     sha256+snippet pass so every corpus-wide hashing stage shares it).
 
-    Null slots have equal adjacent offsets, so a consumer hashing
-    [lo, hi) slices treats null exactly like the empty string.
+    Null handling: Arrow only guarantees MONOTONIC offsets — a
+    kernel-produced array may carry non-empty extents under null slots,
+    so nulls are filled with '' first (copy only when nulls exist),
+    making every consumer treat null exactly like the empty string.
     """
     import numpy as np
     import pyarrow as pa
+    import pyarrow.compute as pc
 
     if isinstance(arr, pa.ChunkedArray):
         arr = arr.combine_chunks()
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
     odt, ow = (np.int64, 8) if pa.types.is_large_string(arr.type) else (np.int32, 4)
     bufs = arr.buffers()
     offs = np.frombuffer(bufs[1], dtype=odt, count=len(arr) + 1, offset=arr.offset * ow)
@@ -65,7 +70,18 @@ def fs_checkpoint(ds, name_hint: str = "ckpt", base_dir: str | None = None):
 
     import ray
 
-    root = base_dir or os.environ.get("AUCTUS_CKPT_DIR") or "/tmp"
+    root = base_dir or os.environ.get("AUCTUS_CKPT_DIR")
+    if root is None:
+        # enforce (not just document) the multi-node requirement: a
+        # node-local /tmp checkpoint on a real cluster silently loses
+        # every block written by a remote worker
+        if len([n for n in ray.nodes() if n.get("Alive", True)]) > 1:
+            raise RuntimeError(
+                "fs_checkpoint on a multi-node cluster needs shared storage: "
+                "set AUCTUS_CKPT_DIR (or pass base_dir) to a path visible "
+                "from every node; the /tmp default is single-node only"
+            )
+        root = "/tmp"
     path = tempfile.mkdtemp(prefix=f"auctus_{name_hint}_", dir=root)
     ds.write_parquet(path, compression="zstd")
     atexit.register(shutil.rmtree, path, ignore_errors=True)
@@ -76,6 +92,41 @@ def fs_checkpoint(ds, name_hint: str = "ckpt", base_dir: str | None = None):
         # empty) input pipeline rather than a failing read
         return ds
     return ray.data.read_parquet(path)
+
+
+def cache_dataset(ds, name_hint: str = "ckpt", est_bytes: int | None = None,
+                  bytes_threshold: int = 256 << 20, base_dir: str | None = None):
+    """Plan-time choice for a wide intermediate consumed more than once:
+    object-store `materialize()` while a cheap upstream size estimate
+    (`est_bytes`, e.g. the source Parquet file size) stays under
+    `bytes_threshold`, `fs_checkpoint` beyond it or when the size is
+    unknown — the scale-safe default. Recovers the Parquet-round-trip
+    seconds on sandbox-sized inputs without giving up the 100-TB path.
+    """
+    if est_bytes is not None and est_bytes <= bytes_threshold:
+        return ds.materialize()
+    return fs_checkpoint(ds, name_hint=name_hint, base_dir=base_dir)
+
+
+def parquet_bytes(path) -> int:
+    """Cheap on-disk byte size of a Parquet file/dir/glob — the
+    broadcast-planner and cache-planner estimate (file size, not
+    decompressed size; thresholds are calibrated to it)."""
+    import glob as _glob
+    import os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    total = 0
+    for p in paths:
+        if os.path.isdir(p):
+            for f in _glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True):
+                total += os.path.getsize(f)
+        elif os.path.exists(p):
+            total += os.path.getsize(p)
+        else:
+            for f in _glob.glob(p):
+                total += os.path.getsize(f)
+    return total
 
 
 def drop_schema_metadata(ds):

@@ -640,6 +640,56 @@ def test_minhash_verify_join_path(dup_docs):
     assert a == b and len(a) > 0
 
 
+def test_cache_dataset_planner(dup_docs):
+    """cache_dataset materializes under the byte threshold, FS-
+    checkpoints above it or when the size is unknown (scale default) —
+    and the near-dup chain is identical through either plan."""
+    import ray.data
+    from auctus_ray.functions.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        verify_pairs_jaccard,
+    )
+    from auctus_ray.util import cache_dataset
+
+    ds, _ = dup_docs
+    small = ray.data.range(10)
+    assert cache_dataset(small, est_bytes=100).count() == 10  # materialize leg
+    assert cache_dataset(small, est_bytes=10**12).count() == 10  # fs leg
+    assert cache_dataset(small, est_bytes=None).count() == 10  # unknown -> fs
+
+    sigs = minhash_signatures(ds, n_perm=64, k_shingle=3)
+    out = {}
+    for tag, nbytes in (("mat", 100), ("fs", 10**15)):
+        pairs = lsh_candidate_pairs(sigs, n_bands=16, input_bytes=nbytes)
+        ver = verify_pairs_jaccard(
+            pairs, ds, threshold=0.5, k=3, input_bytes=nbytes
+        ).to_pandas()
+        out[tag] = set(zip(ver["id_a"], ver["id_b"], ver["jaccard"].round(9)))
+    assert out["mat"] == out["fs"] and len(out["mat"]) > 0
+
+
+def test_sha256_hex_array_null_extents():
+    """ADVICE regression: a null slot with NON-EMPTY underlying extents
+    (offsets monotonic but not equal) must hash as the empty string."""
+    import hashlib
+
+    import pyarrow as pa
+    from auctus_ray.util import sha256_hex_array
+
+    base = pa.array(["abc", "def", "ghi"])
+    # mask-constructed array: offsets still span 'def' under the null
+    masked = pa.StringArray.from_buffers(
+        len(base), base.buffers()[1], base.buffers()[2],
+        pa.array([True, False, True]).buffers()[1], 1,
+    )
+    assert masked.null_count == 1
+    got = sha256_hex_array(masked).to_pylist()
+    assert got[0] == hashlib.sha256(b"abc").hexdigest()
+    assert got[1] == hashlib.sha256(b"").hexdigest()
+    assert got[2] == hashlib.sha256(b"ghi").hexdigest()
+
+
 def test_lsh_hot_bucket_join_path(dup_docs):
     """The distributed hot-bucket semi-join (broadcast_threshold=0)
     yields the same candidate pairs as the broadcast filter."""
