@@ -250,8 +250,13 @@ def profile_dataset_document(
     plots: bool = True,
     coverage: bool = True,
 ) -> dict:
-    """Full reference-shaped profile document for one Parquet table."""
-    ds = ray.data.read_parquet(path)
+    """Full reference-shaped profile document for one table. Any
+    sniffable format (Parquet, CSV/TSV with garbage headers, XLSX)
+    profiles end-to-end via the ingestion chain — the reference's
+    detect -> convert -> profile flow (profiler/profiler.py:90-160)."""
+    from auctus_ray.sources.ingest import read_table_auto
+
+    ds = read_table_auto(path)
     partials = (
         ds.map_batches(profile_partials, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()

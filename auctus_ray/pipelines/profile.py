@@ -339,8 +339,20 @@ def finalize_profile(partials: "list[dict]",
 
 def profile_table(sf_dir: str, table: str = "orders") -> pa.Table:
     """Distributed profile of one testdata table (rows-only driver check;
-    exact semantics pytest-verified on reference-shaped fixtures)."""
-    ds = ray.data.read_parquet(f"{sf_dir}/{table}.parquet")
+    exact semantics pytest-verified on reference-shaped fixtures).
+
+    Routed through the ingestion sniffer (read_table_auto), so `table`
+    may also name a CSV/TSV/XLSX file (garbage headers skipped, pivots
+    unpivoted) — the reference's detect -> convert -> profile flow
+    (profiler/profiler.py:90-160)."""
+    import os
+
+    from auctus_ray.sources.ingest import read_table_auto
+
+    path = os.path.join(sf_dir, table)
+    if not os.path.exists(path):
+        path = f"{path}.parquet"
+    ds = read_table_auto(path)
     partial_ds = ds.map_batches(
         profile_partials, batch_format="pyarrow", zero_copy_batch=True
     )

@@ -9,11 +9,16 @@ directly, delimited text via `ray.data.read_csv` with the detected
 delimiter and the garbage-header skip pushed into the Arrow CSV reader
 (no intermediate file materialization).
 
-Formats whose decoders are not in this environment (XLSX/XLS zip+XML,
-SPSS, Stata — reference excel.py/spss.py/stata.py delegate to openpyxl/
-xlrd/pyreadstat) are DETECTED by the same magic bytes and fail fast
-with `ConversionUnavailable`, mirroring the honest-stub pattern of
-functions/multimodal.py.
+XLSX decodes with a dependency-free stdlib reader (zipfile +
+xml.etree over the first worksheet — the single-sheet/shared-string/
+inline-string/number subset the reference's excel.py:10-41 handles via
+openpyxl), converted once to CSV so the rest of the chain (skip rows,
+pivot detect) applies unchanged — the reference's own excel->csv
+conversion shape. Formats whose decoders genuinely need absent binary-
+format libraries (XLS OLE2, SPSS, Stata — reference xls.py/spss.py/
+stata.py delegate to xlrd/pyreadstat) are DETECTED by the same magic
+bytes and fail fast with `ConversionUnavailable`, mirroring the
+honest-stub pattern of functions/multimodal.py.
 """
 
 from __future__ import annotations
@@ -212,6 +217,103 @@ def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
     return run_start
 
 
+_XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+_XLSX_RELNS = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def _xlsx_col_index(ref: str) -> int:
+    """'A1' -> 0, 'AB7' -> 27: the column part of a cell reference."""
+    idx = 0
+    for ch in ref:
+        if not ch.isalpha():
+            break
+        idx = idx * 26 + (ord(ch.upper()) - 64)
+    return idx - 1
+
+
+def _xlsx_first_sheet(z) -> str:
+    """Archive path of the workbook's FIRST sheet (workbook order), via
+    workbook.xml -> workbook.xml.rels; sheet1.xml as a fallback."""
+    import xml.etree.ElementTree as ET
+
+    try:
+        wb = ET.fromstring(z.read("xl/workbook.xml"))
+        sheets = wb.find(f"{_XLSX_NS}sheets")
+        rid = sheets[0].get(
+            "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}id"
+        )
+        rels = ET.fromstring(z.read("xl/_rels/workbook.xml.rels"))
+        for rel in rels.findall(f"{_XLSX_RELNS}Relationship"):
+            if rel.get("Id") == rid:
+                target = rel.get("Target")
+                return target if target.startswith("xl/") else f"xl/{target}"
+    except Exception:
+        pass
+    return "xl/worksheets/sheet1.xml"
+
+
+def xlsx_to_csv(path: str, out_path: str) -> None:
+    """Decode the first worksheet of an xlsx to CSV with the standard
+    library only (reference excel.py:10-41 does the same conversion via
+    openpyxl). Subset handled: shared strings (incl. rich-text runs),
+    inline strings, numbers/booleans/formula results as their stored
+    `<v>` text; missing cells become empty fields. The worksheet XML is
+    stream-parsed (iterparse) — one row in memory at a time."""
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            for si in root.findall(f"{_XLSX_NS}si"):
+                shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        sheet = _xlsx_first_sheet(z)
+        with z.open(sheet) as sf, open(out_path, "w", newline="") as out:
+            w = csv.writer(out)
+            for _, el in ET.iterparse(sf):
+                if el.tag != f"{_XLSX_NS}row":
+                    continue
+                cells: list[str] = []
+                for c in el.findall(f"{_XLSX_NS}c"):
+                    ref = c.get("r")
+                    col = _xlsx_col_index(ref) if ref else len(cells)
+                    while len(cells) <= col:
+                        cells.append("")
+                    ctype = c.get("t", "n")
+                    if ctype == "inlineStr":
+                        is_el = c.find(f"{_XLSX_NS}is")
+                        val = (
+                            "".join(t.text or "" for t in is_el.iter(f"{_XLSX_NS}t"))
+                            if is_el is not None
+                            else ""
+                        )
+                    else:
+                        v = c.find(f"{_XLSX_NS}v")
+                        val = v.text or "" if v is not None else ""
+                        if ctype == "s" and val != "":
+                            val = shared[int(val)]
+                    cells[col] = val
+                w.writerow(cells)
+                el.clear()  # stream: free the row subtree
+
+
+def _xlsx_converted_path(path: str) -> str:
+    """Cached CSV conversion of an xlsx (mtime-invalidated, atomic)."""
+    import hashlib
+
+    tag = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
+    out_dir = os.path.join("/tmp/auctus_ray_cache", f"xlsx_{tag}")
+    out = os.path.join(out_dir, "converted.csv")
+    if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(path):
+        return out
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = out + ".tmp"
+    xlsx_to_csv(path, tmp)
+    os.replace(tmp, out)
+    return out
+
+
 def read_table_auto(path: str, columns: list[str] | None = None,
                     plan: dict | None = None):
     """ONE distributed read implementing the sniffed conversion plan:
@@ -233,6 +335,11 @@ def read_table_auto(path: str, columns: list[str] | None = None,
     fmt = plan["format"]
     if fmt == "parquet":
         return drop_schema_metadata(ray.data.read_parquet(path, columns=columns))
+    if fmt == "xlsx":
+        # stdlib decode -> cached CSV, then the standard chain (fresh
+        # sniff handles skip_rows/pivot on the converted file) — the
+        # reference's excel->csv conversion step (excel.py:10-41)
+        return read_table_auto(_xlsx_converted_path(path), columns=columns)
     if fmt != "csv":
         raise ConversionUnavailable(
             f"{fmt!r} detected by magic bytes, but its decoder "

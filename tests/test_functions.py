@@ -723,6 +723,70 @@ def test_union_search_pagination_and_greedy(ray_session):
         assert page2["rank"].iloc[0] == 2
 
 
+def _write_xlsx_fixture(path):
+    """Minimal real xlsx: shared strings (incl. a rich-text run),
+    inline strings, numbers, a gap cell, a garbage title row, and a
+    NON-default sheet name proving workbook->rels resolution."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    wb = (
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="Data" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="x" '
+        'Target="worksheets/data.xml"/></Relationships>'
+    )
+    sst = (
+        f"<sst {ns}><si><t>id</t></si><si><t>name</t></si>"
+        "<si><r><t>va</t></r><r><t>lue</t></r></si>"
+        "<si><t>alpha</t></si></sst>"
+    )
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>Quarterly report</t></is></c></row>'
+        '<row r="2"><c r="A2" t="s"><v>0</v></c><c r="B2" t="s"><v>1</v></c>'
+        '<c r="C2" t="s"><v>2</v></c></row>'
+        '<row r="3"><c r="A3"><v>1</v></c><c r="B3" t="s"><v>3</v></c>'
+        '<c r="C3"><v>10</v></c></row>'
+        '<row r="4"><c r="A4"><v>2</v></c><c r="B4" t="inlineStr">'
+        "<is><t>beta</t></is></c>"
+        '<c r="C4"><v>20</v></c></row>'
+        '<row r="5"><c r="A5"><v>3</v></c><c r="C5"><v>30</v></c></row>'
+        '<row r="6"><c r="A6"><v>4</v></c><c r="B6" t="s"><v>3</v></c>'
+        '<c r="C6"><v>40</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/data.xml", sheet)
+
+
+def test_xlsx_ingest(ray_session, tmp_path):
+    """The stdlib xlsx decoder feeds the standard CSV chain: rich-text
+    shared-string header ('value'), inline strings, a gap cell, and the
+    garbage title row skipped by the converted file's own sniff."""
+    from auctus_ray.sources.ingest import read_table_auto, sniff_format
+
+    book = tmp_path / "book.xlsx"
+    _write_xlsx_fixture(book)
+    plan = sniff_format(str(book))
+    assert plan["format"] == "xlsx"
+    df = read_table_auto(str(book)).to_pandas()
+    assert list(df.columns) == ["id", "name", "value"]
+    assert len(df) == 4
+    assert df["value"].sum() == 100
+    assert df["id"].tolist() == [1, 2, 3, 4]
+    assert df["name"].tolist()[0] == "alpha" and df["name"].tolist()[1] == "beta"
+    gap = df["name"].tolist()[2]  # the gap cell: empty (Arrow CSV
+    assert gap == "" or gap is None or gap != gap  # default) or null
+
+
 def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
     """S2/S3/S4: magic-byte + delimiter sniffing, garbage-header skip,
     and the fused distributed read reproduce the reference's
@@ -770,12 +834,12 @@ def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
     df = read_table_auto(str(pq_path), columns=["x"]).to_pandas()
     assert list(df.columns) == ["x"]
 
-    # xlsx magic -> honest fail-fast (decoder not in this environment)
-    fake_xlsx = tmp_path / "book.xlsx"
-    fake_xlsx.write_bytes(b"PK\x03\x04" + b"\x00" * 64)
-    assert sniff_format(str(fake_xlsx))["format"] == "xlsx"
+    # xls (OLE2) magic -> honest fail-fast (no xlrd in this environment)
+    fake_xls = tmp_path / "book.xls"
+    fake_xls.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
+    assert sniff_format(str(fake_xls))["format"] == "xls"
     with _pytest.raises(ConversionUnavailable):
-        read_table_auto(str(fake_xlsx))
+        read_table_auto(str(fake_xls))
 
     # count_rows_to_skip stabilization rule (reference core.py:135-173)
     import io
