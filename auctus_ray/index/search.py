@@ -865,8 +865,9 @@ class MultiFieldSearcher:
     built with different analyzers score correctly; with mixed
     analyzers the AND conjunction requires every per-field token form
     somewhere in the doc (an approximation — ES applies AND per field).
-    At 10^12 scale this becomes a per-shard fan-out like
-    DistributedSearcher. The reference's actual query type
+    The per-shard fan-out of this scorer is
+    DistributedMultiFieldSearcher(mode='most_fields'). The reference's
+    actual query type
     (`cross_fields`) lives in CrossFieldsSearcher; this class is the
     `most_fields` variant.
     """
@@ -907,6 +908,10 @@ class MultiFieldSearcher:
                 continue
             d = np.concatenate(docs_parts)
             c = np.concatenate(contrib_parts)
+            if d.size == 0:
+                # shard-restricted searcher: global df > 0 but no
+                # postings in THIS shard for any live term
+                continue
             order = np.argsort(d, kind="stable")  # stable: term order per doc
             d, c = d[order], c[order]
             starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
@@ -1003,6 +1008,13 @@ class CrossFieldsSearcher:
                 contrib_parts.append(boost * idf_b * tfn)
             d = np.concatenate(docs_parts)
             c = np.concatenate(contrib_parts)
+            if d.size == 0:
+                # shard-restricted searcher: global df > 0 but no
+                # postings in THIS shard — the term still counts for
+                # the AND conjunction, with no local docs
+                term_docs_list.append(np.empty(0, np.int64))
+                term_score_list.append(np.empty(0, np.float64))
+                continue
             order = np.argsort(d, kind="stable")
             d, c = d[order], c[order]
             starts = np.flatnonzero(np.concatenate([[True], d[1:] != d[:-1]]))
@@ -1012,6 +1024,8 @@ class CrossFieldsSearcher:
             return empty
         alld = np.concatenate(term_docs_list)
         alls = np.concatenate(term_score_list)
+        if alld.size == 0:  # no local docs in this shard slice
+            return empty
         order = np.argsort(alld, kind="stable")  # stable: term order per doc
         alld, alls = alld[order], alls[order]
         starts = np.flatnonzero(np.concatenate([[True], alld[1:] != alld[:-1]]))
@@ -1023,6 +1037,106 @@ class CrossFieldsSearcher:
             docs_u, scores = docs_u[keep], scores[keep]
         sel = np.lexsort((docs_u, -scores))[:k]
         return docs_u[sel], scores[sel]
+
+
+def _shard_bucket(path: str) -> str:
+    """'.../postings/shard=7.parquet' -> '7' (docID bucket id)."""
+    return os.path.basename(path).split("=", 1)[1].split(".", 1)[0]
+
+
+class _MultiShardWorker:
+    """One actor per shard group for `multi_match` queries: holds a
+    Multi/CrossFieldsSearcher whose per-field Searchers are all
+    restricted to the SAME docID buckets — index state loads once per
+    actor (__init__), queries score per call (T1/T2 pattern)."""
+
+    def __init__(self, fields: dict[str, tuple[str, float]],
+                 buckets: list[str], mode: str):
+        inner = (
+            CrossFieldsSearcher(fields)
+            if mode == "cross_fields"
+            else MultiFieldSearcher(fields)
+        )
+        want = set(buckets)
+        for _name, (s, _boost) in inner.fields.items():
+            s.shard_files = [f for f in s.shard_files if _shard_bucket(f) in want]
+        self.inner = inner
+
+    def search(self, query: str, k: int, operator: str):
+        return self.inner.search(query, k=k, operator=operator)
+
+
+class DistributedMultiFieldSearcher:
+    """Per-shard fan-out for `multi_match` queries — `cross_fields`
+    (the reference's production query type,
+    apiserver/search/__init__.py:67-79) or `most_fields` — mirroring
+    DistributedSearcher's shape for the single-field path.
+
+    Exactness: shards are disjoint docID buckets SHARED across the
+    field indexes (content-derived docIDs + the same bucket hash,
+    index/docid.py), and every statistic the scorers blend (per-field
+    df for the blended max, n_docs, avgdl) is GLOBAL per field
+    (Searcher.dfs reads the global term_stats), so each actor scores
+    its own documents bit-identically to the single-process searcher
+    and the k-way merge of local top-k (score desc, docID asc) is the
+    global top-k. The AND conjunction is per-document and therefore
+    shard-local.
+    """
+
+    def __init__(self, fields: dict[str, tuple[str, float]],
+                 mode: str = "cross_fields", n_actors: int = 4):
+        import ray
+
+        def field_buckets(d: str) -> list[str]:
+            return sorted(
+                _shard_bucket(f)
+                for f in glob.glob(os.path.join(d, "postings", "shard=*.parquet"))
+            )
+
+        items = sorted(fields.items())
+        buckets = field_buckets(items[0][1][0])
+        for name, (d, _boost) in items[1:]:
+            if field_buckets(d) != buckets:
+                raise ValueError(
+                    f"field {name!r} has a different shard layout; all "
+                    "fields must index the same corpus with the same "
+                    "n_shards (shared docID buckets)"
+                )
+        n_actors = max(1, min(n_actors, len(buckets)))
+        groups = [buckets[i::n_actors] for i in range(n_actors)]
+        actor_cls = ray.remote(_MultiShardWorker)
+        self.mode = mode
+        self.actors = [
+            actor_cls.remote(fields, grp, mode) for grp in groups if grp
+        ]
+
+    def search(self, query: str, k: int = 10, operator: str | None = None):
+        import ray
+
+        if operator is None:
+            operator = "and" if self.mode == "cross_fields" else "or"
+        parts = ray.get(
+            [a.search.remote(query, k, operator) for a in self.actors]
+        )
+        doc_ids = (
+            np.concatenate([p[0] for p in parts])
+            if parts
+            else np.empty(0, np.int64)
+        )
+        scores = (
+            np.concatenate([p[1] for p in parts])
+            if parts
+            else np.empty(0, np.float64)
+        )
+        order = np.lexsort((doc_ids, -scores))[:k]
+        return doc_ids[order], scores[order]
+
+    def shutdown(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
 
 
 def _prefix_upper_bound(prefix: str) -> str:

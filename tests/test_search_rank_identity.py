@@ -418,6 +418,82 @@ def test_cross_fields_blended_scoring(ray_session, tmp_path):
     assert docid_row2 in d.tolist()
 
 
+def test_distributed_multifield_matches_local(ray_session, tmp_path):
+    """DistributedMultiFieldSearcher (per-shard actor fan-out) returns
+    bit-identical (docIDs, scores) to the single-process searcher in
+    BOTH modes — the blended/per-field statistics are global, so shard
+    restriction must not change any score."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import (
+        CrossFieldsSearcher,
+        DistributedMultiFieldSearcher,
+        MultiFieldSearcher,
+    )
+
+    rows = {
+        "repo": [f"r/{i}" for i in range(10)],
+        "path": [
+            "search/engine.py", "search/index.py", "util/strings.py",
+            "core/engine.py", "core/loop.py", "docs/search.md",
+            "a/engine_test.py", "a/c.py", "b/query_planner.py",
+            "b/merge_sort.py",
+        ],
+        "commit": [f"c{i}" for i in range(10)],
+        "lang": ["python"] * 10,
+        "content": [
+            "the search engine indexes documents",
+            "index building for the engine",
+            "string utilities and helpers",
+            "engine core loop",
+            "event loop internals",
+            "how search works in the engine",
+            "tests for the engine search paths",
+            "miscellaneous",
+            "query planning and the merge step",
+            "merge sort for partial results",
+        ],
+    }
+    t = pa.table({k: pa.array(v, pa.string()) for k, v in rows.items()})
+    src = str(tmp_path / "dmf.parquet")
+    pq.write_table(t, src)
+    idx_content = str(tmp_path / "dmf_content")
+    idx_path = str(tmp_path / "dmf_path")
+    build_index([src], idx_content, n_shards=4)
+    build_index([src], idx_path, n_shards=4, content_col="path")
+    fields = {"content": (idx_content, 1.0), "path": (idx_path, 3.0)}
+
+    locals_ = {
+        "cross_fields": CrossFieldsSearcher(fields),
+        "most_fields": MultiFieldSearcher(fields),
+    }
+    queries = ("search engine", "engine", "merge sort", "query engine util")
+    for mode, local in locals_.items():
+        dist = DistributedMultiFieldSearcher(fields, mode=mode, n_actors=3)
+        try:
+            for q in queries:
+                for op in ("and", "or"):
+                    ld, ls = local.search(q, k=6, operator=op)
+                    dd, ds_ = dist.search(q, k=6, operator=op)
+                    assert ld.tolist() == dd.tolist(), (mode, q, op)
+                    assert ls.tolist() == ds_.tolist(), (mode, q, op)
+        finally:
+            dist.shutdown()
+
+    # mismatched shard layouts are rejected, not silently mis-merged
+    idx_bad = str(tmp_path / "dmf_bad")
+    build_index([src], idx_bad, n_shards=2, content_col="path")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        DistributedMultiFieldSearcher(
+            {"content": (idx_content, 1.0), "path": (idx_bad, 3.0)}
+        )
+
+
 def test_distributed_hydrate_matches_local(ray_session, built_index, searcher):
     """DistributedSearcher.hydrate_hits (per-shard docmap slices) ==
     module-level hydrate_hits (whole-docmap filtered read)."""
