@@ -307,7 +307,7 @@ def _fold_band_keys(mat: np.ndarray, n_bands: int) -> np.ndarray:
 
 def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
                         bucket_cap: int = 1000, num_partitions: int = 32,
-                        broadcast_threshold: int = 2_000_000,
+                        broadcast_bytes: int = 32 << 20,
                         input_bytes: int | None = None):
     """Signatures -> candidate (id_a, id_b) pairs via banded LSH,
     fully distributed:
@@ -348,9 +348,10 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
     # most buckets are singletons: the per-bucket Python step must only
     # touch genuine collision buckets. The n>=2 count runs distributed
     # (groupby aggregate); the semi-join back onto the banded rows picks
-    # its strategy by the hot-key volume — broadcast searchsorted filter
-    # while the collision set is bounded (one sorted int64 array in the
-    # object store), Dataset.join once it is not (the 100-TB path).
+    # its strategy by the hot-key set's MEASURED byte size
+    # (util.broadcast_plan) — broadcast searchsorted filter while it
+    # fits `broadcast_bytes` (one sorted int64 array in the object
+    # store), Dataset.join once it does not (the 100-TB path).
     # The n_docs x n_bands explode is consumed twice (count + semi-join).
     # cache_dataset picks object-store materialize while the SOURCE size
     # estimate (`input_bytes`, the docs Parquet file size) is sandbox-
@@ -365,19 +366,20 @@ def lsh_candidate_pairs(sig_ds, n_bands: int = 16, id_col: str = "doc_id",
         .filter(expr="n >= 2")
         .select_columns(["bkey"])
     )
+    from auctus_ray.util import broadcast_plan
+
+    hot, _n_hot, _hb, fits = broadcast_plan(hot, broadcast_bytes)
     hot_keys = None
-    if broadcast_threshold:
-        hot = hot.materialize()
-        if hot.count() <= broadcast_threshold:
-            hot_keys = np.sort(
-                np.concatenate(
-                    [
-                        b["bkey"].to_numpy(zero_copy_only=False)
-                        for b in hot.iter_batches(batch_format="pyarrow")
-                    ]
-                    or [np.empty(0, np.int64)]
-                )
+    if fits:
+        hot_keys = np.sort(
+            np.concatenate(
+                [
+                    b["bkey"].to_numpy(zero_copy_only=False)
+                    for b in hot.iter_batches(batch_format="pyarrow")
+                ]
+                or [np.empty(0, np.int64)]
             )
+        )
     if hot_keys is not None:
         if hot_keys.size == 0:
             return ray.data.from_arrow(
@@ -490,22 +492,24 @@ def candidate_shingle_sets_join(docs_ds, cand_ds, id_col: str,
 def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
                          id_col: str = "doc_id", text_col: str = "text", k: int = 5,
                          num_partitions: int = 32,
-                         broadcast_threshold: int = 200_000,
+                         broadcast_bytes: int = 32 << 20,
                          input_bytes: int | None = None):
     """Exact Jaccard >= threshold filter over LSH candidate pairs.
 
     Scale path (round-3 rewrite): neither the corpus text NOR the
     candidate-pairs table ever reaches the driver. The pairs Dataset is
-    FS-checkpointed (it is consumed twice: id explode + verify) and the
-    distinct candidate ids come from a DISTRIBUTED aggregate over it.
-    Strategy selection mirrors a broadcast-vs-shuffle join planner:
-    while the distinct-candidate count is under `broadcast_threshold`,
-    the (collision-bounded) id array and sketches broadcast once via
-    ray.put and one map over the pairs Dataset verifies; beyond it the
-    docs semi-join the candidate ids and the sketches hash-join onto
-    the pairs twice (id_a side, id_b side) — no driver materialization
-    on either path. The Jaccard itself is sorted-array intersection per
-    pair in both paths.
+    cached once (it is consumed twice: id explode + verify; FS
+    checkpoint beyond the size estimate) and the distinct candidate ids
+    come from a DISTRIBUTED aggregate over it. Strategy selection is a
+    TWO-STAGE byte budget (round-4: bytes, not row counts): the id set
+    must fit `broadcast_bytes`, and then the REAL sketch payload is
+    materialized and measured — if it also fits, the sketches broadcast
+    once via ray.put and one map over the pairs Dataset verifies; if
+    either measure blows the budget the docs semi-join the candidate
+    ids and the (already-computed, when available) sketches hash-join
+    onto the pairs twice (id_a side, id_b side) — no driver
+    materialization on either path. The Jaccard itself is sorted-array
+    intersection per pair in both paths.
     """
     import ray
     from ray.data.aggregate import Count
@@ -540,16 +544,17 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
         )
 
     # distinct candidate ids: DISTRIBUTED aggregate (bounded by LSH
-    # collisions, not corpus size); materialized because it feeds both
-    # the count and the chosen strategy — O(candidates), not O(n_docs)
-    cand_ds = (
+    # collisions, not corpus size); materialized+measured because it
+    # feeds both the count and the plan — O(candidates), not O(n_docs)
+    from auctus_ray.util import broadcast_plan
+
+    cand_ds, _n_cand, _cb, ids_fit = broadcast_plan(
         pairs_ds.map_batches(explode_ids, batch_format="pyarrow")
         .groupby("cid")
         .aggregate(Count(alias_name="_n"))
-        .select_columns(["cid"])
-        .materialize()
+        .select_columns(["cid"]),
+        broadcast_bytes,
     )
-    n_cand = cand_ds.count()
 
     def _jaccard_arrays(A: np.ndarray, B: np.ndarray) -> float:
         if A.size == 0 and B.size == 0:
@@ -559,10 +564,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
         inter = np.intersect1d(A, B, assume_unique=True).size
         return inter / (A.size + B.size - inter)
 
-    if n_cand <= broadcast_threshold:
+    sketches_for_join = None
+    if ids_fit:
         # broadcast path: candidate sketches (bounded by the LSH
         # collision set, not corpus size) go to the object store once;
-        # one map over the pairs Dataset does vectorized lookups.
+        # one map over the pairs Dataset does vectorized lookups. The
+        # REAL payload is measured first — long documents can blow the
+        # budget even with few candidates, in which case the computed
+        # sketch Dataset is reused by the join path below.
         cand_ids = np.sort(
             np.concatenate(
                 [
@@ -572,7 +581,14 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
                 or [np.empty(0, np.int64)]
             )
         )
-        sketches = candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k)
+        sketches, _n_sk, _sb, sk_fit = broadcast_plan(
+            candidate_shingle_sets(docs_ds, cand_ids, id_col, text_col, k),
+            broadcast_bytes,
+        )
+        if not sk_fit:
+            sketches_for_join = sketches
+
+    if ids_fit and sketches_for_join is None:
         # broadcast payload = the codebase's standard (sorted ids,
         # offsets, concatenated blob) array triple — built straight off
         # the Arrow buffers (no per-row to_pylist, no dict), shipped as
@@ -632,8 +648,12 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
 
     # join path (the 100-TB shape): docs semi-join the candidate ids,
     # sketches hash-join onto the pairs — everything stays a Dataset
-    sketches = candidate_shingle_sets_join(
-        docs_ds, cand_ds, id_col, text_col, k, num_partitions
+    sketches = (
+        sketches_for_join
+        if sketches_for_join is not None
+        else candidate_shingle_sets_join(
+            docs_ds, cand_ds, id_col, text_col, k, num_partitions
+        )
     )
     sk_a = sketches.map_batches(
         lambda t: t.rename_columns(["id_a", "sh_a"]), batch_format="pyarrow"

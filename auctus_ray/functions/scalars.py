@@ -181,35 +181,49 @@ def edit_distance(a: str, b: str, cap: int = 2) -> int:
     return prev[lb] if prev[lb] <= cap else cap + 1
 
 
+def auto_fuzziness(term: str) -> int:
+    """ES `fuzziness: AUTO` edit budget by term length — 0 edits for
+    names under 3 chars, 1 for 3-5, 2 for 6+. The reference's fuzzy
+    clause sets no explicit fuzziness (search/union.py:95), so it
+    inherits AUTO; a flat cap of 2 would admit short-name pairs
+    ('id'~'no') ES rejects."""
+    n = len(term)
+    return 0 if n < 3 else (1 if n <= 5 else 2)
+
+
 def fuzzy_column_candidates(
-    left_cols: list[str], right_cols: list[str], max_edits: int = 2
+    left_cols: list[str], right_cols: list[str], max_edits: int | None = None
 ) -> set[tuple[str, str]]:
     """ES-fuzzy candidate generation: (left, right) name pairs within
-    edit distance <= max_edits (case-insensitive) — the reference's
-    `fuzzy: columns.name.raw` clause (search/union.py:95)."""
+    the edit budget (case-insensitive) — the reference's
+    `fuzzy: columns.name.raw` clause (search/union.py:95). The default
+    budget is AUTO by LEFT (query-side) name length, as ES computes it
+    from the query term; pass an int to pin a flat cap."""
     out: set[tuple[str, str]] = set()
     for lc in left_cols:
+        cap = auto_fuzziness(lc) if max_edits is None else max_edits
         for rc in right_cols:
-            if edit_distance(lc.lower(), rc.lower(), max_edits) <= max_edits:
+            if edit_distance(lc.lower(), rc.lower(), cap) <= cap:
                 out.add((lc, rc))
     return out
 
 
 def greedy_column_match(
     left_cols: list[str], right_cols: list[str], min_sim: float = 0.0,
-    fuzzy_max_edits: int = 2,
+    fuzzy_max_edits: int | None = None,
 ) -> list[tuple[str, str, float]]:
     """Union-search greedy 1-1 column assignment by descending 3-gram
     similarity with seen-sets (apiserver/search/union.py:172-189).
 
     Candidate generation mirrors the reference's two-stage search: a
     pair is eligible if its 3-gram similarity clears `min_sim` OR the
-    names are within `fuzzy_max_edits` Levenshtein edits (the ES fuzzy
-    clause) — so a typo'd short column name ('pric' vs 'price', whose
-    3-gram overlap is poor) still becomes a union candidate."""
+    names are within the Levenshtein edit budget (the ES fuzzy clause;
+    AUTO by name length when `fuzzy_max_edits` is None) — so a typo'd
+    column name ('pric' vs 'price', whose 3-gram overlap is poor) still
+    becomes a union candidate."""
     fuzzy_ok = (
         fuzzy_column_candidates(left_cols, right_cols, fuzzy_max_edits)
-        if fuzzy_max_edits > 0
+        if fuzzy_max_edits != 0
         else set()
     )
     pairs = sorted(

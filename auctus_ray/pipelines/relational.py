@@ -87,19 +87,20 @@ GROUP BY l_returnflag, l_linestatus
 # ---------------------------------------------------------------- Q: revenue by nation
 
 
-def revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000):
-    """Equi-join + group-agg with a thresholded broadcast-vs-shuffle
+def revenue_by_nation(sf_dir: str, broadcast_bytes: int = 64 << 20):
+    """Equi-join + group-agg with a BYTE-budgeted broadcast-vs-shuffle
     planner (J1 pattern; reference lib_augmentation/augmentation.py:376-624).
 
-    Customer is a GROWING dimension, so the plan is chosen from its row
-    count (Parquet footers — no data read): under `broadcast_threshold`
-    the sorted key/nation-code arrays are built inside a REMOTE task —
-    they land in the object store and the driver only ever holds the
-    ObjectRef (round-3 fix of the driver-side `.to_pandas()` build) —
-    and a vectorized searchsorted lookup rides map_batches over orders;
-    beyond the threshold orders hash-join customer (`Dataset.join`).
-    Nation is bounded (25 rows) and always broadcasts."""
-    from auctus_ray.util import join_partitions
+    Customer is a GROWING dimension, so the plan is chosen from its
+    on-disk byte size (Parquet file size — no data read): under
+    `broadcast_bytes` the sorted key/nation-code arrays are built inside
+    a REMOTE task — they land in the object store and the driver only
+    ever holds the ObjectRef (round-3 fix of the driver-side
+    `.to_pandas()` build) — and a vectorized searchsorted lookup rides
+    map_batches over orders; beyond the budget orders hash-join
+    customer (`Dataset.join`). Nation is bounded (25 rows) and always
+    broadcasts."""
+    from auctus_ray.util import join_partitions, parquet_bytes
 
     nation = _read(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
     nat_names = nation.sort_values("n_nationkey")["n_name"].to_numpy()
@@ -107,9 +108,8 @@ def revenue_by_nation(sf_dir: str, broadcast_threshold: int = 5_000_000):
 
     cust_ds = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
-    n_cust = cust_ds.count()
 
-    if n_cust > broadcast_threshold:
+    if parquet_bytes(f"{sf_dir}/customer.parquet") > broadcast_bytes:
         # shuffle path: orders hash-join customer, nation via broadcast
         from auctus_ray.util import drop_schema_metadata
 
@@ -330,19 +330,20 @@ FROM u GROUP BY src
 
 
 def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
-                             broadcast_threshold: int = 2_000_000):
-    """J10 anti-join with a thresholded broadcast-vs-join planner
+                             broadcast_bytes: int = 64 << 20):
+    """J10 anti-join with a BYTE-budgeted broadcast-vs-join planner
     (reference deletion sweep socrata_discovery.py:66-98; planner shape
     shared with functions/dedup.py's hot-bucket semi-join).
 
-    The distinct big-order keyset is a DISTRIBUTED aggregate; its count
-    picks the plan: under `broadcast_threshold` the sorted key array
-    broadcasts once (`ray.put`) and an anti searchsorted filter rides
-    map_batches (round-3 fix of the driver `take_all()` keyset); beyond
-    it the anti-join runs as `Dataset.join(left_outer)` + null-marker
-    filter. The price threshold keeps the result non-empty on the
-    synthetic data at every test scale factor."""
-    from auctus_ray.util import join_partitions
+    The distinct big-order keyset is a DISTRIBUTED aggregate; its
+    measured in-memory size picks the plan (util.broadcast_plan): under
+    `broadcast_bytes` the sorted key array broadcasts once (`ray.put`)
+    and an anti searchsorted filter rides map_batches (round-3 fix of
+    the driver `take_all()` keyset); beyond it the anti-join runs as
+    `Dataset.join(left_outer)` + null-marker filter. The price
+    threshold keeps the result non-empty on the synthetic data at every
+    test scale factor."""
+    from auctus_ray.util import broadcast_plan, join_partitions
 
     okeys = _read(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
 
@@ -355,12 +356,12 @@ def customers_without_orders(sf_dir: str, min_price: float = 300000.0,
         .groupby("k")
         .aggregate(Count(alias_name="_n"))
         .select_columns(["k"])
-        .materialize()  # O(distinct big-order customers), not O(orders)
     )
-    n_keys = keys_ds.count()
+    # O(distinct big-order customers), not O(orders)
+    keys_ds, _n_keys, _kb, fits = broadcast_plan(keys_ds, broadcast_bytes)
     cust = _read(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
 
-    if n_keys > broadcast_threshold:
+    if not fits:
         # join path: left_outer against a marker column, keep null marker
         marked = keys_ds.map_batches(
             lambda t: pa.table(

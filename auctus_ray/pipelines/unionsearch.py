@@ -2,9 +2,10 @@
 fuzzy column-schema compatibility with a query dataset.
 
 Reference semantics (apiserver/apiserver/search/union.py:58-241):
-  * candidate column pairs = right columns within Levenshtein edit
-    distance <= 2 of a left column (the ES `fuzzy` clause on
-    columns.name.raw, union.py:95) whose structural type matches
+  * candidate column pairs = right columns within the AUTO Levenshtein
+    edit budget of a left column (0 edits for names < 3 chars, 1 for
+    3-5, 2 for 6+ — the ES `fuzzy` clause on columns.name.raw,
+    union.py:95, inherits fuzziness AUTO) whose structural type matches
     (`minimum_should_match: 1` over the type terms, union.py:85-93);
   * pairs are greedily assigned 1-1 by DESCENDING 3-gram multiset
     similarity (union.py:172-189 seen-set loop);
@@ -89,10 +90,13 @@ def score_candidate(query_cols: list[tuple[str, str]],
                     cand_cols: list[tuple[str, str]]) -> tuple | None:
     """Greedy fuzzy column match of one candidate against the query:
     (n_pairs, sum_sim_e9, matched_pairs) or None when <= 1 pair."""
+    from auctus_ray.functions.scalars import auto_fuzziness
+
     cands = []
     for ln, lt in query_cols:
+        cap = auto_fuzziness(ln)  # ES AUTO: 0/1/2 by query-name length
         for rn, rt in cand_cols:
-            if lt == rt and edit_distance(ln, rn, 2) <= 2:
+            if lt == rt and edit_distance(ln, rn, cap) <= cap:
                 inter, union = name_similarity_counts(ln, rn)
                 cands.append((_sim_e9(inter, union), ln, rn))
     cands.sort(key=lambda x: (-x[0], x[1], x[2]))
@@ -167,8 +171,8 @@ def union_search(sf_dir: str, query_table: str = QUERY_TABLE,
 
 
 def _sql_union_search(query_table: str = QUERY_TABLE) -> str:
-    """DuckDB oracle: same candidate generation (levenshtein <= 2 +
-    type-class match via information_schema), same integer 3-gram
+    """DuckDB oracle: same candidate generation (AUTO levenshtein
+    budget + type-class match via information_schema), same integer 3-gram
     multiset similarity, greedy 1-1 via a recursive CTE walking pairs
     in (sim desc, lcol, rcol) order with used-column lists."""
     tables = ", ".join(f"'{t}'" for t in TABLES)
@@ -187,9 +191,13 @@ WITH RECURSIVE cols AS (
 lcols AS (SELECT name, tclass FROM cols WHERE tbl = '{query_table}'),
 rcols AS (SELECT tbl, name, tclass FROM cols WHERE tbl <> '{query_table}'),
 cand AS (
+  -- ES AUTO fuzziness: edit budget 0/1/2 by query-name length
   SELECT r.tbl, l.name AS lcol, r.name AS rcol
   FROM lcols l JOIN rcols r ON l.tclass = r.tclass
-  WHERE levenshtein(l.name, r.name) <= 2
+  WHERE levenshtein(l.name, r.name) <=
+        CASE WHEN length(l.name) < 3 THEN 0
+             WHEN length(l.name) <= 5 THEN 1
+             ELSE 2 END
 ),
 names AS (
   SELECT name FROM lcols UNION SELECT name FROM rcols

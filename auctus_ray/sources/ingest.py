@@ -163,11 +163,16 @@ def sniff_format(path: str) -> dict:
     if nb > 0:
         plan.append({"identifier": "skip_rows", "nb_rows": nb})
 
-    # pivoted-temporal-table detection over the real header row
+    # pivoted-temporal-table detection over the real header RECORD —
+    # parsed by the csv reader from the remaining sample, so a quoted
+    # header cell containing a newline stays one cell (a single
+    # physical line would truncate it and shift except_columns)
     try:
         header = next(
-            csv.reader(io.StringIO(sample.splitlines(keepends=True)[nb]),
-                       delimiter=delimiter)
+            csv.reader(
+                io.StringIO("".join(sample.splitlines(keepends=True)[nb:])),
+                delimiter=delimiter,
+            )
         )
     except (IndexError, StopIteration):
         header = []

@@ -162,6 +162,21 @@ def join_partitions(requested: int) -> int:
     return max(1, min(requested, cpus // 2))
 
 
+def broadcast_plan(ds, bytes_budget: int):
+    """Materialize a candidate broadcast side and measure its REAL
+    in-memory size: returns (materialized_ds, n_rows, size_bytes,
+    fits_budget). BYTES decide broadcast-vs-join, not row counts — a
+    row threshold over long string values happily broadcasts gigabytes
+    through the driver. The input must already be the bounded small
+    side (a distinct set / hot-key set), so materializing it to measure
+    is safe; if it then exceeds the budget the caller joins against the
+    already-materialized Dataset instead."""
+    m = ds.materialize()
+    n = m.count()
+    sz = int(m.size_bytes() or 0)
+    return m, n, sz, sz <= bytes_budget
+
+
 def sorted_membership(haystack, needles):
     """Vectorized membership of `needles` in the SORTED array `haystack`
     via searchsorted; returns (mask, clipped positions). The clip +

@@ -430,6 +430,17 @@ def test_fuzzy_column_candidates():
     assert ("price", "pric") in cands and ("qty", "qey") in cands
     assert ("price", "other") not in cands
 
+    # ES AUTO fuzziness: short names get 0 edits ('id' must NOT fuzz
+    # onto 'no'), 3-5 chars get 1, 6+ get 2
+    from auctus_ray.functions.scalars import auto_fuzziness
+
+    assert (auto_fuzziness("id"), auto_fuzziness("price"),
+            auto_fuzziness("status")) == (0, 1, 2)
+    assert fuzzy_column_candidates(["id"], ["no"]) == set()
+    assert ("status", "sattus") in fuzzy_column_candidates(["status"], ["sattus"])
+    # flat cap still available explicitly
+    assert ("id", "no") in fuzzy_column_candidates(["id"], ["no"], max_edits=2)
+
     # 'qty' vs 'qey': single trigrams, zero 3-gram overlap -> sim 0,
     # but edit distance 1 rescues it via the fuzzy clause
     m = greedy_column_match(["qty"], ["qey"], min_sim=0.3)
@@ -633,7 +644,7 @@ def test_minhash_verify_join_path(dup_docs):
     pairs = lsh_candidate_pairs(sigs, n_bands=16)
     bcast = verify_pairs_jaccard(pairs, ds, threshold=0.5, k=3).to_pandas()
     joined = verify_pairs_jaccard(
-        pairs, ds, threshold=0.5, k=3, broadcast_threshold=0
+        pairs, ds, threshold=0.5, k=3, broadcast_bytes=0
     ).to_pandas()
     a = set(zip(bcast["id_a"], bcast["id_b"], bcast["jaccard"].round(9)))
     b = set(zip(joined["id_a"], joined["id_b"], joined["jaccard"].round(9)))
@@ -698,7 +709,7 @@ def test_lsh_hot_bucket_join_path(dup_docs):
     ds, _ = dup_docs
     sigs = minhash_signatures(ds, n_perm=64, k_shingle=3).materialize()
     p_b = lsh_candidate_pairs(sigs, n_bands=16).to_pandas()
-    p_j = lsh_candidate_pairs(sigs, n_bands=16, broadcast_threshold=0).to_pandas()
+    p_j = lsh_candidate_pairs(sigs, n_bands=16, broadcast_bytes=0).to_pandas()
     assert set(zip(p_b["id_a"], p_b["id_b"])) == set(zip(p_j["id_a"], p_j["id_b"]))
 
 
@@ -973,7 +984,7 @@ def test_revenue_planner_paths_agree_on_orphan_orders(ray_session, tmp_path):
         d / "orders.parquet",
     )
     bcast = revenue_by_nation(str(d)).to_pandas().sort_values("n_name").reset_index(drop=True)
-    shuf = revenue_by_nation(str(d), broadcast_threshold=0).to_pandas().sort_values("n_name").reset_index(drop=True)
+    shuf = revenue_by_nation(str(d), broadcast_bytes=0).to_pandas().sort_values("n_name").reset_index(drop=True)
     assert bcast.equals(shuf)
     assert set(bcast["n_name"]) == {"A", "B"}  # no "" group; orphan dropped
 

@@ -185,6 +185,6 @@ def test_containment_join_path_matches_broadcast(ray_session):
     ).to_pandas()
     joined = exact_containment_scores(
         _distinct(sf, QUERY_TABLE, QUERY_COL), _catalog_values(sf),
-        catalog=cat, broadcast_threshold=0,
+        catalog=cat, broadcast_bytes=0,
     ).to_pandas()
     assert bcast.equals(joined)

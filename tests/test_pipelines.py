@@ -251,12 +251,12 @@ def test_relational_join_path_planners(ray_session, con):
         revenue_by_nation,
     )
 
-    got = _canon(revenue_by_nation(SF_DIR, broadcast_threshold=0).to_pandas())
+    got = _canon(revenue_by_nation(SF_DIR, broadcast_bytes=0).to_pandas())
     want = _canon(con.execute(SQL_REVENUE_BY_NATION).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
     got = _canon(
-        customers_without_orders(SF_DIR, broadcast_threshold=0).to_pandas()
+        customers_without_orders(SF_DIR, broadcast_bytes=0).to_pandas()
     )
     want = _canon(con.execute(SQL_CUSTOMERS_WITHOUT_ORDERS).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
