@@ -101,9 +101,34 @@ def near_dup_minhash(sf_dir: str):
     return verified.map_batches(round6, batch_format="pyarrow")
 
 
+def _doc_texts(sf_dir: str, ids=(0, 1)) -> list[str]:
+    """FILTERED read of just the requested documents' text."""
+    import pyarrow.dataset as pads
+
+    want = pa.array([int(i) for i in ids], pa.int64())
+    t = pads.dataset(
+        os.path.join(sf_dir, "documents.parquet"), format="parquet"
+    ).to_table(columns=["doc_id", "text"], filter=pads.field("doc_id").isin(want))
+    by = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    return [by[int(i)] for i in ids]
+
+
 def near_dup_simhash(sf_dir: str):
-    """SimHash near-dup pairs (hamming <= 3). Rows-only driver check."""
-    return simhash_near_dup_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=3)
+    """SimHash near-dup pairs (hamming <= 3). Rows-only driver check —
+    self-validating via planted probes (the near_dup_embeddings
+    pattern): two exact copies of doc_id 0 and 1 under negative ids are
+    unioned in, so the pairs (-1, 0) and (-2, 1) MUST surface at
+    hamming 0 (identical simhash collides in every pigeonhole segment);
+    pytest asserts them, so a vacuously-empty result cannot pass."""
+    t0, t1 = _doc_texts(sf_dir, (0, 1))
+    probes = pa.table(
+        {
+            "doc_id": pa.array([-1, -2], pa.int64()),
+            "text": pa.array([t0, t1], pa.string()),
+        }
+    )
+    ds = _docs(sf_dir, ["doc_id", "text"]).union(ray.data.from_arrow(probes))
+    return simhash_near_dup_pairs(ds, max_hamming=3)
 
 
 # ---------------------------------------------------------------- ANN
@@ -295,11 +320,28 @@ def lang_id(sf_dir: str):
     )
 
 
+# fixed probe texts whose sha256 is checkable by hand; pytest asserts
+# both the hash and the rolling fingerprint for the probe rows
+FP_PROBE_TEXTS = (
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs",
+)
+
+
 def doc_fingerprints(sf_dir: str):
-    """Rolling-hash document fingerprints + sha256 (rows-only)."""
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
-        fingerprint_batch, batch_format="pyarrow"
+    """Rolling-hash document fingerprints + sha256 (rows-only driver
+    check) — self-validating via two FIXED-text probe docs (ids -1, -2)
+    unioned into the corpus: their sha256 values are independent
+    constants (hashlib over FP_PROBE_TEXTS) and their fingerprints must
+    equal a local fingerprint_batch call, both asserted in pytest."""
+    probes = pa.table(
+        {
+            "doc_id": pa.array([-1, -2], pa.int64()),
+            "text": pa.array(list(FP_PROBE_TEXTS), pa.string()),
+        }
     )
+    ds = _docs(sf_dir, ["doc_id", "text"]).union(ray.data.from_arrow(probes))
+    return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
 QUERIES = {

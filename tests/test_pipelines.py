@@ -260,3 +260,39 @@ def test_relational_join_path_planners(ray_session, con):
     )
     want = _canon(con.execute(SQL_CUSTOMERS_WITHOUT_ORDERS).df())
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_simhash_and_fingerprint_probes(ray_session):
+    """Planted-probe self-validation for the two rows-only dedup
+    queries: the probe pairs/rows MUST be present and exact, so the
+    driver's rows-only check cannot be vacuously green."""
+    import hashlib
+
+    import pyarrow as pa
+
+    from auctus_ray.functions.textstats import fingerprint_batch
+    from auctus_ray.pipelines.training import (
+        FP_PROBE_TEXTS,
+        doc_fingerprints,
+        near_dup_simhash,
+    )
+
+    sim = near_dup_simhash(SF_DIR).to_pandas()
+    pairs = dict(zip(zip(sim["id_a"], sim["id_b"]), sim["hamming"]))
+    assert pairs.get((-1, 0)) == 0  # exact copy of doc 0
+    assert pairs.get((-2, 1)) == 0  # exact copy of doc 1
+
+    fp = doc_fingerprints(SF_DIR).to_pandas().set_index("doc_id")
+    local = fingerprint_batch(
+        pa.table(
+            {
+                "doc_id": pa.array([-1, -2], pa.int64()),
+                "text": pa.array(list(FP_PROBE_TEXTS), pa.string()),
+            }
+        )
+    ).to_pandas().set_index("doc_id")
+    for pid, text in zip((-1, -2), FP_PROBE_TEXTS):
+        assert fp.loc[pid, "content_sha256"] == hashlib.sha256(
+            text.encode()
+        ).hexdigest()
+        assert fp.loc[pid, "fingerprint_min"] == local.loc[pid, "fingerprint_min"]
