@@ -302,6 +302,26 @@ def cmd_ingest(args) -> int:
     return 0
 
 
+def cmd_export_d3m(args) -> int:
+    """Export any sniffable table as a D3M dataset directory — the
+    reference's `format=d3m` materialization exit (d3m.py:220-287):
+    detect -> read -> stream to tables/learningData.csv + datasetDoc.json."""
+    import ray
+
+    from auctus_ray.sources.d3m import write_d3m_dataset
+    from auctus_ray.sources.ingest import read_table_auto
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    ds = read_table_auto(args.input)
+    write_d3m_dataset(
+        ds, args.out, args.dataset_id,
+        version=args.schema_version, need_d3mindex=args.d3mindex,
+    )
+    print(f"wrote D3M dataset {args.dataset_id!r} to {args.out}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -374,6 +394,18 @@ def main(argv=None) -> int:
     us.add_argument("--page", type=int, default=0)
     us.add_argument("--size", type=int, default=50)
     us.set_defaults(fn=cmd_unionsearch)
+
+    d3 = sub.add_parser(
+        "export-d3m", help="export a table as a D3M dataset directory"
+    )
+    d3.add_argument("input", help="path to a parquet/csv/tsv/xlsx table")
+    d3.add_argument("--out", required=True, help="destination directory")
+    d3.add_argument("--dataset-id", default="dataset")
+    d3.add_argument("--schema-version", default="4.0.0",
+                    choices=["3.2.0", "4.0.0"])
+    d3.add_argument("--d3mindex", action="store_true",
+                    help="generate the d3mIndex column")
+    d3.set_defaults(fn=cmd_export_d3m)
 
     args = p.parse_args(argv)
     try:

@@ -194,3 +194,71 @@ def test_profile_through_ingestion_chain(ray_session, tmp_path):
         d.pop("filename", None)
     assert d_clean["columns"] == d_dirty["columns"]
     assert d_clean["nb_rows"] == d_dirty["nb_rows"] == 4
+
+
+def test_d3m_writer(ray_session, tmp_path):
+    """D3M dataset-dir writer: layout, datasetDoc.json type mapping,
+    streaming d3mIndex generation contiguous across blocks, and the
+    3.2.0 resFormat variant (reference d3m.py:220-287 parity)."""
+    import csv
+    import json
+
+    import pyarrow as pa
+    import ray.data
+
+    from auctus_ray.pipelines.profile import T_CATEGORICAL, T_TEXT
+    from auctus_ray.sources.d3m import write_d3m_dataset
+
+    t = pa.table(
+        {
+            "name": pa.array([f"n{i}" for i in range(10)]),
+            "score": pa.array([float(i) / 2 for i in range(10)]),
+            "count": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)  # index must span blocks
+    dest = str(tmp_path / "d3m_ds")
+    write_d3m_dataset(ds, dest, "ds-001", need_d3mindex=True)
+
+    doc = json.load(open(f"{dest}/datasetDoc.json"))
+    assert doc["about"]["datasetID"] == "ds-001"
+    assert doc["about"]["datasetSchemaVersion"] == "4.0.0"
+    res = doc["dataResources"][0]
+    assert res["resPath"] == "tables/learningData.csv"
+    assert res["resFormat"] == {"text/csv": ["csv"]}
+    by_name = {c["colName"]: c for c in res["columns"]}
+    assert by_name["d3mIndex"]["role"] == ["index"]
+    assert by_name["d3mIndex"]["colType"] == "integer"
+    assert by_name["score"]["colType"] == "real"
+    assert by_name["count"]["colType"] == "integer"
+    assert by_name["name"]["colType"] == "string"
+    assert [c["colIndex"] for c in res["columns"]] == [0, 1, 2, 3]
+
+    rows = list(csv.DictReader(open(f"{dest}/tables/learningData.csv")))
+    assert len(rows) == 10
+    assert [int(r["d3mIndex"]) for r in rows] == list(range(10))
+    assert {r["name"] for r in rows} == {f"n{i}" for i in range(10)}
+
+    # semantic-type precedence + 3.2.0 resFormat, from a pa.Table
+    dest2 = str(tmp_path / "d3m_ds2")
+    write_d3m_dataset(
+        t, dest2, "ds-002", version="3.2.0",
+        metadata={
+            "name": "My data",
+            "columns": [
+                {"name": "name", "structural_type": T_TEXT,
+                 "semantic_types": [T_CATEGORICAL]},
+                {"name": "score", "structural_type":
+                 "http://schema.org/Float", "semantic_types": []},
+                {"name": "count", "structural_type":
+                 "http://schema.org/Integer", "semantic_types": []},
+            ],
+        },
+    )
+    doc2 = json.load(open(f"{dest2}/datasetDoc.json"))
+    res2 = doc2["dataResources"][0]
+    assert res2["resFormat"] == ["text/csv"]
+    assert doc2["about"]["datasetName"] == "My data"
+    by2 = {c["colName"]: c for c in res2["columns"]}
+    assert by2["name"]["colType"] == "categorical"
+    assert "d3mIndex" not in by2
