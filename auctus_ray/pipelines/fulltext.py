@@ -135,6 +135,120 @@ SQL_BM25_TOPK_OR = _bm25_sql(["table", "scan", "query"], 10, "or")
 SQL_BM25_TOPK_AND = _bm25_sql(["hash", "join"], 10, "and")
 
 
+# ------------------------------------------------------------ cross_fields
+
+
+def docs_index_field(sf_dir: str, field: str, n_shards: int = 8):
+    """Per-field index over documents (same corpus, same docIDs, same
+    analyzer — the cross_fields contract): `field` names the documents
+    column serving as content."""
+    from auctus_ray.index.build import build_index
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{field}_{tag}")
+    col_map = dict(_DOCS_COLUMN_MAP)
+    col_map["content"] = field
+    return build_index(
+        [os.path.join(sf_dir, "documents.parquet")], idx_dir,
+        analyzer="simple", n_shards=n_shards, files_per_group=4,
+        column_map=col_map,
+    )
+
+
+CROSS_FIELDS_QUERY = "src3 merge"  # one term per field: genuinely cross
+
+
+def docs_cross_fields(sf_dir: str) -> pa.Table:
+    """ES `multi_match type=cross_fields, operator=and` over documents
+    (fields src^2, text^1) — the reference's production keyword-query
+    shape (apiserver/search/__init__.py:67-79), served through the
+    per-shard actor fan-out (DistributedMultiFieldSearcher). 'src3'
+    only exists in the source field and 'merge' only in text, so every
+    hit is a cross-field conjunction no single field satisfies."""
+    from auctus_ray.index.search import DistributedMultiFieldSearcher
+
+    res_t = docs_index(sf_dir)
+    res_s = docs_index_field(sf_dir, "source")
+    dist = DistributedMultiFieldSearcher(
+        {"src": (res_s.index_dir, 2.0), "text": (res_t.index_dir, 1.0)},
+        mode="cross_fields", n_actors=4,
+    )
+    try:
+        eng_ids, scores = dist.search(CROSS_FIELDS_QUERY, k=10, operator="and")
+    finally:
+        dist.shutdown()
+    orig = _translate_docids(res_t.index_dir, eng_ids)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig),
+            "score": pa.array(_round_half_away6(scores), pa.float64()),
+        }
+    )
+
+
+# DuckDB oracle for blended cross_fields scoring: per-term df blended
+# as MAX over fields, idf from the blended df, per-(term,doc) dismax of
+# boost_f * idf_b * tfnorm_f (tie_breaker=0), AND = every term matched
+# in >= 1 field. Field statistics (dl, avgdl) are per-field.
+SQL_DOCS_CROSS_FIELDS = """
+WITH tok_t AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+tok_s AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(source), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl_t AS (SELECT doc_id, COUNT(*) AS dl FROM tok_t GROUP BY doc_id),
+dl_s AS (SELECT doc_id, COUNT(*) AS dl FROM tok_s GROUP BY doc_id),
+g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl_t)
+               / (SELECT COUNT(*) FROM documents) AS avgdl_t,
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl_s)
+               / (SELECT COUNT(*) FROM documents) AS avgdl_s),
+q(term) AS (VALUES ('src3'), ('merge')),
+tf_t AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok_t
+         WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+tf_s AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok_s
+         WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (
+  SELECT q.term,
+         GREATEST(
+           COALESCE((SELECT COUNT(*) FROM tf_t WHERE tf_t.term = q.term), 0),
+           COALESCE((SELECT COUNT(*) FROM tf_s WHERE tf_s.term = q.term), 0)
+         ) AS df_b
+  FROM q
+),
+contrib AS (
+  SELECT COALESCE(tf_t.doc_id, tf_s.doc_id) AS doc_id,
+         COALESCE(tf_t.term, tf_s.term) AS term,
+         GREATEST(
+           COALESCE(1.0 * ln(1 + (g.n_docs - df.df_b + 0.5)/(df.df_b + 0.5)) *
+             (tf_t.tf / (tf_t.tf + 1.2 * (1 - 0.75 + 0.75 * dl_t.dl / g.avgdl_t))),
+             -1e308),
+           COALESCE(2.0 * ln(1 + (g.n_docs - df.df_b + 0.5)/(df.df_b + 0.5)) *
+             (tf_s.tf / (tf_s.tf + 1.2 * (1 - 0.75 + 0.75 * dl_s.dl / g.avgdl_s))),
+             -1e308)
+         ) AS c
+  FROM tf_t
+  FULL OUTER JOIN tf_s ON tf_t.doc_id = tf_s.doc_id AND tf_t.term = tf_s.term
+  JOIN df ON df.term = COALESCE(tf_t.term, tf_s.term)
+  LEFT JOIN dl_t ON dl_t.doc_id = tf_t.doc_id
+  LEFT JOIN dl_s ON dl_s.doc_id = tf_s.doc_id
+  CROSS JOIN g
+  WHERE df.df_b > 0
+),
+scores AS (
+  SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id
+  HAVING COUNT(*) = (SELECT COUNT(*) FROM q)
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------- term df
 
 
@@ -221,6 +335,7 @@ FROM documents GROUP BY lang
 QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_topk_and": bm25_topk_and,
+    "docs_cross_fields": docs_cross_fields,
     "term_df_top100": term_df_top100,
     "doc_length_stats": doc_length_stats,
 }
@@ -228,6 +343,7 @@ QUERIES = {
 SQL = {
     "bm25_topk_or": SQL_BM25_TOPK_OR,
     "bm25_topk_and": SQL_BM25_TOPK_AND,
+    "docs_cross_fields": SQL_DOCS_CROSS_FIELDS,
     "term_df_top100": SQL_TERM_DF_TOP100,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
 }
