@@ -28,6 +28,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     from auctus_ray.pipelines import (
+        augsearch,
         document,
         fulltext,
         joinsearch,
@@ -39,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     out: dict[str, Callable[[str], Any]] = {}
     out.update(relational.QUERIES)
+    out.update(augsearch.QUERIES)
     out.update(fulltext.QUERIES)
     out.update(training.QUERIES)
     out.update(profile.QUERIES)
@@ -50,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     from auctus_ray.pipelines import (
+        augsearch,
         fulltext,
         joinsearch,
         profile,
@@ -60,6 +63,7 @@ def oracle_sql() -> dict[str, str]:
 
     out: dict[str, str] = {}
     out.update(relational.SQL)
+    out.update(augsearch.SQL)
     out.update(fulltext.SQL)
     out.update(training.SQL)
     out.update(profile.SQL)

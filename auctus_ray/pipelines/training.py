@@ -313,9 +313,33 @@ FROM documents
 """
 
 
+# one unambiguous probe text per language profile (ids -1..-4, in this
+# order); pytest asserts the predictions so the rows-only driver check
+# cannot be vacuously green (the near_dup_embeddings pattern)
+LANG_PROBE_TEXTS = {
+    "en": "the cat sat on the mat and it is that good for all of us to see",
+    "fr": "le chat est sur la table et les enfants sont dans une maison pour que",
+    "es": "el gato es de la casa y los perros son para una familia que vive",
+    "de": "der hund ist mit der katze und das kind von eine frau zu hause",
+}
+
+
 def lang_id(sf_dir: str):
-    """Stopword-profile language ID (rows-only; heuristic)."""
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    """Stopword-profile language ID (rows-only; heuristic) —
+    self-validating via four FIXED probe docs (ids -1..-4), one per
+    language profile, unioned into the corpus; pytest asserts each
+    probe's prediction equals its planted language."""
+    probes = pa.table(
+        {
+            "doc_id": pa.array([-1, -2, -3, -4], pa.int64()),
+            "text": pa.array(
+                [LANG_PROBE_TEXTS[lg] for lg in ("en", "fr", "es", "de")],
+                pa.string(),
+            ),
+        }
+    )
+    ds = _docs(sf_dir, ["doc_id", "text"]).union(ray.data.from_arrow(probes))
+    return ds.map_batches(
         LangId, batch_format="pyarrow", batch_size=256, concurrency=(1, 2)
     )
 

@@ -63,6 +63,7 @@ def _sql_checked_names():
     "quantity_moments", "events_tumbling_window", "bm25_topk_or",
     "bm25_topk_and", "term_df_top100", "doc_length_stats",
     "dedup_exact_groups", "ann_cosine_topk", "text_token_stats", "text_quality",
+    "augmentation_search",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     qs, sqls = _entry_maps()
@@ -296,3 +297,38 @@ def test_simhash_and_fingerprint_probes(ray_session):
             text.encode()
         ).hexdigest()
         assert fp.loc[pid, "fingerprint_min"] == local.loc[pid, "fingerprint_min"]
+
+
+def test_augmentation_search_interleave(ray_session):
+    """The combined endpoint must reproduce the reference's zip-interleave
+    (join[i], union[i], ... then the longer tail; search/__init__.py:407-414)
+    of its two component result lists."""
+    from auctus_ray.pipelines.augsearch import augmentation_search
+    from auctus_ray.pipelines.joinsearch import join_search_textual
+    from auctus_ray.pipelines.unionsearch import union_search
+
+    combined = augmentation_search(SF_DIR).to_pandas()
+    j = join_search_textual(SF_DIR).to_pandas()
+    u = union_search(SF_DIR).to_pandas()
+
+    assert list(combined["rank"]) == list(range(1, len(combined) + 1))
+    assert len(combined) == min(50, len(j) + len(u))
+    # per-type order preserved, and types alternate while both lists last
+    jt = combined[combined["aug_type"] == "join"]
+    ut = combined[combined["aug_type"] == "union"]
+    assert list(jt["dataset_id"])[: len(j)] == list(j["dataset_id"])[: len(jt)]
+    assert list(ut["dataset_id"])[: len(u)] == list(u["cand_table"])[: len(ut)]
+    both = min(len(j), len(u))
+    head = list(combined["aug_type"])[: 2 * both]
+    assert head == ["join", "union"] * both
+
+
+def test_lang_id_planted_probes(ray_session):
+    """lang_id's rows-only driver output must carry the four planted
+    probe docs with their planted language predictions."""
+    from auctus_ray.pipelines.training import LANG_PROBE_TEXTS, lang_id
+
+    out = lang_id(SF_DIR).to_pandas().set_index("doc_id")
+    for pid, lg in zip((-1, -2, -3, -4), ("en", "fr", "es", "de")):
+        assert out.loc[pid, "lang_pred"] == lg
+    assert set(LANG_PROBE_TEXTS) == {"en", "fr", "es", "de"}
