@@ -322,6 +322,43 @@ def cmd_export_d3m(args) -> int:
     return 0
 
 
+def cmd_discover(args) -> int:
+    """Sweep a directory with the LocalDirectoryDiscoverer plugin and
+    drain the profile queue — the reference's discoverer -> AMQP ->
+    profiler loop (lib_core/discovery.py:20-167) as one resumable
+    command over a catalog journal."""
+    import ray
+
+    from auctus_ray.sources.discovery import LocalDirectoryDiscoverer
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    d = LocalDirectoryDiscoverer(args.identifier, args.catalog, args.root)
+    found = d.discover_datasets()
+    pending = [x["id"] for x in d.pending()]
+    print(f"discovered {len(found)} datasets; {len(pending)} pending profile")
+    if not args.no_profile:
+        done = d.profile_pending(include_sample=not args.no_sample)
+        print(f"profiled {len(done)}: {', '.join(done) if done else '(all current)'}")
+    return 0
+
+
+def cmd_cache_clean(args) -> int:
+    """Watermark cache eviction (the reference cache_cleaner service,
+    cache_cleaner/cache.py:40-140): report sizes, evict oldest `.cache`
+    entries down to the low watermark when over the high one."""
+    from auctus_ray.state.cache import clear_caches, measure_cache_dir
+
+    for d in args.dirs:
+        n, sz = measure_cache_dir(d)
+        print(f"{d}: {n} entries, {sz} bytes")
+    deleted = clear_caches(args.dirs, args.max_bytes, args.low_bytes)
+    print(f"evicted {len(deleted)} entries")
+    for p_ in deleted:
+        print(f"  {p_}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -406,6 +443,28 @@ def main(argv=None) -> int:
     d3.add_argument("--d3mindex", action="store_true",
                     help="generate the d3mIndex column")
     d3.set_defaults(fn=cmd_export_d3m)
+
+    dc = sub.add_parser(
+        "discover",
+        help="sweep a directory for datasets, profile the pending ones",
+    )
+    dc.add_argument("--root", required=True, help="directory to sweep")
+    dc.add_argument("--catalog", required=True, help="catalog journal dir")
+    dc.add_argument("--identifier", default="localdir")
+    dc.add_argument("--no-profile", action="store_true")
+    dc.add_argument("--no-sample", action="store_true")
+    dc.set_defaults(fn=cmd_discover)
+
+    cc = sub.add_parser(
+        "cache-clean",
+        help="evict oldest .cache entries down to the low watermark",
+    )
+    cc.add_argument("dirs", nargs="+", help="cache directories to sweep")
+    cc.add_argument("--max-bytes", type=int, required=True,
+                    help="high watermark (eviction trigger)")
+    cc.add_argument("--low-bytes", type=int, default=None,
+                    help="low watermark (default 0.33 * max)")
+    cc.set_defaults(fn=cmd_cache_clean)
 
     args = p.parse_args(argv)
     try:

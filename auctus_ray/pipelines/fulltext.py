@@ -52,7 +52,9 @@ def docs_index(sf_dir: str, n_shards: int = 8):
     from auctus_ray.index.build import build_index
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{tag}")
+    # `.cache` suffix: the watermark sweeper (state/cache.py) recognizes
+    # this as an evictable cache entry, the reference's naming contract
+    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{tag}.cache")
     src = os.path.join(sf_dir, "documents.parquet")
     return build_index(
         [src], idx_dir, analyzer="simple", n_shards=n_shards,

@@ -403,6 +403,127 @@ def profile_documents(sf_dir: str) -> pa.Table:
     return profile_table(sf_dir, "documents")
 
 
+def _round_half_up(x: float, d: int) -> float:
+    import math
+
+    m = 10 ** d
+    return math.floor(x * m + 0.5) / m
+
+
+# Profiler-stats oracle surface: these orders columns get their profile
+# checked value-for-value against DuckDB aggregates (upgrading the
+# profiler from a rows-only driver check). Expected types in the SQL
+# are INDEPENDENT literals derived from the reference's decision rules
+# (profile_types.py:186-356), so a type-decision regression mismatches.
+_ORACLE_STAT_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_totalprice",
+    "o_orderstatus",
+    "o_orderpriority",
+    "o_orderdate",
+]
+# only columns whose distinct sets are structurally small (exact under
+# the per-batch sample cap at every test scale) claim a distinct count
+_ORACLE_DISTINCT_COLS = {
+    "o_orderstatus",
+    "o_orderpriority",
+}
+
+_STATS_SCHEMA = pa.schema(
+    [
+        ("column", pa.string()),
+        ("structural_type", pa.string()),
+        ("semantic_types", pa.string()),
+        ("n_rows", pa.int64()),
+        ("n_distinct", pa.int64()),
+        ("mean_r4", pa.float64()),
+        ("stddev_r2", pa.float64()),
+        ("min_val", pa.float64()),
+        ("max_val", pa.float64()),
+    ]
+)
+
+
+def profile_stats_orders(sf_dir: str) -> pa.Table:
+    """Oracle-checkable slice of the orders profile: type decisions plus
+    numeric statistics per column. Rounding margins are sized to the
+    float-summation noise floor (mean to 4 decimals, stddev to 2 — the
+    profiler's sum/sumsq pass and DuckDB's Welford accumulate in
+    different orders, so tighter rounding would flake)."""
+    prof = {r["column"]: r for r in profile_table(sf_dir, "orders").to_pylist()}
+    rows = []
+    for col in _ORACLE_STAT_COLS:
+        p = prof[col]
+        numeric = p["mean"] is not None
+        rows.append(
+            {
+                "column": col,
+                "structural_type": p["structural_type"],
+                "semantic_types": p["semantic_types"],
+                "n_rows": int(p["n_rows"]),
+                "n_distinct": (
+                    int(p["num_distinct_values"])
+                    if col in _ORACLE_DISTINCT_COLS and p["distinct_exact"]
+                    else None
+                ),
+                "mean_r4": _round_half_up(p["mean"], 4) if numeric else None,
+                "stddev_r2": _round_half_up(p["stddev"], 2) if numeric else None,
+                "min_val": float(p["min"]) if numeric else None,
+                "max_val": float(p["max"]) if numeric else None,
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
+
+
+def _sql_profile_stats_orders() -> str:
+    # (structural, semantic) literals per column, from the reference's
+    # decision rules: *key -> Integer+identifier; totalprice -> Float;
+    # shippriority -> Integer; status/priority -> Text+Enumeration
+    # (<=10% distinct); orderdate -> Text+DateTime (strict date parse).
+    expected = {
+        "o_orderkey": (T_INTEGER, T_ID),
+        "o_custkey": (T_INTEGER, T_ID),
+        "o_totalprice": (T_FLOAT, ""),
+        "o_orderstatus": (T_TEXT, T_CATEGORICAL),
+        "o_orderpriority": (T_TEXT, T_CATEGORICAL),
+        "o_orderdate": (T_TEXT, T_DATE_TIME),
+    }
+    parts = []
+    for col in _ORACLE_STAT_COLS:
+        st, sem = expected[col]
+        numeric = st in (T_INTEGER, T_FLOAT)
+        dist = (
+            f"CAST(COUNT(DISTINCT {col}) AS BIGINT)"
+            if col in _ORACLE_DISTINCT_COLS
+            else "CAST(NULL AS BIGINT)"
+        )
+        if numeric:
+            stats = (
+                f"ROUND(AVG({col}), 4) AS mean_r4,\n"
+                f"  ROUND(COALESCE(STDDEV_POP({col}), 0.0), 2) AS stddev_r2,\n"
+                f"  CAST(MIN({col}) AS DOUBLE) AS min_val,\n"
+                f"  CAST(MAX({col}) AS DOUBLE) AS max_val"
+            )
+        else:
+            stats = (
+                "CAST(NULL AS DOUBLE) AS mean_r4,\n"
+                "  CAST(NULL AS DOUBLE) AS stddev_r2,\n"
+                "  CAST(NULL AS DOUBLE) AS min_val,\n"
+                "  CAST(NULL AS DOUBLE) AS max_val"
+            )
+        parts.append(
+            f"SELECT '{col}' AS column, '{st}' AS structural_type,\n"
+            f"  '{sem}' AS semantic_types,\n"
+            f"  COUNT(*) AS n_rows, {dist} AS n_distinct,\n"
+            f"  {stats}\nFROM orders"
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+SQL_PROFILE_STATS_ORDERS = _sql_profile_stats_orders()
+
+
 def histogram_quantity(sf_dir: str):
     """A4 numerical histogram: 10 equal-width bins over l_quantity.
     Bin rule floor((x-min)*10/(max-min)) capped at 9 — expressed with
@@ -649,6 +770,7 @@ FROM customer c LEFT JOIN agg a ON c.c_custkey = a.o_custkey
 QUERIES = {
     "profile_orders": profile_orders,
     "profile_documents": profile_documents,
+    "profile_stats_orders": profile_stats_orders,
     "histogram_quantity": histogram_quantity,
     "range_overlap_search": range_overlap_search,
     "orders_with_line_aggs": orders_with_line_aggs,
@@ -656,6 +778,7 @@ QUERIES = {
 }
 
 SQL = {
+    "profile_stats_orders": SQL_PROFILE_STATS_ORDERS,
     "histogram_quantity": SQL_HISTOGRAM_QUANTITY,
     "range_overlap_search": SQL_RANGE_OVERLAP_SEARCH,
     "orders_with_line_aggs": SQL_ORDERS_WITH_LINE_AGGS,

@@ -42,6 +42,17 @@ MODE = os.environ.get("GRAFT_BENCH_MODE", "full")  # full | build
 N_SHARDS = int(os.environ.get("GRAFT_BENCH_SHARDS", "32"))
 
 
+def _canary_work(_):
+    """Module-level (picklable) CPU-bound probe task."""
+    import time as _t
+
+    t0 = _t.perf_counter()
+    s = 0
+    for i in range(5_000_000):
+        s += i
+    return _t.perf_counter() - t0
+
+
 def _corpus_dir(use_ray: bool = True) -> str:
     rows_per_file = max(500, BENCH_DOCS // 128)
     d = f"/tmp/auctus_bench_corpus_{BENCH_DOCS}_{MEAN_TOKENS}_{rows_per_file}"
@@ -279,14 +290,38 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def canary() -> dict:
+        """Host-health probe for attribution: 8-way parallel python-loop
+        wall time (sensitive to hypervisor CPU steal, which hits the hi
+        legs hardest and craters the efficiency estimate) + single-core
+        DRAM stream. Healthy profile: ~0.2-0.3 s loop, >=8 GB/s."""
+        import multiprocessing as mp
+        import time as _t
+
+        import numpy as _np
+
+        with mp.Pool(8) as p:
+            t0 = _t.perf_counter()
+            p.map(_canary_work, range(8))
+            loop8 = _t.perf_counter() - t0
+        a = _np.zeros(100_000_000 // 8)
+        t0 = _t.perf_counter()
+        for _ in range(5):
+            a.sum()
+        dram = 5 * a.nbytes / (_t.perf_counter() - t0) / 1e9
+        return {"loop8_s": round(loop8, 3), "dram_gbps": round(dram, 1)}
+
     lo = int(os.environ.get("GRAFT_SCALE_LO", "2"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "8"))
     n_lo = max(1, int(os.environ.get("GRAFT_SCALE_REPEATS", "2")))
     samples = {"lo": [], "hi": []}
+    canaries = [canary()]
     for _ in range(n_lo):
         samples["hi"].append(sub(hi)["value"])
         samples["lo"].append(sub(lo)["value"])
+        canaries.append(canary())
     samples["hi"].append(sub(hi)["value"])
+    canaries.append(canary())
 
     # sandwich estimates: lo_i vs mean(hi_i, hi_{i+1})
     ests = []
@@ -314,6 +349,7 @@ def run_scaling() -> dict:
         "n_docs": BENCH_DOCS,
         "scaling_efficiency": round(eff, 3),
         "protocol": "alternating hi/lo; each lo vs mean of bracketing hi runs; median",
+        "host_canaries": canaries,
     }
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "scaling.json"), "w") as f:

@@ -1,0 +1,104 @@
+"""Discoverer plugin surface (reference lib_core/discovery.py:20-167):
+record/pending/profile/delete lifecycle with resumable, content-keyed
+profiling."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+@pytest.fixture()
+def source_dir(tmp_path):
+    root = tmp_path / "src"
+    root.mkdir()
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(np.arange(100), pa.int64()),
+                "v": pa.array(np.arange(100) * 0.5, pa.float64()),
+            }
+        ),
+        str(root / "numbers.parquet"),
+    )
+    (root / "cities.csv").write_text(
+        "garbage line before the header\n"
+        "name,population\n"
+        "springfield,30000\n"
+        "shelbyville,25000\n"
+    )
+    (root / "README.md").write_text("not a dataset")
+    return str(root)
+
+
+def test_discover_profile_resume_delete(ray_session, tmp_path, source_dir):
+    from auctus_ray.sources.discovery import LocalDirectoryDiscoverer
+
+    cat = str(tmp_path / "catalog")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    found = d.discover_datasets()
+    assert found == ["localdir.cities", "localdir.numbers"]
+    assert [x["id"] for x in d.pending()] == found
+
+    profiled = d.profile_pending(include_sample=False)
+    assert profiled == found
+    assert d.pending() == []
+
+    # profile documents landed, one JSON per dataset, with real content
+    prof_path = os.path.join(cat, "profiles", "localdir.numbers.json")
+    doc = json.load(open(prof_path))
+    assert doc["nb_rows"] == 100 and doc["id"] == "localdir.numbers"
+    cities = json.load(
+        open(os.path.join(cat, "profiles", "localdir.cities.json"))
+    )
+    # the garbage header was skipped by the ingestion chain
+    assert cities["nb_rows"] == 2
+    assert {c["name"] for c in cities["columns"]} == {"name", "population"}
+
+    # resume: a fresh Discoverer over the same catalog re-profiles nothing
+    d2 = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    assert d2.profile_pending() == []
+
+    # content change -> fingerprint change -> pending again (only that one)
+    with open(os.path.join(source_dir, "cities.csv"), "a") as f:
+        f.write("ogdenville,12000\n")
+    d2.discover_datasets()
+    assert [x["id"] for x in d2.pending()] == ["localdir.cities"]
+    assert d2.profile_pending(include_sample=False) == ["localdir.cities"]
+    cities2 = json.load(
+        open(os.path.join(cat, "profiles", "localdir.cities.json"))
+    )
+    assert cities2["nb_rows"] == 3
+
+    # tombstone: listing drops it, profile file removed, journal survives
+    d2.delete_dataset(dataset_id="cities")
+    assert [x["id"] for x in d2.datasets()] == ["localdir.numbers"]
+    assert not os.path.exists(os.path.join(cat, "profiles", "localdir.cities.json"))
+    # re-record after delete -> pending again (delete-then-reinsert, D5)
+    d2.discover_datasets()
+    assert [x["id"] for x in d2.pending()] == ["localdir.cities"]
+
+
+def test_record_dataset_defaults(tmp_path):
+    from auctus_ray.sources.discovery import Discoverer
+
+    d = Discoverer("plug", str(tmp_path / "cat"))
+    full = d.record_dataset(
+        {"path": "/nonexistent"},
+        {"description": "<p>Fine <em>data</em></p>"},
+        dataset_id="x1",
+    )
+    assert full == "plug.x1"
+    rec = d.datasets()[0]
+    assert rec["metadata"]["name"] == "x1"
+    assert rec["metadata"]["source"] == "plug"
+    assert rec["metadata"]["description"] == "Fine data"
+    assert rec["materialize"]["identifier"] == "plug"
+    assert rec["materialize"]["date"].endswith("Z")
+    # auto-generated ids are prefixed and unique
+    a = d.record_dataset({}, {})
+    b = d.record_dataset({}, {})
+    assert a != b and a.startswith("plug.")
