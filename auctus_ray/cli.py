@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -359,6 +360,50 @@ def cmd_cache_clean(args) -> int:
     return 0
 
 
+def cmd_seg(args) -> int:
+    """Incremental (multi-segment) index lifecycle — add / search /
+    delete / compact (index/segments.py; the reference's continuous ES
+    ingest, add_dataset_to_index common.py:451-467)."""
+    from auctus_ray.index import segments as seg
+
+    if args.action == "add":
+        _ray_up(args.num_cpus)
+        cmap = None
+        if args.column_map:
+            cmap = dict(kv.split("=", 1) for kv in args.column_map.split(","))
+        t0 = time.time()
+        res = seg.add_segment(
+            args.root, args.input, analyzer=args.analyzer,
+            n_shards=args.shards, column_map=cmap,
+        )
+        print(json.dumps({
+            "segment": os.path.basename(res.index_dir),
+            "n_docs": res.n_docs,
+            "n_segments": len(seg.load_segments(args.root)),
+            "seconds": round(time.time() - t0, 3),
+        }))
+    elif args.action == "search":
+        s = seg.SegmentedSearcher(args.root)
+        d, sc = s.search(args.query, k=args.k, operator=args.operator)
+        print(json.dumps({
+            "stats": s.stats(),
+            "hits": s.hydrate_hits(d, sc).to_pylist(),
+        }, default=str))
+    elif args.action == "delete":
+        n = seg.delete_docs(args.root, args.values.split(","), column=args.column)
+        print(json.dumps({"tombstones": n}))
+    elif args.action == "compact":
+        _ray_up(args.num_cpus)
+        t0 = time.time()
+        res = seg.compact(args.root, n_shards=args.shards)
+        print(json.dumps({
+            "segment": os.path.basename(res.index_dir),
+            "n_docs": res.n_docs,
+            "seconds": round(time.time() - t0, 3),
+        }))
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="auctus_ray")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -465,6 +510,27 @@ def main(argv=None) -> int:
     cc.add_argument("--low-bytes", type=int, default=None,
                     help="low watermark (default 0.33 * max)")
     cc.set_defaults(fn=cmd_cache_clean)
+
+    sg = sub.add_parser(
+        "seg",
+        help="incremental index: add/search/delete/compact segments",
+    )
+    sg.add_argument("action", choices=["add", "search", "delete", "compact"])
+    sg.add_argument("--root", required=True, help="segmented index root")
+    sg.add_argument("--input", help="parquet file/dir/glob (add)")
+    sg.add_argument("--column-map", default=None,
+                    help="corpus=source column mapping, e.g. "
+                         "repo=source,path=doc_id,commit=doc_id,"
+                         "lang=lang,content=text")
+    sg.add_argument("--analyzer", default="code")
+    sg.add_argument("--shards", type=int, default=None)
+    sg.add_argument("--query", default="", help="query string (search)")
+    sg.add_argument("-k", type=int, default=10)
+    sg.add_argument("--operator", default="or", choices=["or", "and"])
+    sg.add_argument("--column", default="path", help="delete key column")
+    sg.add_argument("--values", default="", help="comma-separated delete keys")
+    sg.add_argument("--num-cpus", type=int, default=None)
+    sg.set_defaults(fn=cmd_seg)
 
     args = p.parse_args(argv)
     try:

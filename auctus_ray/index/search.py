@@ -285,8 +285,20 @@ class Searcher:
         self.index_dir = index_dir
         gs = pq.read_table(os.path.join(index_dir, "global_stats.parquet"))
         self.n_docs = int(gs["n_docs"][0].as_py())
+        self.n_tokens = int(gs["n_tokens"][0].as_py())
         self.avgdl = float(gs["avgdl"][0].as_py())
         self.analyzer = gs["analyzer"][0].as_py()
+        # Multi-segment support (index/segments.py): a SegmentedSearcher
+        # overrides n_docs/avgdl with corpus-merged values and primes
+        # _df_cache with merged dfs. Stored block max_tfnorm bounds were
+        # computed with THIS segment's build avgdl; tfnorm is increasing
+        # in avgdl (bounded by avgdl_query/avgdl_build, and tfnorm < 1
+        # always), so scaling bounds by max(1, ratio) capped at 1 keeps
+        # WAND pruning safe under an avgdl override.
+        self.tfnorm_bound_scale = 1.0
+        # sorted engine docIDs masked out of every result (Lucene live-docs
+        # tombstones: deleted docs still count in df/avgdl until compaction)
+        self.deleted_ids: np.ndarray | None = None
         # Keys are looked up by ANALYZED query token, so normalize each
         # entry key through the index analyzer (ES analyzes synonym_graph
         # entries with the same chain) — a raw 'Quick'/'speedy' key would
@@ -314,22 +326,27 @@ class Searcher:
 
     # ---------------- term metadata ----------------
 
+    def local_dfs(self, terms: list[str]) -> dict[str, int]:
+        """THIS index's dfs straight from term_stats, bypassing the
+        cache — SegmentedSearcher merges these across segments and then
+        primes _df_cache with the merged values."""
+        if not terms:
+            return {}
+        if "term" not in self._term_stats_ds.schema.names:
+            # empty vocabulary (e.g. all-empty corpus): Ray wrote a
+            # schema-less part file for the empty aggregate
+            return {t: 0 for t in terms}
+        t = self._term_stats_ds.to_table(
+            columns=["term", "df"],
+            filter=pc.field("term").isin(terms),
+        )
+        found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
+        return {t_: int(found.get(t_, 0)) for t_ in terms}
+
     def dfs(self, terms: list[str]) -> dict[str, int]:
         missing = [t for t in terms if t not in self._df_cache]
         if missing:
-            if "term" not in self._term_stats_ds.schema.names:
-                # empty vocabulary (e.g. all-empty corpus): Ray wrote a
-                # schema-less part file for the empty aggregate
-                for m in missing:
-                    self._df_cache[m] = 0
-                return {t: self._df_cache[t] for t in terms}
-            t = self._term_stats_ds.to_table(
-                columns=["term", "df"],
-                filter=pc.field("term").isin(missing),
-            )
-            found = dict(zip(t["term"].to_pylist(), t["df"].to_pylist()))
-            for m in missing:
-                self._df_cache[m] = int(found.get(m, 0))
+            self._df_cache.update(self.local_dfs(missing))
         return {t: self._df_cache[t] for t in terms}
 
     # ---------------- postings ----------------
@@ -439,12 +456,15 @@ class Searcher:
     def _shard_doc_mask(self, shard_file: str, filters: dict[str, list] | None):
         """AND of keyword filters over ONE shard's docID span ->
         (base_docid, bool mask) or None (reference filter context,
-        apiserver/search/__init__.py:81-107)."""
-        if not filters:
+        apiserver/search/__init__.py:81-107). Tombstoned docIDs
+        (`deleted_ids`) are masked out here too, so deletions apply on
+        every algorithm path exactly like a filter."""
+        deleted = self.deleted_ids
+        if not filters and (deleted is None or deleted.size == 0):
             return None
         base = None
         mask = None
-        for attr, allowed in filters.items():
+        for attr, allowed in (filters or {}).items():
             b, codes, values = self._shard_attr_codes(shard_file, attr)
             allowed_set = set(allowed)
             allowed_ids = np.array(
@@ -456,6 +476,17 @@ class Searcher:
                 base, mask = b, m
             else:
                 mask &= m
+        if deleted is not None and deleted.size:
+            if mask is None:
+                # dl is always present in the docmap: cheapest way to the
+                # shard's (base, row-count) span
+                base, codes, _ = self._shard_attr_codes(shard_file, "dl")
+                mask = np.ones(codes.size, dtype=bool)
+            in_shard = deleted[
+                np.searchsorted(deleted, base):
+                np.searchsorted(deleted, base + mask.size)
+            ]
+            mask[in_shard - base] = False
         return base, mask
 
     def _shard_facet_counts(self, shard_file: str, attr: str,
@@ -552,6 +583,7 @@ class Searcher:
                         sf, facet_by, np.concatenate(facet_docs), counts
                     )
                 continue
+            scale = self.tfnorm_bound_scale
             plists = [
                 _PostingList(
                     t,
@@ -560,7 +592,8 @@ class Searcher:
                     e["last"],
                     e["n"],
                     e["blobs"],
-                    e["max_tfnorm"],
+                    e["max_tfnorm"] if scale == 1.0
+                    else np.minimum(e["max_tfnorm"] * scale, 1.0),
                     self.avgdl,
                 )
                 for t, e in sorted(postings.items())

@@ -1,0 +1,400 @@
+"""Incremental (multi-segment) indexing: add datasets to a live index
+without a full rebuild, rank-identical to a monolithic one.
+
+The reference never rebuilds its index: every profiled dataset is added
+to Elasticsearch incrementally (`add_dataset_to_index`,
+lib_core/datamart_core/common.py:451-467) and removed the same way
+(`delete_dataset_from_index`, common.py:522-561); ES/Lucene serve that
+stream with immutable on-disk segments, tombstoned deletes, and
+background merges. This module re-expresses that shape over
+`build_index`:
+
+  * each ``add_segment`` call builds one immutable SEGMENT — a complete
+    index directory (itself built distributed + checkpointed by
+    `build_index`, so a crashed add resumes); segment names derive from
+    the input content fingerprint, so re-adding the same content is
+    idempotent (D5 delete-then-reinsert stays safe);
+  * ``segments.json`` is the atomic commit point (tmp + rename): a
+    segment is visible to searches only once registered;
+  * ``SegmentedSearcher`` searches the union of segments with GLOBALLY
+    MERGED statistics — df summed across segments, n_docs/avgdl from
+    the merged corpus — so BM25 scores are bit-identical to a
+    monolithic rebuild (Lucene's IndexSearcher-over-MultiReader
+    contract). Each segment's stored block-max bounds were computed
+    with its own build avgdl; they are rescaled by
+    ``min(1, max_tfnorm * avgdl_merged/avgdl_build)`` so WAND pruning
+    stays safe under the merged avgdl (tfnorm is increasing in avgdl
+    and always < 1);
+  * ``delete_docs`` journals tombstones; searches mask them like a
+    filter on every algorithm path. Deleted docs still count in
+    df/avgdl until compaction — exactly Lucene's live-docs semantics;
+  * ``compact`` merges all segments into one (rebuilding from the
+    recorded segment inputs, minus tombstoned docs, as one distributed
+    build) — the background merge that purges deletes.
+
+Scale shape: a segment is the natural unit of incremental ingest on a
+cluster (one discovered dataset -> one segment build, each internally
+sharded/checkpointed); per-query work is per-segment-per-shard and
+fans out exactly like the single-index DistributedSearcher.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from auctus_ray.index.build import BuildResult, build_index
+from auctus_ray.index.search import Searcher
+from auctus_ray.state.manifest import file_fingerprint, fingerprint
+from auctus_ray.tokenize import tokenize_text
+
+SEGMENTS_FILE = "segments.json"
+DELETES_FILE = "deletes.json"
+SEG_DIR = "segments"
+
+
+def _resolve_paths(input_paths: list[str] | str) -> list[str]:
+    if isinstance(input_paths, str):
+        input_paths = sorted(
+            glob.glob(os.path.join(input_paths, "*.parquet"))
+            or glob.glob(os.path.join(input_paths, "**/*.parquet"), recursive=True)
+            or glob.glob(input_paths)
+        )
+    if not input_paths:
+        raise ValueError("no input parquet files")
+    return list(input_paths)
+
+
+def _atomic_json(path: str, obj) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(obj, f, sort_keys=True, indent=1)
+    os.replace(tmp, path)
+
+
+def load_segments(root: str) -> list[dict]:
+    p = os.path.join(root, SEGMENTS_FILE)
+    if not os.path.exists(p):
+        return []
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def load_deletes(root: str) -> dict[str, list]:
+    p = os.path.join(root, DELETES_FILE)
+    if not os.path.exists(p):
+        return {}
+    with open(p, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def add_segment(
+    root: str,
+    input_paths: list[str] | str,
+    *,
+    analyzer: str = "code",
+    n_shards: int | None = None,
+    column_map: dict[str, str] | None = None,
+    content_col: str = "content",
+    **build_kwargs,
+) -> BuildResult:
+    """Build + register one immutable segment. Content-fingerprinted
+    name: re-adding identical content resumes/reuses the segment and
+    registration is idempotent; a crash between build and registration
+    is healed by the next identical add (build resumes via its own
+    manifest, registration is retried)."""
+    paths = _resolve_paths(input_paths)
+    fp = fingerprint(
+        file_fingerprint(paths), analyzer, n_shards or 0,
+        repr(sorted((column_map or {}).items())), content_col,
+    )
+    name = f"seg-{fp[:12]}"
+    seg_dir = os.path.join(root, SEG_DIR, name)
+    res = build_index(
+        paths, seg_dir, analyzer=analyzer, n_shards=n_shards,
+        column_map=column_map, content_col=content_col, **build_kwargs,
+    )
+    entries = load_segments(root)
+    if not any(e["name"] == name for e in entries):
+        entries.append(
+            {
+                "name": name,
+                "inputs": paths,
+                "analyzer": analyzer,
+                "column_map": column_map,
+                "content_col": content_col,
+                "n_docs": res.n_docs,
+                "n_tokens": res.n_tokens,
+            }
+        )
+        _atomic_json(os.path.join(root, SEGMENTS_FILE), entries)
+    return res
+
+
+def delete_docs(root: str, values: list, column: str = "path") -> int:
+    """Tombstone documents by a docmap column value (for the documents
+    corpus, ``path`` carries the original doc_id). Returns the total
+    tombstone count. Reference: delete_dataset_from_index
+    (common.py:522-561) — ES deletes are tombstones until merge."""
+    dels = load_deletes(root)
+    cur = set(dels.get(column, []))
+    cur.update(values)
+    dels[column] = sorted(cur)
+    _atomic_json(os.path.join(root, DELETES_FILE), dels)
+    return sum(len(v) for v in dels.values())
+
+
+def compact(root: str, **build_kwargs) -> BuildResult:
+    """Merge every segment into one, purging tombstones — the Lucene
+    background merge. Rebuilds from the recorded segment inputs as ONE
+    distributed build; when tombstones exist, the inputs are first
+    re-written through a distributed filter (`Dataset.filter` with an
+    Arrow expression — predicate pushdown, streaming, no driver
+    materialization)."""
+    import ray.data
+
+    entries = load_segments(root)
+    if not entries:
+        raise ValueError(f"no segments registered under {root}")
+    analyzer = entries[0]["analyzer"]
+    column_map = entries[0]["column_map"]
+    content_col = entries[0]["content_col"]
+    for e in entries[1:]:
+        if (e["analyzer"], e["column_map"], e["content_col"]) != (
+            analyzer, column_map, content_col,
+        ):
+            raise ValueError("segments disagree on analyzer/column_map")
+    paths = sorted({p for e in entries for p in e["inputs"]})
+    dels = load_deletes(root)
+
+    if dels:
+        # tombstoned rows must not survive the merge: re-write the union
+        # of inputs minus deleted keys (delete columns are docmap names;
+        # map back to source columns through the column_map)
+        import pyarrow.dataset as _pads
+
+        expr = None
+        for col, vals in dels.items():
+            src_col = (column_map or {}).get(col, col)
+            e_ = ~_pads.field(src_col).isin(vals)
+            expr = e_ if expr is None else (expr & e_)
+        fp = fingerprint(file_fingerprint(paths), repr(sorted(dels.items())))
+        src_dir = os.path.join(root, SEG_DIR, f"compact-src-{fp[:12]}")
+        if not os.path.exists(src_dir):
+            tmp = src_dir + ".tmp"
+            shutil.rmtree(tmp, ignore_errors=True)
+            # predicate pushed into the scan (row-group pruning at read)
+            ray.data.read_parquet(paths, filter=expr).write_parquet(tmp)
+            os.replace(tmp, src_dir)
+        build_inputs: list[str] | str = src_dir
+    else:
+        build_inputs = paths
+
+    n_shards = build_kwargs.pop("n_shards", None)
+    res = add_segment(
+        root, build_inputs, analyzer=analyzer, n_shards=n_shards,
+        column_map=column_map, content_col=content_col, **build_kwargs,
+    )
+    merged_name = os.path.basename(res.index_dir)
+    entries = load_segments(root)
+    merged = [e for e in entries if e["name"] == merged_name]
+    _atomic_json(os.path.join(root, SEGMENTS_FILE), merged)
+    # purge tombstones (they are baked out of the merged segment), then
+    # drop superseded segment dirs — last, so a crash leaves only
+    # harmless orphans, never a registered-but-missing segment
+    dp = os.path.join(root, DELETES_FILE)
+    if os.path.exists(dp):
+        os.remove(dp)
+    for e in entries:
+        if e["name"] != merged_name:
+            shutil.rmtree(os.path.join(root, SEG_DIR, e["name"]), ignore_errors=True)
+    return res
+
+
+class SegmentedSearcher:
+    """Search the union of segments with merged global statistics.
+
+    Bit-identical scores to a monolithic rebuild of the same corpus:
+    idf uses merged (df, n_docs), tfnorm uses merged avgdl, and per-doc
+    term contributions accumulate in term-sorted order on every path —
+    the same float discipline as the single-index Searcher. Final merge
+    is (score desc, global docID asc); global docIDs are segment-base +
+    local (segments are docID ranges, like shards within a segment).
+    """
+
+    def __init__(self, root: str, synonyms=None):
+        self.root = root
+        self.entries = load_segments(root)
+        if not self.entries:
+            raise ValueError(f"no segments registered under {root}")
+        self.searchers: list[Searcher] = []
+        self.bases: list[int] = []
+        n_docs = 0
+        n_tokens = 0
+        for e in self.entries:
+            s = Searcher(os.path.join(root, SEG_DIR, e["name"]), synonyms=synonyms)
+            self.bases.append(n_docs)
+            n_docs += s.n_docs
+            n_tokens += s.n_tokens
+            self.searchers.append(s)
+        self.n_docs = n_docs
+        self.n_tokens = n_tokens
+        self.avgdl = n_tokens / n_docs if n_docs else 0.0
+        self.analyzer = self.searchers[0].analyzer
+        for s in self.searchers:
+            if s.avgdl > 0:
+                s.tfnorm_bound_scale = max(1.0, self.avgdl / s.avgdl)
+            s.avgdl = self.avgdl
+            s.n_docs = self.n_docs
+            s._df_cache = {}
+        self._merged_terms: set[str] = set()
+        self._apply_deletes()
+
+    # ---------------- deletes ----------------
+
+    def _apply_deletes(self) -> None:
+        dels = load_deletes(self.root)
+        for s in self.searchers:
+            if not dels:
+                s.deleted_ids = None
+                continue
+            dm = pads.dataset(os.path.join(s.index_dir, "docmap"), format="parquet")
+            ids: list[np.ndarray] = []
+            for col, vals in dels.items():
+                if col not in dm.schema.names or not vals:
+                    continue
+                t = dm.to_table(
+                    columns=["doc_id"], filter=pc.field(col).isin(vals)
+                )
+                ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+            if ids:
+                s.deleted_ids = np.unique(np.concatenate(ids)).astype(np.int64)
+            else:
+                s.deleted_ids = None
+
+    # ---------------- merged statistics ----------------
+
+    def _prime(self, terms: list[str]) -> None:
+        """Prime every segment's df cache with corpus-merged dfs, so the
+        per-segment search paths compute the merged idf."""
+        missing = [t for t in terms if t not in self._merged_terms]
+        if not missing:
+            return
+        locals_ = [s.local_dfs(missing) for s in self.searchers]
+        for t in missing:
+            merged = sum(loc[t] for loc in locals_)
+            for s in self.searchers:
+                s._df_cache[t] = merged
+            self._merged_terms.add(t)
+
+    def _query_terms(self, query: str) -> list[str]:
+        # same term extraction as Searcher.search (tokenize + synonyms)
+        s0 = self.searchers[0]
+        base_terms = set(tokenize_text(query, self.analyzer))
+        if s0.synonyms:
+            for t in list(base_terms):
+                for syn in s0.synonyms.get(t, ()):
+                    base_terms.update(tokenize_text(syn, self.analyzer))
+        return sorted(base_terms)
+
+    def dfs(self, terms: list[str]) -> dict[str, int]:
+        self._prime(terms)
+        return {t: self.searchers[0]._df_cache.get(t, 0) for t in terms}
+
+    # ---------------- search ----------------
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        operator: str = "and",
+        algorithm: str = "auto",
+        filters: dict[str, list] | None = None,
+        offset: int = 0,
+        facet_by: str | None = None,
+    ):
+        """Same contract as Searcher.search; docIDs are global."""
+        if offset + k > 10000:
+            raise ValueError("offset + k must be <= 10000")
+        self._prime(self._query_terms(query))
+        kk = k + offset
+        all_ids: list[np.ndarray] = []
+        all_scores: list[np.ndarray] = []
+        facets: dict[str, int] = {}
+        for s, base in zip(self.searchers, self.bases):
+            out = s.search(
+                query, k=kk, operator=operator, algorithm=algorithm,
+                filters=filters, facet_by=facet_by,
+            )
+            d, sc = out[0], out[1]
+            all_ids.append(d.astype(np.int64) + base)
+            all_scores.append(sc)
+            if facet_by is not None:
+                for v, c in out[2].items():
+                    facets[v] = facets.get(v, 0) + c
+        doc_ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
+        scores = np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
+        order = np.lexsort((doc_ids, -scores))[offset : offset + k]
+        if facet_by is None:
+            return doc_ids[order], scores[order]
+        return doc_ids[order], scores[order], facets
+
+    # ---------------- hydration ----------------
+
+    def _locate(self, global_ids) -> list[tuple[int, int]]:
+        """global docID -> (segment index, local docID)."""
+        bases = np.asarray(self.bases, dtype=np.int64)
+        out = []
+        for g in global_ids:
+            si = int(np.searchsorted(bases, int(g), side="right")) - 1
+            out.append((si, int(g) - int(bases[si])))
+        return out
+
+    def hydrate_hits(self, doc_ids, scores) -> pa.Table:
+        """Per-segment filtered docmap reads, assembled in rank order —
+        the module-level hydrate_hits contract with global docIDs."""
+        located = self._locate(doc_ids)
+        by_seg: dict[int, list[int]] = {}
+        for si, local in located:
+            by_seg.setdefault(si, []).append(local)
+        meta: dict[tuple[int, int], dict] = {}
+        for si, locals_ in by_seg.items():
+            dm = pads.dataset(
+                os.path.join(self.searchers[si].index_dir, "docmap"),
+                format="parquet",
+            )
+            cols = [
+                c for c in ("doc_id", "repo", "path", "commit", "lang", "snippet")
+                if c in dm.schema.names
+            ]
+            t = dm.to_table(columns=cols, filter=pc.field("doc_id").isin(locals_))
+            for r in t.to_pylist():
+                meta[(si, int(r["doc_id"]))] = r
+        rows = []
+        for rank, ((si, local), g, s) in enumerate(
+            zip(located, doc_ids, scores), start=1
+        ):
+            r = dict(meta.get((si, local), {}))
+            r.update({"rank": rank, "doc_id": int(g), "score": float(s)})
+            rows.append(r)
+        return pa.Table.from_pylist(rows)
+
+    def stats(self) -> dict:
+        return {
+            "n_segments": len(self.entries),
+            "n_docs": self.n_docs,
+            "n_tokens": self.n_tokens,
+            "avgdl": self.avgdl,
+            "n_deleted": sum(
+                int(s.deleted_ids.size) if s.deleted_ids is not None else 0
+                for s in self.searchers
+            ),
+            "segments": [e["name"] for e in self.entries],
+        }

@@ -137,6 +137,70 @@ SQL_BM25_TOPK_OR = _bm25_sql(["table", "scan", "query"], 10, "or")
 SQL_BM25_TOPK_AND = _bm25_sql(["hash", "join"], 10, "and")
 
 
+# ------------------------------------------------------- incremental index
+
+
+def _docs_segments_root(sf_dir: str) -> str:
+    """Two-segment incremental index over documents: the corpus is split
+    at the median doc_id by two DISTRIBUTED filtered reads (predicate
+    pushed into the parquet scan; only footer metadata is read on the
+    driver), each half indexed as its own immutable segment
+    (index/segments.py add_segment). Cache keys include the source
+    content fingerprint, so regenerated testdata invalidates."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.segments import add_segment, load_segments
+    from auctus_ray.state.manifest import file_fingerprint
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = hashlib.sha256(
+        (sf_dir + file_fingerprint([src])).encode()
+    ).hexdigest()[:12]
+    split_dir = os.path.join(_CACHE_ROOT, f"docs_segsrc_{tag}.cache")
+    if not os.path.isdir(split_dir):
+        n = pq.ParquetFile(src).metadata.num_rows
+        mid = n // 2
+        tmp = split_dir + ".temp"  # .temp: protected from the cache sweeper
+        for name, expr in (
+            ("a", pads.field("doc_id") < mid),
+            ("b", pads.field("doc_id") >= mid),
+        ):
+            ray.data.read_parquet(src, filter=expr).write_parquet(
+                os.path.join(tmp, name)
+            )
+        os.replace(tmp, split_dir)
+    root = os.path.join(_CACHE_ROOT, f"docs_segroot_{tag}.cache")
+    if len(load_segments(root)) < 2:
+        for name in ("a", "b"):
+            add_segment(
+                root, os.path.join(split_dir, name), analyzer="simple",
+                n_shards=4, column_map=_DOCS_COLUMN_MAP, files_per_group=4,
+            )
+    return root
+
+
+def bm25_topk_incremental(sf_dir: str) -> pa.Table:
+    """The flagship BM25 query served from the TWO-SEGMENT incremental
+    index (merged df/n_docs/avgdl — the ES continuous-ingest shape,
+    reference add_dataset_to_index common.py:451-467). Shares the
+    monolithic query's SQL oracle: the whole point is that incremental
+    indexing is rank-identical to a full rebuild."""
+    from auctus_ray.index.segments import SegmentedSearcher
+
+    s = SegmentedSearcher(_docs_segments_root(sf_dir))
+    eng_ids, scores = s.search("table scan query", k=10, operator="or")
+    hits = s.hydrate_hits(eng_ids, scores)
+    orig = np.array([int(p) for p in hits["path"].to_pylist()], dtype=np.int64)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig),
+            "score": pa.array(_round_half_away6(scores), pa.float64()),
+        }
+    )
+
+
 # ------------------------------------------------------------ cross_fields
 
 
@@ -337,6 +401,7 @@ FROM documents GROUP BY lang
 QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_topk_and": bm25_topk_and,
+    "bm25_topk_incremental": bm25_topk_incremental,
     "docs_cross_fields": docs_cross_fields,
     "term_df_top100": term_df_top100,
     "doc_length_stats": doc_length_stats,
@@ -345,6 +410,7 @@ QUERIES = {
 SQL = {
     "bm25_topk_or": SQL_BM25_TOPK_OR,
     "bm25_topk_and": SQL_BM25_TOPK_AND,
+    "bm25_topk_incremental": SQL_BM25_TOPK_OR,
     "docs_cross_fields": SQL_DOCS_CROSS_FIELDS,
     "term_df_top100": SQL_TERM_DF_TOP100,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,

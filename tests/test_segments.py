@@ -1,0 +1,239 @@
+"""Multi-segment incremental indexing (index/segments.py): merged-stats
+search must be rank-identical to a monolithic rebuild — same documents,
+bit-identical float64 BM25 scores — across algorithms; deletes mask
+results without touching stats (Lucene live-docs), and compaction
+purges them (stats then match a filtered monolithic build)."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from auctus_ray.index.search import Searcher
+from auctus_ray.index.segments import (
+    SegmentedSearcher,
+    add_segment,
+    compact,
+    delete_docs,
+    load_segments,
+)
+from auctus_ray.sources.code_corpus import generate_query_set
+
+
+def _hydrated(searcher, hydrate, query, k, operator, algorithm="auto"):
+    """[(repo, path, commit, score)] sorted by (-score, identity) — the
+    docID-free comparison key (segmented and monolithic builds assign
+    different engine docIDs to the same documents)."""
+    d, s = searcher.search(query, k=k, operator=operator, algorithm=algorithm)
+    t = hydrate(d, s)
+    rows = [
+        (r["repo"], r["path"], r["commit"], r["score"])
+        for r in t.to_pylist()
+    ]
+    return sorted(rows, key=lambda r: (-r[3], r[0], r[1], r[2]))
+
+
+def _assert_topk_equivalent(seg, ref, ctx):
+    """Bit-identical score sequences; identical documents above the
+    k-boundary score. WITHIN the boundary tie group membership is
+    legitimately underdetermined (ties break on engine docID, which
+    differs across physical builds), so only its size is compared."""
+    assert [r[3] for r in seg] == [r[3] for r in ref], ctx
+    if not seg:
+        return
+    s_min = seg[-1][3]
+    seg_above = [r for r in seg if r[3] > s_min]
+    ref_above = [r for r in ref if r[3] > s_min]
+    assert seg_above == ref_above, ctx
+    assert len(seg) == len(ref), ctx
+
+
+@pytest.fixture(scope="module")
+def seg_root(ray_session, small_corpus, tmp_path_factory):
+    """Two segments over the same 4-file corpus the monolithic
+    built_index fixture indexes (2 files each)."""
+    d, paths = small_corpus
+    root = str(tmp_path_factory.mktemp("seg_root"))
+    add_segment(root, paths[:2], n_shards=4, files_per_group=2)
+    add_segment(root, paths[2:], n_shards=4, files_per_group=2)
+    return root
+
+
+@pytest.fixture(scope="module")
+def seg_searcher(seg_root):
+    return SegmentedSearcher(seg_root)
+
+
+def test_merged_stats_match_monolithic(seg_searcher, built_index):
+    mono = Searcher(built_index.index_dir)
+    assert seg_searcher.n_docs == mono.n_docs
+    assert seg_searcher.n_tokens == mono.n_tokens
+    assert seg_searcher.avgdl == mono.avgdl  # bit-identical division
+    qs = generate_query_set()
+    terms = sorted(
+        {t for q in qs["query"].to_pylist() for t in q.lower().split()}
+    )
+    assert seg_searcher.dfs(terms) == mono.dfs(terms)
+
+
+@pytest.mark.parametrize("algorithm", ["auto", "wand", "scan"])
+def test_rank_identity_vs_monolithic(seg_searcher, built_index, algorithm):
+    from auctus_ray.index.search import hydrate_hits
+
+    mono = Searcher(built_index.index_dir)
+    qs = generate_query_set()
+    for qid, q, k, op in zip(
+        qs["qid"].to_pylist(), qs["query"].to_pylist(),
+        qs["k"].to_pylist(), qs["operator"].to_pylist(),
+    ):
+        seg = _hydrated(
+            seg_searcher, seg_searcher.hydrate_hits, q, k, op, algorithm
+        )
+        ref = _hydrated(
+            mono, lambda d, s: hydrate_hits(built_index.index_dir, d, s),
+            q, k, op, algorithm,
+        )
+        _assert_topk_equivalent(seg, ref, (qid, q, algorithm))
+
+
+def test_filters_and_facets_merge(seg_searcher, built_index):
+    mono = Searcher(built_index.index_dir)
+    langs = ["python", "go"]
+    sd, ss, sfac = seg_searcher.search(
+        "the license", k=20, operator="or",
+        filters={"lang": langs}, facet_by="lang",
+    )
+    md, ms, mfac = mono.search(
+        "the license", k=20, operator="or",
+        filters={"lang": langs}, facet_by="lang",
+    )
+    assert (ss == ms).all()
+    assert sfac == mfac
+
+
+def test_offset_pagination(seg_searcher):
+    d0, s0 = seg_searcher.search("the", k=20, operator="or")
+    d1, s1 = seg_searcher.search("the", k=10, operator="or", offset=10)
+    assert (d0[10:] == d1).all() and (s0[10:] == s1).all()
+
+
+def test_add_is_idempotent(seg_root, small_corpus):
+    _, paths = small_corpus
+    before = load_segments(seg_root)
+    add_segment(seg_root, paths[:2], n_shards=4, files_per_group=2)
+    assert load_segments(seg_root) == before
+
+
+def test_registration_crash_heals(seg_root, small_corpus):
+    """Lost segments.json (crash between build and commit): the next
+    identical add re-registers instantly via build resume."""
+    _, paths = small_corpus
+    before = load_segments(seg_root)
+    os.remove(os.path.join(seg_root, "segments.json"))
+    add_segment(seg_root, paths[:2], n_shards=4, files_per_group=2)
+    add_segment(seg_root, paths[2:], n_shards=4, files_per_group=2)
+    assert load_segments(seg_root) == before
+
+
+def test_wand_bound_safety_mixed_avgdl(ray_session, tmp_path_factory):
+    """Segments with very different document lengths: the merged avgdl
+    exceeds the short segment's build avgdl, so its stored block-max
+    bounds UNDERESTIMATE true contributions — the bound rescale must
+    keep WAND pruning safe (wand == scan exactly)."""
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    d1 = str(tmp_path_factory.mktemp("seg_short"))
+    d2 = str(tmp_path_factory.mktemp("seg_long"))
+    p1 = generate_corpus(d1, n_rows=400, rows_per_file=200, mean_tokens=20)
+    p2 = generate_corpus(d2, n_rows=400, rows_per_file=200, mean_tokens=300)
+    root = str(tmp_path_factory.mktemp("seg_mixed"))
+    add_segment(root, p1, n_shards=2)
+    add_segment(root, p2, n_shards=2)
+    s = SegmentedSearcher(root)
+    assert any(x.tfnorm_bound_scale > 1.0 for x in s.searchers)
+    for q, op in [
+        ("the license", "or"), ("def return", "and"), ("import the", "or"),
+    ]:
+        dw, sw = s.search(q, k=50, operator=op, algorithm="wand")
+        de, se = s.search(q, k=50, operator=op, algorithm="scan")
+        assert (dw == de).all() and (sw == se).all(), q
+
+
+@pytest.fixture(scope="module")
+def del_root(ray_session, small_corpus, tmp_path_factory):
+    """Fresh segmented root for the delete/compact lifecycle."""
+    _, paths = small_corpus
+    root = str(tmp_path_factory.mktemp("seg_del"))
+    add_segment(root, paths[:2], n_shards=4, files_per_group=2)
+    add_segment(root, paths[2:], n_shards=4, files_per_group=2)
+    return root
+
+
+def test_delete_masks_results_not_stats(seg_root, small_corpus, tmp_path):
+    root = seg_root
+    s0 = SegmentedSearcher(root)
+    d, sc = s0.search("the license", k=5, operator="or")
+    top = s0.hydrate_hits(d, sc).to_pylist()[0]
+    delete_docs(root, [top["path"]], column="path")
+    try:
+        s1 = SegmentedSearcher(root)
+        # stats untouched (Lucene live-docs semantics)
+        assert s1.n_docs == s0.n_docs and s1.avgdl == s0.avgdl
+        for alg in ("wand", "scan"):
+            d1, sc1 = s1.search("the license", k=5, operator="or", algorithm=alg)
+            paths1 = {r["path"] for r in s1.hydrate_hits(d1, sc1).to_pylist()}
+            assert top["path"] not in paths1
+        # surviving docs keep their exact scores, shifted up one rank
+        d1, sc1 = s1.search("the license", k=4, operator="or")
+        assert (sc1 == sc[1:]).all()
+        assert s1.stats()["n_deleted"] == 1
+    finally:
+        os.remove(os.path.join(root, "deletes.json"))
+
+
+def test_compact_purges_deletes(del_root, small_corpus, tmp_path_factory):
+    """After compaction the tombstoned doc is gone from the corpus, and
+    the compacted index is rank-identical (bit-identical scores) to a
+    monolithic build over the filtered corpus."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import hydrate_hits
+
+    _, paths = small_corpus
+    root = del_root
+    s0 = SegmentedSearcher(root)
+    d, sc = s0.search("the license", k=3, operator="or")
+    victim = s0.hydrate_hits(d, sc).to_pylist()[0]["path"]
+    delete_docs(root, [victim], column="path")
+    compact(root, n_shards=4, files_per_group=2)
+
+    entries = load_segments(root)
+    assert len(entries) == 1
+    assert not os.path.exists(os.path.join(root, "deletes.json"))
+
+    s1 = SegmentedSearcher(root)
+    assert s1.n_docs == s0.n_docs - 1
+
+    # filtered monolithic reference build
+    filt_dir = str(tmp_path_factory.mktemp("filt_corpus"))
+    fps = []
+    for i, p in enumerate(paths):
+        t = pq.read_table(p)
+        mask = pa.compute.not_equal(t["path"], victim)
+        fp = os.path.join(filt_dir, f"part-{i}.parquet")
+        pq.write_table(t.filter(mask), fp)
+        fps.append(fp)
+    mono = build_index(
+        fps, str(tmp_path_factory.mktemp("idx_filt")), n_shards=4,
+        files_per_group=2,
+    )
+    ms = Searcher(mono.index_dir)
+    assert s1.n_docs == ms.n_docs and s1.avgdl == ms.avgdl
+    for q, op in [("the license", "or"), ("def return", "and")]:
+        seg = _hydrated(s1, s1.hydrate_hits, q, 20, op)
+        ref = _hydrated(
+            ms, lambda dd, ss: hydrate_hits(mono.index_dir, dd, ss), q, 20, op
+        )
+        _assert_topk_equivalent(seg, ref, q)
