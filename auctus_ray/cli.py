@@ -339,8 +339,11 @@ def cmd_discover(args) -> int:
     pending = [x["id"] for x in d.pending()]
     print(f"discovered {len(found)} datasets; {len(pending)} pending profile")
     if not args.no_profile:
-        done = d.profile_pending(include_sample=not args.no_sample)
-        print(f"profiled {len(done)}: {', '.join(done) if done else '(all current)'}")
+        done = d.profile_pending(
+            seg_root=args.index_root, include_sample=not args.no_sample
+        )
+        verb = "profiled+indexed" if args.index_root else "profiled"
+        print(f"{verb} {len(done)}: {', '.join(done) if done else '(all current)'}")
     return 0
 
 
@@ -496,6 +499,10 @@ def main(argv=None) -> int:
     dc.add_argument("--root", required=True, help="directory to sweep")
     dc.add_argument("--catalog", required=True, help="catalog journal dir")
     dc.add_argument("--identifier", default="localdir")
+    dc.add_argument("--index-root", default=None,
+                    help="segmented keyword-index root: profiled "
+                         "datasets are also indexed (searchable via "
+                         "'seg search')")
     dc.add_argument("--no-profile", action="store_true")
     dc.add_argument("--no-sample", action="store_true")
     dc.set_defaults(fn=cmd_discover)

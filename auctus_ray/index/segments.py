@@ -151,6 +151,22 @@ def delete_docs(root: str, values: list, column: str = "path") -> int:
     return sum(len(v) for v in dels.values())
 
 
+def undelete_docs(root: str, values: list, column: str = "path") -> int:
+    """Remove tombstones (delete-then-REINSERT: a re-added dataset must
+    become searchable again even when its content — and therefore its
+    version fingerprint — is unchanged). Returns remaining tombstones."""
+    dels = load_deletes(root)
+    if column in dels:
+        drop = set(values)
+        kept = [v for v in dels[column] if v not in drop]
+        if kept:
+            dels[column] = kept
+        else:
+            del dels[column]
+        _atomic_json(os.path.join(root, DELETES_FILE), dels)
+    return sum(len(v) for v in dels.values())
+
+
 def compact(root: str, **build_kwargs) -> BuildResult:
     """Merge every segment into one, purging tombstones — the Lucene
     background merge. Rebuilds from the recorded segment inputs as ONE

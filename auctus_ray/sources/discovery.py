@@ -83,13 +83,20 @@ class Discoverer:
         return full_id
 
     def delete_dataset(self, *, full_id: str | None = None,
-                       dataset_id: str | None = None) -> None:
+                       dataset_id: str | None = None,
+                       seg_root: str | None = None) -> None:
         """Tombstone a dataset no longer present in the source
-        (discovery.py:141-158); its profile file is removed too."""
+        (discovery.py:141-158); its profile file is removed too. With
+        ``seg_root``, the dataset is also tombstoned out of the keyword
+        index (reference delete_dataset_from_index, common.py:522-561)."""
         if (full_id is not None) == (dataset_id is not None):
             raise TypeError("Pass only one of 'dataset_id' and 'full_id'")
         if full_id is None:
             full_id = f"{self.identifier}.{dataset_id}"
+        if seg_root is not None:
+            from auctus_ray.index.segments import delete_docs
+
+            delete_docs(seg_root, [full_id], column="path")
         self.catalog.mark("discovered", full_id, "tombstone", "deleted")
         # invalidate the profiled record too: re-recording after a delete
         # must re-profile even if the content fingerprint is unchanged
@@ -127,15 +134,27 @@ class Discoverer:
             self.catalog_dir, "profiles", encode_dataset_id(full_id) + ".json"
         )
 
-    def profile_pending(self, **profile_kwargs) -> list[str]:
+    def profile_pending(
+        self, seg_root: str | None = None, **profile_kwargs
+    ) -> list[str]:
         """Drain the pending set: profile each dataset (a distributed
         Ray Data pipeline per dataset) and journal completion keyed by
         content fingerprint, so reruns skip finished work and content
-        changes re-profile. Returns the ids profiled this call."""
+        changes re-profile. Returns the ids profiled this call.
+
+        With ``seg_root``, each profiled dataset's metadata is also
+        indexed into the segmented keyword index (one segment per
+        drain — the reference's per-dataset `es.index` batched the way
+        Lucene would batch it; add_dataset_to_index common.py:451-467).
+        Re-profiles tombstone the stale version (by its fingerprint)
+        and re-inserts clear any dataset-level tombstone, reproducing
+        ES's index-by-id replace semantics."""
         from auctus_ray.pipelines.document import profile_dataset_document
 
         os.makedirs(os.path.join(self.catalog_dir, "profiles"), exist_ok=True)
         done = []
+        stale_fps = []
+        to_index = []
         for d in self.pending():
             path = d.get("materialize", {}).get("path")
             if not path or not os.path.exists(path):
@@ -144,6 +163,13 @@ class Discoverer:
                     metrics={"error": "materialize.path missing"},
                 )
                 continue
+            prev = self.catalog.latest("profiled", d["id"])
+            if (
+                prev is not None
+                and prev["status"] == "done"
+                and prev["fingerprint"] != d["fingerprint"]
+            ):
+                stale_fps.append(prev["fingerprint"])
             doc = profile_dataset_document(path, **profile_kwargs)
             doc["id"] = d["id"]
             doc["metadata"] = d.get("metadata", {})
@@ -156,7 +182,102 @@ class Discoverer:
                 metrics={"nb_rows": doc.get("nb_rows", 0)},
             )
             done.append(d["id"])
+            to_index.append((d, doc))
+        if seg_root is not None and to_index:
+            self._index_batch(seg_root, to_index, stale_fps)
         return done
+
+    # -- metadata keyword index (the reference 'datasets' ES index) -------
+    def _index_batch(self, seg_root: str, to_index, stale_fps) -> None:
+        """One immutable segment per drain over the freshly profiled
+        datasets' metadata documents. Document text mirrors the
+        reference's keyword-search field set (id, name, description,
+        attribute_keywords — apiserver/search/__init__.py:67-79,
+        flattened into one field); `repo` carries the source identifier
+        so the reference's source terms-filter maps onto
+        filters={'repo': [...]}; `commit` carries the content
+        fingerprint (the version key tombstones use)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from auctus_ray.index.segments import (
+            add_segment, delete_docs, undelete_docs,
+        )
+        from auctus_ray.state.manifest import fingerprint
+
+        rows = []
+        for d, doc in to_index:
+            md = d.get("metadata", {})
+            text = " ".join(
+                [
+                    d["id"],
+                    str(md.get("name", "")),
+                    str(md.get("description", "")),
+                ]
+                + list(doc.get("attribute_keywords", []))
+            )
+            rows.append(
+                {
+                    "dataset_id": d["id"],
+                    "version": d["fingerprint"],
+                    "source": str(md.get("source", self.identifier)),
+                    "lang": "",
+                    "text": text,
+                }
+            )
+        batch = pa.Table.from_pylist(rows)
+        src_dir = os.path.join(self.catalog_dir, "indexsrc")
+        os.makedirs(src_dir, exist_ok=True)
+        fp = fingerprint(*(r["dataset_id"] + r["version"] for r in rows))
+        path = os.path.join(src_dir, f"batch-{fp}.parquet")
+        if not os.path.exists(path):
+            pq.write_table(batch, path + ".tmp")
+            os.replace(path + ".tmp", path)
+        add_segment(
+            seg_root, [path], analyzer="simple", n_shards=1,
+            column_map={
+                "repo": "source",
+                "path": "dataset_id",
+                "commit": "version",
+                "lang": "lang",
+                "content": "text",
+            },
+        )
+        # version-aware replace: mask the superseded versions, then
+        # clear dataset-level tombstones for everything just (re)added
+        if stale_fps:
+            delete_docs(seg_root, stale_fps, column="commit")
+        undelete_docs(
+            seg_root, [d["id"] for d, _ in to_index], column="path"
+        )
+
+
+def search_datasets(
+    seg_root: str,
+    keywords: str,
+    k: int = 10,
+    source: list[str] | None = None,
+) -> list[dict]:
+    """Keyword search over the metadata index — the reference's main
+    query (parse_keyword_query_main_index, apiserver/search/
+    __init__.py:55-91): conjunctive keywords over id/name/description/
+    attribute_keywords, optional source terms-filter. Returns hydrated
+    hits [{dataset_id, source, score, rank}], best first."""
+    from auctus_ray.index.segments import SegmentedSearcher
+
+    s = SegmentedSearcher(seg_root)
+    filters = {"repo": source} if source else None
+    d, sc = s.search(keywords, k=k, operator="and", filters=filters)
+    hits = s.hydrate_hits(d, sc)
+    return [
+        {
+            "dataset_id": r["path"],
+            "source": r["repo"],
+            "score": r["score"],
+            "rank": r["rank"],
+        }
+        for r in hits.to_pylist()
+    ]
 
 
 class LocalDirectoryDiscoverer(Discoverer):

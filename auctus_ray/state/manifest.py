@@ -92,6 +92,10 @@ class Manifest:
                     self._records[(rec["stage"], rec["partition"])] = rec
                     self._seq = max(self._seq, rec.get("seq", 0))
 
+    def latest(self, stage: str, partition: str) -> dict | None:
+        """The most recent record for (stage, partition), or None."""
+        return self._records.get((stage, partition))
+
     def is_done(self, stage: str, partition: str, fp: str) -> bool:
         rec = self._records.get((stage, partition))
         return bool(rec and rec["status"] == "done" and rec["fingerprint"] == fp)

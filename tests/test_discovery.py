@@ -102,3 +102,62 @@ def test_record_dataset_defaults(tmp_path):
     a = d.record_dataset({}, {})
     b = d.record_dataset({}, {})
     assert a != b and a.startswith("plug.")
+
+
+def test_discover_profile_index_search_lifecycle(
+    ray_session, tmp_path, source_dir
+):
+    """The full reference loop: discover -> profile -> incremental
+    keyword index -> search, with version-aware replace, dataset
+    deletion, reinsert, and purging compaction
+    (add_dataset_to_index / delete_dataset_from_index,
+    common.py:451-561, over the segment machinery)."""
+    from auctus_ray.index.segments import compact, load_segments
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    cat = str(tmp_path / "catalog")
+    root = str(tmp_path / "segroot")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    d.discover_datasets()
+    assert d.profile_pending(seg_root=root, include_sample=False) == [
+        "localdir.cities", "localdir.numbers",
+    ]
+
+    # column-name keyword reaches the right dataset
+    hits = search_datasets(root, "population")
+    assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
+    # source terms-filter
+    assert search_datasets(root, "cities", source=["nope"]) == []
+    assert search_datasets(root, "cities", source=["localdir"])
+
+    # content change -> re-profile -> the stale version is masked,
+    # exactly one live doc per dataset
+    with open(os.path.join(source_dir, "cities.csv"), "a") as f:
+        f.write("ogdenville,12000\n")
+    d.discover_datasets()
+    assert d.profile_pending(seg_root=root, include_sample=False) == [
+        "localdir.cities"
+    ]
+    hits = search_datasets(root, "population", k=10)
+    assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
+
+    # delete -> masked; re-record + re-profile -> searchable again
+    d.delete_dataset(dataset_id="cities", seg_root=root)
+    assert search_datasets(root, "population") == []
+    d.discover_datasets()
+    assert d.profile_pending(seg_root=root, include_sample=False) == [
+        "localdir.cities"
+    ]
+    hits = search_datasets(root, "population")
+    assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
+
+    # compaction purges masked versions into one segment
+    assert len(load_segments(root)) >= 2
+    compact(root, n_shards=1)
+    assert len(load_segments(root)) == 1
+    hits = search_datasets(root, "population")
+    assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
+    assert search_datasets(root, "numbers")
