@@ -386,10 +386,18 @@ def cmd_seg(args) -> int:
             "seconds": round(time.time() - t0, 3),
         }))
     elif args.action == "search":
-        s = seg.SegmentedSearcher(args.root)
+        if args.distributed:
+            _ray_up(args.num_cpus)
+            s = seg.DistributedSegmentedSearcher(
+                args.root, n_actors=args.distributed
+            )
+            stats = s.local.stats()
+        else:
+            s = seg.SegmentedSearcher(args.root)
+            stats = s.stats()
         d, sc = s.search(args.query, k=args.k, operator=args.operator)
         print(json.dumps({
-            "stats": s.stats(),
+            "stats": stats,
             "hits": s.hydrate_hits(d, sc).to_pylist(),
         }, default=str))
     elif args.action == "delete":
@@ -534,6 +542,9 @@ def main(argv=None) -> int:
     sg.add_argument("--query", default="", help="query string (search)")
     sg.add_argument("-k", type=int, default=10)
     sg.add_argument("--operator", default="or", choices=["or", "and"])
+    sg.add_argument("--distributed", type=int, default=0,
+                    help="serve search through N (segment, shard-group) "
+                         "actors")
     sg.add_argument("--column", default="path", help="delete key column")
     sg.add_argument("--values", default="", help="comma-separated delete keys")
     sg.add_argument("--num-cpus", type=int, default=None)

@@ -414,3 +414,157 @@ class SegmentedSearcher:
             ),
             "segments": [e["name"] for e in self.entries],
         }
+
+
+class _SegGroupWorker:
+    """One actor holding, per assigned segment, a Searcher restricted to
+    that segment's assigned shard files, with merged-stat overrides —
+    index state loaded once per actor (T1/T2 stateful-service shape)."""
+
+    def __init__(
+        self,
+        root: str,
+        assignments: list[tuple[str, list[str], int, float]],
+        n_docs: int,
+        avgdl: float,
+    ):
+        self.units: list[tuple[Searcher, int]] = []
+        dels = load_deletes(root)
+        for seg_dir, shard_files, base, bound_scale in assignments:
+            s = Searcher(seg_dir)
+            s.shard_files = shard_files
+            s.tfnorm_bound_scale = bound_scale
+            s.avgdl = avgdl
+            s.n_docs = n_docs
+            s._df_cache = {}
+            if dels:
+                dm = pads.dataset(
+                    os.path.join(seg_dir, "docmap"), format="parquet"
+                )
+                ids: list[np.ndarray] = []
+                for col, vals in dels.items():
+                    if col in dm.schema.names and vals:
+                        t = dm.to_table(
+                            columns=["doc_id"],
+                            filter=pc.field(col).isin(vals),
+                        )
+                        ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+                if ids:
+                    s.deleted_ids = np.unique(np.concatenate(ids)).astype(
+                        np.int64
+                    )
+            self.units.append((s, base))
+
+    def search(
+        self, query: str, k: int, operator: str, algorithm: str,
+        primed_dfs: dict[str, int], **kw,
+    ):
+        all_ids, all_scores = [], []
+        facets: dict[str, int] = {}
+        for s, base in self.units:
+            s._df_cache.update(primed_dfs)
+            out = s.search(
+                query, k=k, operator=operator, algorithm=algorithm, **kw
+            )
+            all_ids.append(out[0].astype(np.int64) + base)
+            all_scores.append(out[1])
+            if kw.get("facet_by") is not None:
+                for v, c in out[2].items():
+                    facets[v] = facets.get(v, 0) + c
+        ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
+        sc = (
+            np.concatenate(all_scores) if all_scores
+            else np.empty(0, np.float64)
+        )
+        if kw.get("facet_by") is not None:
+            return ids, sc, facets
+        return ids, sc
+
+
+class DistributedSegmentedSearcher:
+    """Per-query fan-out over (segment, shard-group) actors — the
+    DistributedSearcher shape generalized across segments. The driver
+    holds a SegmentedSearcher only for merged statistics (a handful of
+    filtered term_stats reads per query) and hydration; every posting
+    decode happens in the actors. Safe for the same reason the
+    single-index fan-out is: (segment, shard) pairs are disjoint docID
+    ranges scored with globally-correct merged (df, n_docs, avgdl)."""
+
+    def __init__(self, root: str, n_actors: int = 4, synonyms=None):
+        import ray
+
+        self.local = SegmentedSearcher(root, synonyms=synonyms)
+        pairs: list[tuple[str, str, int, float]] = []
+        for s, base in zip(self.local.searchers, self.local.bases):
+            for sf in s.shard_files:
+                pairs.append((s.index_dir, sf, base, s.tfnorm_bound_scale))
+        n_actors = max(1, min(n_actors, len(pairs)))
+        groups: list[dict[tuple, list[str]]] = [{} for _ in range(n_actors)]
+        for i, (seg_dir, sf, base, scale) in enumerate(pairs):
+            groups[i % n_actors].setdefault((seg_dir, base, scale), []).append(sf)
+        actor_cls = ray.remote(_SegGroupWorker)
+        self.actors = [
+            actor_cls.remote(
+                root,
+                [
+                    (seg_dir, files, base, scale)
+                    for (seg_dir, base, scale), files in g.items()
+                ],
+                self.local.n_docs,
+                self.local.avgdl,
+            )
+            for g in groups
+            if g
+        ]
+
+    def search(
+        self,
+        query: str,
+        k: int = 10,
+        operator: str = "and",
+        algorithm: str = "auto",
+        filters: dict[str, list] | None = None,
+        offset: int = 0,
+        facet_by: str | None = None,
+    ):
+        import ray
+
+        if offset + k > 10000:
+            raise ValueError("offset + k must be <= 10000")
+        terms = self.local._query_terms(query)
+        primed = self.local.dfs(terms)
+        kw = {"filters": filters, "facet_by": facet_by}
+        parts = ray.get(
+            [
+                a.search.remote(
+                    query, k + offset, operator, algorithm, primed, **kw
+                )
+                for a in self.actors
+            ]
+        )
+        doc_ids = (
+            np.concatenate([p[0] for p in parts])
+            if parts else np.empty(0, np.int64)
+        )
+        scores = (
+            np.concatenate([p[1] for p in parts])
+            if parts else np.empty(0, np.float64)
+        )
+        order = np.lexsort((doc_ids, -scores))[offset : offset + k]
+        if facet_by is None:
+            return doc_ids[order], scores[order]
+        facets: dict[str, int] = {}
+        for p in parts:
+            for v, c in p[2].items():
+                facets[v] = facets.get(v, 0) + c
+        return doc_ids[order], scores[order], facets
+
+    def hydrate_hits(self, doc_ids, scores) -> pa.Table:
+        return self.local.hydrate_hits(doc_ids, scores)
+
+    def shutdown(self):
+        import ray
+
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []

@@ -237,3 +237,32 @@ def test_compact_purges_deletes(del_root, small_corpus, tmp_path_factory):
             ms, lambda dd, ss: hydrate_hits(mono.index_dir, dd, ss), q, 20, op
         )
         _assert_topk_equivalent(seg, ref, q)
+
+
+def test_distributed_segmented_equals_local(seg_root, seg_searcher):
+    """Per-(segment, shard-group) actor fan-out must reproduce the
+    local segmented search exactly — same global docIDs, bit-identical
+    scores, same merged facets."""
+    from auctus_ray.index.segments import DistributedSegmentedSearcher
+
+    dist = DistributedSegmentedSearcher(seg_root, n_actors=3)
+    try:
+        qs = generate_query_set()
+        for qid, q, k, op in zip(
+            qs["qid"].to_pylist(), qs["query"].to_pylist(),
+            qs["k"].to_pylist(), qs["operator"].to_pylist(),
+        ):
+            ld, ls = seg_searcher.search(q, k=k, operator=op)
+            dd, dsc = dist.search(q, k=k, operator=op)
+            assert (ld == dd).all() and (ls == dsc).all(), (qid, q)
+        ld, ls, lf = seg_searcher.search(
+            "the license", k=15, operator="or",
+            filters={"lang": ["python", "go"]}, facet_by="lang",
+        )
+        dd, dsc, df_ = dist.search(
+            "the license", k=15, operator="or",
+            filters={"lang": ["python", "go"]}, facet_by="lang",
+        )
+        assert (ld == dd).all() and (ls == dsc).all() and lf == df_
+    finally:
+        dist.shutdown()
