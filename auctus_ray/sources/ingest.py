@@ -339,7 +339,19 @@ def read_table_auto(path: str, columns: list[str] | None = None,
         plan = sniff_format(path)
     fmt = plan["format"]
     if fmt == "parquet":
-        return drop_schema_metadata(ray.data.read_parquet(path, columns=columns))
+        # strip schema metadata AT the read (schema override), not in a
+        # follow-up map stage: blocks leaving ReadParquet are already
+        # metadata-free, so Ray's schema-hash dedup works from the first
+        # operator (an after-the-fact strip still left the read stage
+        # logging 'Failed to hash the schemas' on pandas-metadata files)
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        schema = _pq.read_schema(path)
+        schema = _pa.schema(
+            [schema.field(i).remove_metadata() for i in range(len(schema))]
+        )
+        return ray.data.read_parquet(path, columns=columns, schema=schema)
     if fmt == "xlsx":
         # stdlib decode -> cached CSV, then the standard chain (fresh
         # sniff handles skip_rows/pivot on the converted file) — the
