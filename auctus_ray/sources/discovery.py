@@ -72,6 +72,8 @@ class Discoverer:
             date=datetime.datetime.utcnow().isoformat() + "Z",
         )
         path = materialize.get("path")
+        if not (path and os.path.exists(path)):
+            path = self._shared_storage_path(full_id)
         fp = file_fingerprint([path]) if path and os.path.exists(path) else "meta"
         self.catalog.mark(
             "discovered",
@@ -81,6 +83,33 @@ class Discoverer:
             metrics={"metadata": metadata, "materialize": materialize},
         )
         return full_id
+
+    def write_to_shared_storage(self, dataset_id: str):
+        """Context manager yielding a binary file handle into shared
+        storage (reference discovery.py:128-139: for datasets that
+        cannot be re-materialized later). Atomic tmp+rename; profiling
+        prefers the stored copy over materialize.path, and
+        delete_dataset removes it."""
+        import contextlib
+
+        @contextlib.contextmanager
+        def _cm():
+            d = os.path.join(self.catalog_dir, "storage")
+            os.makedirs(d, exist_ok=True)
+            full_id = f"{self.identifier}.{dataset_id}"
+            final = os.path.join(d, encode_dataset_id(full_id))
+            tmp = final + ".tmp"
+            with open(tmp, "wb") as fp:
+                yield fp
+            os.replace(tmp, final)
+
+        return _cm()
+
+    def _shared_storage_path(self, full_id: str) -> str | None:
+        p = os.path.join(
+            self.catalog_dir, "storage", encode_dataset_id(full_id)
+        )
+        return p if os.path.exists(p) else None
 
     def delete_dataset(self, *, full_id: str | None = None,
                        dataset_id: str | None = None,
@@ -105,6 +134,10 @@ class Discoverer:
         prof = self._profile_path(full_id)
         if os.path.exists(prof):
             os.remove(prof)
+        # the stored shared-storage copy goes too (discovery.py:155-158)
+        stored = self._shared_storage_path(full_id)
+        if stored:
+            os.remove(stored)
 
     # -- listings ---------------------------------------------------------
     def datasets(self) -> list[dict]:
@@ -156,7 +189,12 @@ class Discoverer:
         stale_fps = []
         to_index = []
         for d in self.pending():
-            path = d.get("materialize", {}).get("path")
+            # shared storage wins over re-materialization (reference:
+            # "materialization won't occur for datasets that are in
+            # shared storage already", discovery.py:131-134)
+            path = self._shared_storage_path(d["id"]) or d.get(
+                "materialize", {}
+            ).get("path")
             if not path or not os.path.exists(path):
                 self.catalog.mark(
                     "profiled", d["id"], d["fingerprint"], "error",

@@ -161,3 +161,32 @@ def test_discover_profile_index_search_lifecycle(
     hits = search_datasets(root, "population")
     assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
     assert search_datasets(root, "numbers")
+
+
+def test_write_to_shared_storage(ray_session, tmp_path):
+    """Reference discovery.py:128-139: datasets written to shared
+    storage profile from the stored copy (no materialize.path), and
+    deletion removes the stored file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.sources.discovery import Discoverer
+
+    cat = str(tmp_path / "cat")
+    d = Discoverer("plug", cat)
+    buf = pa.BufferOutputStream()
+    pq.write_table(pa.table({"x": [1, 2, 3]}), buf)
+    with d.write_to_shared_storage("stored1") as fp:
+        fp.write(buf.getvalue().to_pybytes())
+    full = d.record_dataset({}, {"name": "stored1"}, dataset_id="stored1")
+    assert [x["id"] for x in d.pending()] == [full]
+    assert d.profile_pending(include_sample=False) == [full]
+    import json as _json
+    import os as _os
+
+    doc = _json.load(open(_os.path.join(cat, "profiles", f"{full}.json")))
+    assert doc["nb_rows"] == 3
+    d.delete_dataset(dataset_id="stored1")
+    assert not _os.path.exists(
+        _os.path.join(cat, "storage", full)
+    )
