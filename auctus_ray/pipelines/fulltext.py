@@ -137,6 +137,99 @@ SQL_BM25_TOPK_OR = _bm25_sql(["table", "scan", "query"], 10, "or")
 SQL_BM25_TOPK_AND = _bm25_sql(["hash", "join"], 10, "and")
 
 
+# ------------------------------------------------ filter context + facets
+
+
+def bm25_filtered_topk(sf_dir: str) -> pa.Table:
+    """BM25 top-10 with a keyword filter (ES filter context — the
+    reference ANDs source/type terms-filters with the text query,
+    apiserver/search/__init__.py:81-107): lang in (en, fr). Scores are
+    unchanged by the filter (it masks, it does not score)."""
+    from auctus_ray.index.search import Searcher
+
+    res = docs_index(sf_dir)
+    s = Searcher(res.index_dir)
+    eng_ids, scores = s.search(
+        "table scan query", k=10, operator="or",
+        filters={"lang": ["en", "fr"]},
+    )
+    orig = _translate_docids(res.index_dir, eng_ids)
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig),
+            "score": pa.array(_round_half_away6(scores), pa.float64()),
+        }
+    )
+
+
+SQL_BM25_FILTERED_TOPK = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+  FROM documents
+),
+dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+g AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+             (SELECT CAST(SUM(dl) AS DOUBLE) FROM dl)
+               / (SELECT COUNT(*) FROM documents) AS avgdl),
+q(term) AS (VALUES ('table'), ('scan'), ('query')),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok
+       WHERE term IN (SELECT term FROM q) GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id,
+         ln(1 + (g.n_docs - df.df + 0.5)/(df.df + 0.5)) *
+         (tf.tf / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / g.avgdl))) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
+),
+scores AS (
+  SELECT doc_id, SUM(c) AS score FROM contrib
+  WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'fr'))
+  GROUP BY doc_id
+)
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+       doc_id, ROUND(score, 6) AS score
+FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+"""
+
+
+def bm25_facets_lang(sf_dir: str) -> pa.Table:
+    """Terms aggregation over ALL matching docs of a disjunctive query
+    (ES facets, search/__init__.py:587-603): lang -> match count."""
+    from auctus_ray.index.search import Searcher
+
+    res = docs_index(sf_dir)
+    s = Searcher(res.index_dir)
+    _, _, facets = s.search(
+        "table scan query", k=10, operator="or", facet_by="lang"
+    )
+    items = sorted(
+        (lang, n) for lang, n in facets.items() if lang != "__missing__"
+    )
+    return pa.table(
+        {
+            "lang": pa.array([lang for lang, _ in items], pa.string()),
+            "n_matches": pa.array([n for _, n in items], pa.int64()),
+        }
+    )
+
+
+SQL_BM25_FACETS_LANG = """
+WITH tok AS (
+  SELECT doc_id, lang,
+         unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS term
+  FROM documents
+),
+matches AS (
+  SELECT DISTINCT doc_id, lang FROM tok
+  WHERE term IN ('table', 'scan', 'query')
+)
+SELECT lang, COUNT(*) AS n_matches FROM matches
+GROUP BY lang ORDER BY lang
+"""
+
+
 # ------------------------------------------------------- incremental index
 
 
@@ -402,6 +495,8 @@ QUERIES = {
     "bm25_topk_or": bm25_topk_or,
     "bm25_topk_and": bm25_topk_and,
     "bm25_topk_incremental": bm25_topk_incremental,
+    "bm25_filtered_topk": bm25_filtered_topk,
+    "bm25_facets_lang": bm25_facets_lang,
     "docs_cross_fields": docs_cross_fields,
     "term_df_top100": term_df_top100,
     "doc_length_stats": doc_length_stats,
@@ -411,6 +506,8 @@ SQL = {
     "bm25_topk_or": SQL_BM25_TOPK_OR,
     "bm25_topk_and": SQL_BM25_TOPK_AND,
     "bm25_topk_incremental": SQL_BM25_TOPK_OR,
+    "bm25_filtered_topk": SQL_BM25_FILTERED_TOPK,
+    "bm25_facets_lang": SQL_BM25_FACETS_LANG,
     "docs_cross_fields": SQL_DOCS_CROSS_FIELDS,
     "term_df_top100": SQL_TERM_DF_TOP100,
     "doc_length_stats": SQL_DOC_LENGTH_STATS,
