@@ -234,6 +234,19 @@ def run_full() -> dict:
     training.ann_cosine_topk(SF_DIR).to_pandas()
     queries["ann_cosine_topk"] = round(time.time() - t0, 3)
 
+    # incremental index path (informational — NOT in the headline total,
+    # which stays round-over-round comparable): add the documents table
+    # as a second segment next to an existing one, then serve a merged-
+    # stats query. The docs_bm25 run above already built the split
+    # segment caches fresh (cache dir was wiped), so this measures a
+    # cold two-segment add + the segmented query.
+    t0 = time.time()
+    fulltext.bm25_topk_incremental(SF_DIR)
+    extra["incremental"] = {"segadd_plus_query_s": round(time.time() - t0, 3)}
+    t0 = time.time()
+    fulltext.bm25_topk_incremental(SF_DIR)
+    extra["incremental"]["warm_query_s"] = round(time.time() - t0, 3)
+
     return {
         "metric": "auctus_ray index build + BM25 query + pipeline wall time",
         "value": round(sum(queries.values()), 3),
