@@ -370,7 +370,9 @@ def cmd_seg(args) -> int:
     from auctus_ray.index import segments as seg
 
     if args.action == "add":
-        _ray_up(args.num_cpus)
+        paths = seg._resolve_paths(args.input)
+        if sum(os.path.getsize(p) for p in paths) >= seg.SMALL_SEGMENT_BYTES:
+            _ray_up(args.num_cpus)  # small adds build in-process, Ray-free
         cmap = None
         if args.column_map:
             cmap = dict(kv.split("=", 1) for kv in args.column_map.split(","))

@@ -95,6 +95,154 @@ def load_deletes(root: str) -> dict[str, list]:
         return json.load(f)
 
 
+# Below this many input bytes a segment builds IN-PROCESS (the Lucene
+# in-memory-flush analog): the distributed build's fixed costs (shuffle
+# files, stats passes, task rounds) dominate tiny segments, and the
+# continuous-ingest path adds many of them. Output layout and every
+# number (docIDs, postings, stats) are bit-identical to build_index —
+# pytest-enforced. The driver-side read is bounded by this threshold.
+SMALL_SEGMENT_BYTES = int(
+    os.environ.get("AUCTUS_SMALL_SEGMENT_BYTES", str(16 << 20))
+)
+
+
+def _build_small_segment(
+    paths: list[str],
+    seg_dir: str,
+    *,
+    analyzer: str,
+    n_buckets: int,
+    column_map: dict[str, str] | None,
+    content_col: str,
+    params_fp: str,
+) -> BuildResult:
+    """In-process segment build, output-identical to build_index: same
+    tokenize/encode functions, same directory layout, same stats files.
+    docID assignment is order-independent (per-bucket lexsort on the
+    row key), so parity with the distributed build is exact."""
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import (
+        _atomic_write_table, encode_bucket_group, tokenize_batch,
+    )
+    from auctus_ray.state.manifest import Manifest
+
+    os.makedirs(seg_dir, exist_ok=True)
+    man = Manifest(seg_dir)
+    gs_path = os.path.join(seg_dir, "global_stats.parquet")
+    if man.is_done("smallbuild", "all", params_fp) and os.path.exists(gs_path):
+        gs = pq.read_table(gs_path)
+        return BuildResult(
+            index_dir=seg_dir,
+            n_docs=int(gs["n_docs"][0].as_py()),
+            n_tokens=int(gs["n_tokens"][0].as_py()),
+            avgdl=float(gs["avgdl"][0].as_py()),
+            n_terms=int(gs["n_terms"][0].as_py()),
+            n_shards=int(gs["n_shards"][0].as_py()),
+            metrics=man.metrics(),
+        )
+    t0 = __import__("time").time()
+    read_columns = sorted(set(column_map.values())) if column_map else None
+    tbl = pa.concat_tables([pq.read_table(p, columns=read_columns) for p in paths])
+    tok = tokenize_batch(
+        tbl, analyzer=analyzer, n_buckets=n_buckets,
+        content_col=content_col, column_map=column_map,
+    )
+    buckets = tok["bucket"].to_numpy(zero_copy_only=False)
+    b_ids, b_cnt = np.unique(buckets, return_counts=True)
+    dl = tok["dl"].to_numpy(zero_copy_only=False)
+    n_docs = int(tok.num_rows)
+    n_tokens = int(dl.sum())
+    avgdl = n_tokens / n_docs if n_docs else 0.0
+    offs = np.concatenate([[0], np.cumsum(b_cnt)[:-1]])
+    offsets = {int(b): int(o) for b, o in zip(b_ids, offs)}
+
+    docmap_dir = os.path.join(seg_dir, "docmap")
+    postings_dir = os.path.join(seg_dir, "postings")
+    termstats_dir = os.path.join(seg_dir, "termstats")
+    for d in (docmap_dir, postings_dir, termstats_dir):
+        os.makedirs(d, exist_ok=True)
+    summaries = []
+    for b in b_ids:
+        group = tok.filter(pc.equal(tok["bucket"], pa.scalar(int(b), pa.int32())))
+        summaries.append(
+            encode_bucket_group(
+                group.combine_chunks(), offsets=offsets, avgdl=avgdl,
+                docmap_dir=docmap_dir, postings_dir=postings_dir,
+                termstats_dir=termstats_dir, bucket=int(b),
+            )
+        )
+    summary = (
+        pa.concat_tables(summaries) if summaries
+        else pa.table(
+            {
+                "shard": pa.array([], pa.int32()),
+                "n_docs": pa.array([], pa.int64()),
+                "n_terms": pa.array([], pa.int64()),
+                "n_postings": pa.array([], pa.int64()),
+                "bytes": pa.array([], pa.int64()),
+                "seconds": pa.array([], pa.float64()),
+            }
+        )
+    )
+    _atomic_write_table(summary, os.path.join(seg_dir, "shard_summary.parquet"))
+    _atomic_write_table(
+        pa.table(
+            {
+                "bucket": pa.array(b_ids.astype(np.int32)),
+                "cnt": pa.array(b_cnt.astype(np.int64)),
+                "dl_sum": pa.array(
+                    np.array(
+                        [int(dl[buckets == b].sum()) for b in b_ids], np.int64
+                    )
+                ),
+            }
+        ),
+        os.path.join(seg_dir, "bucket_stats.parquet"),
+    )
+    # global term stats: merge the per-shard partials (same aggregate
+    # the distributed build runs as a Ray groupby)
+    ts_files = sorted(glob.glob(os.path.join(termstats_dir, "shard=*.parquet")))
+    if ts_files:
+        ts_all = pa.concat_tables(
+            [pq.read_table(f, columns=["term", "df", "n_blocks"]) for f in ts_files]
+        )
+        ts = ts_all.group_by("term").aggregate(
+            [("df", "sum"), ("n_blocks", "sum")]
+        ).rename_columns(["term", "df", "n_blocks"])
+    else:
+        ts = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df": pa.array([], pa.int64()),
+                "n_blocks": pa.array([], pa.int64()),
+            }
+        )
+    tsg_dir = os.path.join(seg_dir, "term_stats")
+    os.makedirs(tsg_dir, exist_ok=True)
+    _atomic_write_table(ts, os.path.join(tsg_dir, "part-0.parquet"))
+    n_terms = ts.num_rows
+    gs = pa.table(
+        {
+            "n_docs": pa.array([n_docs], pa.int64()),
+            "n_tokens": pa.array([n_tokens], pa.int64()),
+            "avgdl": pa.array([avgdl], pa.float64()),
+            "n_terms": pa.array([n_terms], pa.int64()),
+            "n_shards": pa.array([n_buckets], pa.int32()),
+            "analyzer": pa.array([analyzer], pa.string()),
+        }
+    )
+    _atomic_write_table(gs, gs_path)
+    man.mark(
+        "smallbuild", "all", params_fp, "done",
+        {"smallbuild_seconds": __import__("time").time() - t0, "n_docs": n_docs},
+    )
+    return BuildResult(
+        index_dir=seg_dir, n_docs=n_docs, n_tokens=n_tokens, avgdl=avgdl,
+        n_terms=n_terms, n_shards=n_buckets, metrics=man.metrics(),
+    )
+
+
 def add_segment(
     root: str,
     input_paths: list[str] | str,
@@ -109,7 +257,9 @@ def add_segment(
     name: re-adding identical content resumes/reuses the segment and
     registration is idempotent; a crash between build and registration
     is healed by the next identical add (build resumes via its own
-    manifest, registration is retried)."""
+    manifest, registration is retried). Inputs under
+    SMALL_SEGMENT_BYTES build in-process (output-identical fast path);
+    larger ones run the distributed checkpointed build."""
     paths = _resolve_paths(input_paths)
     fp = fingerprint(
         file_fingerprint(paths), analyzer, n_shards or 0,
@@ -117,10 +267,20 @@ def add_segment(
     )
     name = f"seg-{fp[:12]}"
     seg_dir = os.path.join(root, SEG_DIR, name)
-    res = build_index(
-        paths, seg_dir, analyzer=analyzer, n_shards=n_shards,
-        column_map=column_map, content_col=content_col, **build_kwargs,
-    )
+    total_bytes = sum(os.path.getsize(p) for p in paths)
+    if total_bytes < SMALL_SEGMENT_BYTES and not build_kwargs:
+        from auctus_ray.index.build import N_DOCID_BUCKETS
+
+        res = _build_small_segment(
+            paths, seg_dir, analyzer=analyzer,
+            n_buckets=n_shards or N_DOCID_BUCKETS, column_map=column_map,
+            content_col=content_col, params_fp=fp,
+        )
+    else:
+        res = build_index(
+            paths, seg_dir, analyzer=analyzer, n_shards=n_shards,
+            column_map=column_map, content_col=content_col, **build_kwargs,
+        )
     entries = load_segments(root)
     if not any(e["name"] == name for e in entries):
         entries.append(

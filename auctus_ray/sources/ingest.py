@@ -348,10 +348,14 @@ def read_table_auto(path: str, columns: list[str] | None = None,
         import pyarrow.parquet as _pq
 
         schema = _pq.read_schema(path)
-        schema = _pa.schema(
-            [schema.field(i).remove_metadata() for i in range(len(schema))]
+        fields = [schema.field(i).remove_metadata() for i in range(len(schema))]
+        if columns is not None:
+            # the schema override must match the pruned column set
+            keep = set(columns)
+            fields = [f for f in fields if f.name in keep]
+        return ray.data.read_parquet(
+            path, columns=columns, schema=_pa.schema(fields)
         )
-        return ray.data.read_parquet(path, columns=columns, schema=schema)
     if fmt == "xlsx":
         # stdlib decode -> cached CSV, then the standard chain (fresh
         # sniff handles skip_rows/pivot on the converted file) — the

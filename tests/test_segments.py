@@ -266,3 +266,46 @@ def test_distributed_segmented_equals_local(seg_root, seg_searcher):
         assert (ld == dd).all() and (ls == dsc).all() and lf == df_
     finally:
         dist.shutdown()
+
+
+def test_small_segment_fast_path_parity(ray_session, tiny_corpus, tmp_path_factory):
+    """The in-process small-segment build must be OUTPUT-IDENTICAL to
+    the distributed build_index: same global stats, same dfs, same
+    docIDs and bit-identical scores on every query."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.segments import _build_small_segment
+    from auctus_ray.state.manifest import file_fingerprint, fingerprint
+
+    _, paths = tiny_corpus
+    dist = build_index(
+        paths, str(tmp_path_factory.mktemp("idx_dist")), n_shards=4,
+        files_per_group=2,
+    )
+    fast = _build_small_segment(
+        sorted(paths), str(tmp_path_factory.mktemp("idx_fast")),
+        analyzer="code", n_buckets=4, column_map=None,
+        content_col="content", params_fp="t",
+    )
+    assert (fast.n_docs, fast.n_tokens, fast.n_terms, fast.n_shards) == (
+        dist.n_docs, dist.n_tokens, dist.n_terms, dist.n_shards
+    )
+    assert fast.avgdl == dist.avgdl
+    sd = Searcher(dist.index_dir)
+    sf = Searcher(fast.index_dir)
+    qs = generate_query_set()
+    terms = sorted({t for q in qs["query"].to_pylist() for t in q.lower().split()})
+    assert sf.dfs(terms) == sd.dfs(terms)
+    for qid, q, k, op in zip(
+        qs["qid"].to_pylist(), qs["query"].to_pylist(),
+        qs["k"].to_pylist(), qs["operator"].to_pylist(),
+    ):
+        dd, ds_ = sd.search(q, k=k, operator=op)
+        fd, fs_ = sf.search(q, k=k, operator=op)
+        assert (dd == fd).all() and (ds_ == fs_).all(), (qid, q)
+
+    # resume: a second call with the same fingerprint is a no-op read
+    again = _build_small_segment(
+        sorted(paths), fast.index_dir, analyzer="code", n_buckets=4,
+        column_map=None, content_col="content", params_fp="t",
+    )
+    assert again.n_docs == fast.n_docs and again.avgdl == fast.avgdl
