@@ -327,27 +327,42 @@ def undelete_docs(root: str, values: list, column: str = "path") -> int:
     return sum(len(v) for v in dels.values())
 
 
-def compact(root: str, **build_kwargs) -> BuildResult:
-    """Merge every segment into one, purging tombstones — the Lucene
+def compact(
+    root: str, *, only: list[str] | None = None, **build_kwargs
+) -> BuildResult:
+    """Merge segments into one, purging tombstones — the Lucene
     background merge. Rebuilds from the recorded segment inputs as ONE
     distributed build; when tombstones exist, the inputs are first
-    re-written through a distributed filter (`Dataset.filter` with an
-    Arrow expression — predicate pushdown, streaming, no driver
-    materialization)."""
+    re-written through a distributed filter (predicate pushed into the
+    scan — streaming, no driver materialization).
+
+    ``only`` restricts the merge to the named segments (tiered merge:
+    small segments fold together while big ones stay untouched).
+    Tombstones are cleared only on a FULL merge — after a partial one,
+    values may still exist in unmerged segments; the merged segment has
+    its copies baked out either way, and retained tombstones over it
+    are harmless (the values no longer match anything)."""
     import ray.data
 
     entries = load_segments(root)
     if not entries:
         raise ValueError(f"no segments registered under {root}")
-    analyzer = entries[0]["analyzer"]
-    column_map = entries[0]["column_map"]
-    content_col = entries[0]["content_col"]
-    for e in entries[1:]:
+    if only is None:
+        sel = entries
+    else:
+        want = set(only)
+        sel = [e for e in entries if e["name"] in want]
+        if len(sel) != len(want):
+            raise ValueError("unknown segment name in 'only'")
+    analyzer = sel[0]["analyzer"]
+    column_map = sel[0]["column_map"]
+    content_col = sel[0]["content_col"]
+    for e in sel[1:]:
         if (e["analyzer"], e["column_map"], e["content_col"]) != (
             analyzer, column_map, content_col,
         ):
             raise ValueError("segments disagree on analyzer/column_map")
-    paths = sorted({p for e in entries for p in e["inputs"]})
+    paths = sorted({p for e in sel for p in e["inputs"]})
     dels = load_deletes(root)
 
     if dels:
@@ -380,18 +395,41 @@ def compact(root: str, **build_kwargs) -> BuildResult:
     )
     merged_name = os.path.basename(res.index_dir)
     entries = load_segments(root)
-    merged = [e for e in entries if e["name"] == merged_name]
-    _atomic_json(os.path.join(root, SEGMENTS_FILE), merged)
-    # purge tombstones (they are baked out of the merged segment), then
-    # drop superseded segment dirs — last, so a crash leaves only
-    # harmless orphans, never a registered-but-missing segment
-    dp = os.path.join(root, DELETES_FILE)
-    if os.path.exists(dp):
-        os.remove(dp)
-    for e in entries:
-        if e["name"] != merged_name:
-            shutil.rmtree(os.path.join(root, SEG_DIR, e["name"]), ignore_errors=True)
+    sel_names = {e["name"] for e in sel}
+    merged_entry = [e for e in entries if e["name"] == merged_name]
+    kept = [
+        e for e in entries
+        if e["name"] not in sel_names and e["name"] != merged_name
+    ]
+    _atomic_json(os.path.join(root, SEGMENTS_FILE), kept + merged_entry)
+    # a FULL merge bakes every tombstone out; partial merges keep them
+    # (values may still live in unmerged segments). Superseded dirs go
+    # last, so a crash leaves only harmless orphans, never a
+    # registered-but-missing segment.
+    if only is None:
+        dp = os.path.join(root, DELETES_FILE)
+        if os.path.exists(dp):
+            os.remove(dp)
+    for name in sel_names - {merged_name}:
+        shutil.rmtree(os.path.join(root, SEG_DIR, name), ignore_errors=True)
     return res
+
+
+def maybe_compact(
+    root: str, max_segments: int = 32, **build_kwargs
+) -> BuildResult | None:
+    """Tiered merge-lite: when more than ``max_segments`` are
+    registered, fold the SMALLEST segments (by doc count) into one,
+    leaving the ``max_segments - 1`` largest untouched — continuous
+    ingest then costs O(small) per merge instead of rebuilding the big
+    segments every time (the Lucene TieredMergePolicy intent)."""
+    entries = load_segments(root)
+    if len(entries) <= max_segments:
+        return None
+    big = sorted(entries, key=lambda e: -e["n_docs"])[: max_segments - 1]
+    big_names = {e["name"] for e in big}
+    small = [e["name"] for e in entries if e["name"] not in big_names]
+    return compact(root, only=small, **build_kwargs)
 
 
 class SegmentedSearcher:

@@ -168,7 +168,10 @@ class Discoverer:
         )
 
     def profile_pending(
-        self, seg_root: str | None = None, **profile_kwargs
+        self,
+        seg_root: str | None = None,
+        max_segments: int = 32,
+        **profile_kwargs,
     ) -> list[str]:
         """Drain the pending set: profile each dataset (a distributed
         Ray Data pipeline per dataset) and journal completion keyed by
@@ -223,6 +226,11 @@ class Discoverer:
             to_index.append((d, doc))
         if seg_root is not None and to_index:
             self._index_batch(seg_root, to_index, stale_fps)
+            # tiered merge: fold the small-segment tail once the count
+            # exceeds max_segments (each drain adds one segment)
+            from auctus_ray.index.segments import maybe_compact
+
+            maybe_compact(seg_root, max_segments=max_segments)
         return done
 
     # -- metadata keyword index (the reference 'datasets' ES index) -------

@@ -309,3 +309,46 @@ def test_small_segment_fast_path_parity(ray_session, tiny_corpus, tmp_path_facto
         column_map=None, content_col="content", params_fp="t",
     )
     assert again.n_docs == fast.n_docs and again.avgdl == fast.avgdl
+
+
+def test_tiered_maybe_compact(ray_session, tmp_path_factory):
+    """Partial (tiered) merge: the small tail folds into one segment,
+    the big segment is untouched, search results stay bit-identical
+    (same corpus, same merged stats), and a full compact still purges
+    tombstones afterwards."""
+    from auctus_ray.index.segments import maybe_compact
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    root = str(tmp_path_factory.mktemp("seg_tiered"))
+    big_dir = str(tmp_path_factory.mktemp("tier_big"))
+    big = generate_corpus(big_dir, n_rows=600, rows_per_file=600,
+                          mean_tokens=60, seed=89)
+    add_segment(root, big, n_shards=2)
+    for i in range(4):
+        d = str(tmp_path_factory.mktemp(f"tier_small{i}"))
+        p = generate_corpus(d, n_rows=60, rows_per_file=60,
+                            mean_tokens=60, seed=200 + i)
+        add_segment(root, p, n_shards=1)
+    assert len(load_segments(root)) == 5
+    before = SegmentedSearcher(root)
+    bd, bs = before.search("the license", k=30, operator="or")
+    b_keys = [
+        (r["repo"], r["path"], r["commit"])
+        for r in before.hydrate_hits(bd, bs).to_pylist()
+    ]
+
+    assert maybe_compact(root, max_segments=3) is not None
+    entries = load_segments(root)
+    assert len(entries) == 3  # 2 big kept + 1 merged tail
+    big_entry = max(entries, key=lambda e: e["n_docs"])
+    assert big_entry["n_docs"] == 600  # untouched
+    after = SegmentedSearcher(root)
+    ad, as_ = after.search("the license", k=30, operator="or")
+    a_keys = [
+        (r["repo"], r["path"], r["commit"])
+        for r in after.hydrate_hits(ad, as_).to_pylist()
+    ]
+    assert (bs == as_).all() and b_keys == a_keys
+
+    # under the threshold: no-op
+    assert maybe_compact(root, max_segments=3) is None
