@@ -352,3 +352,79 @@ def test_tiered_maybe_compact(ray_session, tmp_path_factory):
 
     # under the threshold: no-op
     assert maybe_compact(root, max_segments=3) is None
+
+
+def test_empty_segment_is_harmless(ray_session, tmp_path_factory):
+    """A zero-row segment (e.g. a discovery drain over an empty source)
+    neither crashes the add nor perturbs merged search."""
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    root = str(tmp_path_factory.mktemp("seg_empty"))
+    d1 = str(tmp_path_factory.mktemp("seg_e1"))
+    p1 = generate_corpus(d1, n_rows=80, rows_per_file=80, mean_tokens=40)
+    add_segment(root, p1, n_shards=1)
+
+    t = pq.read_table(p1[0]).slice(0, 0)
+    empty_path = str(tmp_path_factory.mktemp("seg_e0") / "empty.parquet")
+    pq.write_table(t, empty_path)
+    add_segment(root, [empty_path], n_shards=1)
+    assert len(load_segments(root)) == 2
+
+    s = SegmentedSearcher(root)
+    mono = Searcher(
+        add_segment(
+            str(tmp_path_factory.mktemp("mono_e")), p1, n_shards=1
+        ).index_dir
+    )
+    d, sc = s.search("the license", k=10, operator="or")
+    md, ms = mono.search("the license", k=10, operator="or")
+    assert (sc == ms).all() and len(d) == len(md)
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    cuts=st.lists(st.integers(min_value=1, max_value=149), min_size=0,
+                  max_size=4, unique=True),
+    data=st.data(),
+)
+def test_property_any_split_matches_monolithic(
+    ray_session, tmp_path_factory, cuts, data
+):
+    """PROPERTY: for ANY partition of a corpus into segments, merged-
+    stats search returns bit-identical scores to the monolithic build
+    (the fast path makes per-example builds cheap)."""
+    from auctus_ray.index.segments import _build_small_segment
+    from auctus_ray.sources.code_corpus import generate_corpus
+
+    base = tmp_path_factory.mktemp("prop")
+    src = generate_corpus(str(base / "src"), n_rows=150, rows_per_file=150,
+                          mean_tokens=30)
+    full = pq.read_table(src[0])
+    bounds = sorted(set(cuts)) + [150]
+    lo = 0
+    parts = []
+    for i, hi in enumerate(bounds):
+        if hi <= lo:
+            continue
+        p = str(base / f"part{i}.parquet")
+        pq.write_table(full.slice(lo, hi - lo), p)
+        parts.append(p)
+        lo = hi
+    root = str(base / "root")
+    for p in parts:
+        add_segment(root, [p], n_shards=2)
+    seg = SegmentedSearcher(root)
+    mono = Searcher(
+        add_segment(str(base / "mono"), src, n_shards=2).index_dir
+    )
+    q = data.draw(st.sampled_from(
+        ["the license", "def return", "import class function", "the"]
+    ))
+    op = data.draw(st.sampled_from(["or", "and"]))
+    sd, ss = seg.search(q, k=25, operator=op)
+    md, ms = mono.search(q, k=25, operator=op)
+    assert (ss == ms).all(), (cuts, q, op)
