@@ -307,7 +307,8 @@ def docs_index_field(sf_dir: str, field: str, n_shards: int = 8):
     from auctus_ray.index.build import build_index
 
     tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
-    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{field}_{tag}")
+    # `.cache` suffix: evictable by the watermark sweeper (state/cache.py)
+    idx_dir = os.path.join(_CACHE_ROOT, f"docs_index_{field}_{tag}.cache")
     col_map = dict(_DOCS_COLUMN_MAP)
     col_map["content"] = field
     return build_index(
