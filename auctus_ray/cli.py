@@ -335,6 +335,9 @@ def cmd_discover(args) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     d = LocalDirectoryDiscoverer(args.identifier, args.catalog, args.root)
+    if args.reprocess:
+        n = d.reprocess_all()
+        print(f"re-queued {n} datasets for profiling")
     found = d.discover_datasets()
     pending = [x["id"] for x in d.pending()]
     print(f"discovered {len(found)} datasets; {len(pending)} pending profile")
@@ -515,6 +518,10 @@ def main(argv=None) -> int:
                          "'seg search')")
     dc.add_argument("--no-profile", action="store_true")
     dc.add_argument("--no-sample", action="store_true")
+    dc.add_argument("--reprocess", action="store_true",
+                    help="re-queue every live dataset first (the "
+                         "reference's reprocess_all after a profiler "
+                         "upgrade)")
     dc.set_defaults(fn=cmd_discover)
 
     cc = sub.add_parser(

@@ -161,6 +161,21 @@ class Discoverer:
                 out.append(d)
         return out
 
+    def reprocess_all(self) -> int:
+        """Re-queue every live dataset for profiling, keeping its
+        recorded metadata (reference scripts/reprocess_all.py: re-publish
+        each dataset to the profile exchange after a profiler upgrade).
+        The next profile_pending drain re-profiles and re-indexes
+        (versioned replace). Returns the number re-queued."""
+        n = 0
+        for d in self.datasets():
+            if self.catalog.latest("profiled", d["id"]) is not None:
+                self.catalog.mark(
+                    "profiled", d["id"], "reprocess", "queued"
+                )
+                n += 1
+        return n
+
     # -- profiling (queue consumer) --------------------------------------
     def _profile_path(self, full_id: str) -> str:
         return os.path.join(
@@ -182,14 +197,16 @@ class Discoverer:
         indexed into the segmented keyword index (one segment per
         drain — the reference's per-dataset `es.index` batched the way
         Lucene would batch it; add_dataset_to_index common.py:451-467).
-        Re-profiles tombstone the stale version (by its fingerprint)
-        and re-inserts clear any dataset-level tombstone, reproducing
-        ES's index-by-id replace semantics."""
+        Re-profiles (content change OR reprocess_all) tombstone the
+        previously indexed version and re-inserts clear any
+        dataset-level tombstone — ES's index-by-id replace semantics.
+        The 'profiled' journal mark lands AFTER indexing, so a crash
+        mid-drain re-runs the whole (idempotent) index step instead of
+        leaving an indexed-but-unjournaled duplicate."""
         from auctus_ray.pipelines.document import profile_dataset_document
 
         os.makedirs(os.path.join(self.catalog_dir, "profiles"), exist_ok=True)
         done = []
-        stale_fps = []
         to_index = []
         for d in self.pending():
             # shared storage wins over re-materialization (reference:
@@ -204,13 +221,6 @@ class Discoverer:
                     metrics={"error": "materialize.path missing"},
                 )
                 continue
-            prev = self.catalog.latest("profiled", d["id"])
-            if (
-                prev is not None
-                and prev["status"] == "done"
-                and prev["fingerprint"] != d["fingerprint"]
-            ):
-                stale_fps.append(prev["fingerprint"])
             doc = profile_dataset_document(path, **profile_kwargs)
             doc["id"] = d["id"]
             doc["metadata"] = d.get("metadata", {})
@@ -218,14 +228,16 @@ class Discoverer:
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(doc, f, sort_keys=True)
             os.replace(tmp, self._profile_path(d["id"]))
+            done.append(d["id"])
+            to_index.append((d, doc))
+        if seg_root is not None and to_index:
+            self._index_batch(seg_root, to_index)
+        for d, doc in to_index:
             self.catalog.mark(
                 "profiled", d["id"], d["fingerprint"], "done",
                 metrics={"nb_rows": doc.get("nb_rows", 0)},
             )
-            done.append(d["id"])
-            to_index.append((d, doc))
         if seg_root is not None and to_index:
-            self._index_batch(seg_root, to_index, stale_fps)
             # tiered merge: fold the small-segment tail once the count
             # exceeds max_segments (each drain adds one segment)
             from auctus_ray.index.segments import maybe_compact
@@ -234,15 +246,19 @@ class Discoverer:
         return done
 
     # -- metadata keyword index (the reference 'datasets' ES index) -------
-    def _index_batch(self, seg_root: str, to_index, stale_fps) -> None:
+    def _index_batch(self, seg_root: str, to_index) -> None:
         """One immutable segment per drain over the freshly profiled
         datasets' metadata documents. Document text mirrors the
         reference's keyword-search field set (id, name, description,
         attribute_keywords — apiserver/search/__init__.py:67-79,
         flattened into one field); `repo` carries the source identifier
         so the reference's source terms-filter maps onto
-        filters={'repo': [...]}; `commit` carries the content
-        fingerprint (the version key tombstones use)."""
+        filters={'repo': [...]}; `commit` carries a CHAINED version key
+        (fingerprint of content fp + previous version, journaled in the
+        'indexed' stage) so every re-index — content change or
+        reprocess of unchanged content — gets a distinct version, the
+        superseded one tombstones cleanly, and re-running the same
+        drain stays idempotent."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -252,7 +268,19 @@ class Discoverer:
         from auctus_ray.state.manifest import fingerprint
 
         rows = []
+        stale_versions = []
+        versions: dict[str, str] = {}
         for d, doc in to_index:
+            prev = self.catalog.latest("indexed", d["id"])
+            prev_version = (
+                prev["fingerprint"]
+                if prev is not None and prev["status"] == "done"
+                else ""
+            )
+            version = fingerprint(d["fingerprint"], prev_version)
+            if prev_version and prev_version != version:
+                stale_versions.append(prev_version)
+            versions[d["id"]] = version
             md = d.get("metadata", {})
             text = " ".join(
                 [
@@ -265,7 +293,7 @@ class Discoverer:
             rows.append(
                 {
                     "dataset_id": d["id"],
-                    "version": d["fingerprint"],
+                    "version": version,
                     "source": str(md.get("source", self.identifier)),
                     "lang": "",
                     "text": text,
@@ -290,12 +318,15 @@ class Discoverer:
             },
         )
         # version-aware replace: mask the superseded versions, then
-        # clear dataset-level tombstones for everything just (re)added
-        if stale_fps:
-            delete_docs(seg_root, stale_fps, column="commit")
+        # clear dataset-level tombstones for everything just (re)added,
+        # and journal the new live versions (the chain anchor)
+        if stale_versions:
+            delete_docs(seg_root, stale_versions, column="commit")
         undelete_docs(
             seg_root, [d["id"] for d, _ in to_index], column="path"
         )
+        for d, _ in to_index:
+            self.catalog.mark("indexed", d["id"], versions[d["id"]], "done")
 
 
 def search_datasets(

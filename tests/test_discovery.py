@@ -190,3 +190,37 @@ def test_write_to_shared_storage(ray_session, tmp_path):
     assert not _os.path.exists(
         _os.path.join(cat, "storage", full)
     )
+
+
+def test_reprocess_all_versioned_replace(ray_session, tmp_path, source_dir):
+    """reprocess_all (reference scripts/reprocess_all.py) re-queues
+    every live dataset with UNCHANGED content; the chained version key
+    must tombstone the old indexed doc so exactly one live doc per
+    dataset survives — no duplicates, same search results."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "root")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    d.discover_datasets()
+    d.profile_pending(seg_root=root, include_sample=False)
+    before = search_datasets(root, "population")
+    assert [h["dataset_id"] for h in before] == ["localdir.cities"]
+
+    assert d.reprocess_all() == 2
+    assert [x["id"] for x in d.pending()] == [
+        "localdir.cities", "localdir.numbers",
+    ]
+    assert d.profile_pending(seg_root=root, include_sample=False) == [
+        "localdir.cities", "localdir.numbers",
+    ]
+    after = search_datasets(root, "population", k=10)
+    assert [h["dataset_id"] for h in after] == ["localdir.cities"]
+    # scores may shift (df/avgdl include masked stale versions until
+    # compaction), but there is exactly ONE live doc per dataset
+    assert len(search_datasets(root, "numbers", k=10)) == 1
+    # idempotent: nothing pending after the drain
+    assert d.profile_pending(seg_root=root) == []
