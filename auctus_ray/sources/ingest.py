@@ -14,11 +14,13 @@ xml.etree over the first worksheet — the single-sheet/shared-string/
 inline-string/number subset the reference's excel.py:10-41 handles via
 openpyxl), converted once to CSV so the rest of the chain (skip rows,
 pivot detect) applies unchanged — the reference's own excel->csv
-conversion shape. Formats whose decoders genuinely need absent binary-
-format libraries (XLS OLE2, SPSS, Stata — reference xls.py/spss.py/
-stata.py delegate to xlrd/pyreadstat) are DETECTED by the same magic
-bytes and fail fast with `ConversionUnavailable`, mirroring the
-honest-stub pattern of functions/multimodal.py.
+conversion shape. Stata .dta decodes through pandas' pure-Python
+reader (the same reader the reference's stata.py:7-18 uses). Formats
+whose decoders genuinely need absent binary-format libraries (XLS
+OLE2/BIFF via xlrd, SPSS .sav via pyreadstat — reference excel97.py/
+spss.py) are DETECTED by the same magic bytes and fail fast with
+`ConversionUnavailable`, mirroring the honest-stub pattern of
+functions/multimodal.py.
 """
 
 from __future__ import annotations
@@ -303,18 +305,61 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
                 el.clear()  # stream: free the row subtree
 
 
-def _xlsx_converted_path(path: str) -> str:
-    """Cached CSV conversion of an xlsx (mtime-invalidated, atomic)."""
+def stata_to_csv(path: str, out_path: str) -> None:
+    """Decode a Stata .dta to CSV via pandas' own pure-Python reader
+    (reference stata.py:7-18 — same reader, same '%g' float and
+    ISO-8601 date formatting; the reference iterates chunksize=1, here
+    4096 rows per chunk for the identical output at less overhead)."""
+    import pandas
+
+    with open(out_path, "w", newline="") as out:
+        with pandas.read_stata(path, chunksize=4096) as reader:
+            for i, chunk in enumerate(reader):
+                chunk.to_csv(
+                    out,
+                    header=(i == 0),
+                    float_format="%g",
+                    date_format="%Y-%m-%dT%H:%M:%S",
+                    index=False,
+                )
+
+
+def spss_to_csv(path: str, out_path: str) -> None:
+    """Decode an SPSS .sav via the stdlib system-file reader
+    (sources/sav.py; reference spss.py:7-16 does the same conversion
+    via pyreadstat). Unsupported .sav features (zsav, very long
+    strings) surface as ConversionUnavailable, keeping the honest
+    fail-fast contract for what the stdlib reader cannot decode."""
+    from auctus_ray.sources.sav import SavError, sav_to_csv
+
+    try:
+        sav_to_csv(path, out_path)
+    except SavError as e:
+        raise ConversionUnavailable(str(e)) from e
+
+
+# format -> single-file CSV decoder for formats Arrow can't read
+# directly; each runs once per file and is cached (mtime-invalidated)
+_CONVERTERS = {
+    "xlsx": xlsx_to_csv,
+    "stata": stata_to_csv,
+    "spss": spss_to_csv,
+}
+
+
+def _converted_path(path: str, fmt: str) -> str:
+    """Cached CSV conversion of a binary-format file (mtime-invalidated,
+    atomic rename — the same contract as every other cache dir)."""
     import hashlib
 
     tag = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
-    out_dir = os.path.join("/tmp/auctus_ray_cache", f"xlsx_{tag}")
+    out_dir = os.path.join("/tmp/auctus_ray_cache", f"{fmt}_{tag}")
     out = os.path.join(out_dir, "converted.csv")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(path):
         return out
     os.makedirs(out_dir, exist_ok=True)
     tmp = out + ".tmp"
-    xlsx_to_csv(path, tmp)
+    _CONVERTERS[fmt](path, tmp)
     os.replace(tmp, out)
     return out
 
@@ -356,11 +401,14 @@ def read_table_auto(path: str, columns: list[str] | None = None,
         return ray.data.read_parquet(
             path, columns=columns, schema=_pa.schema(fields)
         )
-    if fmt == "xlsx":
-        # stdlib decode -> cached CSV, then the standard chain (fresh
-        # sniff handles skip_rows/pivot on the converted file) — the
-        # reference's excel->csv conversion step (excel.py:10-41)
-        return read_table_auto(_xlsx_converted_path(path), columns=columns)
+    if fmt in _CONVERTERS:
+        # decode -> cached CSV, then the standard chain (fresh sniff
+        # handles skip_rows/pivot on the converted file) — the
+        # reference's convert-to-csv step (excel.py:10-41,
+        # stata.py:7-18). Single-file driver-side decode: these legacy
+        # upload formats arrive as individual small files; the
+        # DISTRIBUTED read happens on the converted CSV.
+        return read_table_auto(_converted_path(path, fmt), columns=columns)
     if fmt != "csv":
         raise ConversionUnavailable(
             f"{fmt!r} detected by magic bytes, but its decoder "
