@@ -15,10 +15,12 @@ inline-string/number subset the reference's excel.py:10-41 handles via
 openpyxl), converted once to CSV so the rest of the chain (skip rows,
 pivot detect) applies unchanged — the reference's own excel->csv
 conversion shape. Stata .dta decodes through pandas' pure-Python
-reader (the same reader the reference's stata.py:7-18 uses). Formats
-whose decoders genuinely need absent binary-format libraries (XLS
-OLE2/BIFF via xlrd, SPSS .sav via pyreadstat — reference excel97.py/
-spss.py) are DETECTED by the same magic bytes and fail fast with
+reader (the same reader the reference's stata.py:7-18 uses); legacy
+.xls and SPSS .sav decode through stdlib readers for their publicly
+documented binary formats (sources/xls.py, sources/sav.py — the
+reference's excel97.py/spss.py delegate to xlrd/pyreadstat, absent
+here). Features outside the documented subsets (multi-sheet
+workbooks, pre-BIFF8, zsav, very long strings) fail fast with
 `ConversionUnavailable`, mirroring the honest-stub pattern of
 functions/multimodal.py.
 """
@@ -324,6 +326,20 @@ def stata_to_csv(path: str, out_path: str) -> None:
                 )
 
 
+def xls_to_csv(path: str, out_path: str) -> None:
+    """Decode a legacy .xls via the stdlib OLE2/BIFF8 reader
+    (sources/xls.py; reference excel97.py:9-34 does the same via
+    xlrd). Unsupported workbooks (multi-sheet, pre-BIFF8) surface as
+    ConversionUnavailable — the reference's UnsupportedConversion."""
+    from auctus_ray.sources.xls import XlsError
+    from auctus_ray.sources.xls import xls_to_csv as _decode
+
+    try:
+        _decode(path, out_path)
+    except XlsError as e:
+        raise ConversionUnavailable(str(e)) from e
+
+
 def spss_to_csv(path: str, out_path: str) -> None:
     """Decode an SPSS .sav via the stdlib system-file reader
     (sources/sav.py; reference spss.py:7-16 does the same conversion
@@ -342,6 +358,7 @@ def spss_to_csv(path: str, out_path: str) -> None:
 # directly; each runs once per file and is cached (mtime-invalidated)
 _CONVERTERS = {
     "xlsx": xlsx_to_csv,
+    "xls": xls_to_csv,
     "stata": stata_to_csv,
     "spss": spss_to_csv,
 }

@@ -845,7 +845,7 @@ def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
     df = read_table_auto(str(pq_path), columns=["x"]).to_pandas()
     assert list(df.columns) == ["x"]
 
-    # xls (OLE2) magic -> honest fail-fast (no xlrd in this environment)
+    # truncated/malformed xls -> fail-fast (real decodes: test_xls.py)
     fake_xls = tmp_path / "book.xls"
     fake_xls.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 64)
     assert sniff_format(str(fake_xls))["format"] == "xls"
