@@ -665,14 +665,34 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
     joined = pairs_ds.join(sk_a, "inner", num_partitions=nparts, on=("id_a",))
     joined = joined.join(sk_b, "inner", num_partitions=nparts, on=("id_b",))
 
+    def _views(col):
+        # (byte offsets, int64 view of the values buffer) straight off
+        # the large_binary Arrow buffers — no per-row bytes objects;
+        # sketch payloads are int64-serialized, so every extent is a
+        # multiple of 8
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        bufs = arr.buffers()
+        offs = (
+            np.frombuffer(bufs[1], np.int64, count=len(arr) + 1, offset=arr.offset * 8)
+            if bufs[1] is not None
+            else np.zeros(1, np.int64)
+        )
+        nvals = int(offs[-1]) // 8 if len(offs) else 0
+        vals = (
+            np.frombuffer(bufs[2], np.int64, count=nvals)
+            if bufs[2] is not None
+            else np.empty(0, np.int64)
+        )
+        return offs, vals
+
     def verify(batch: pa.Table) -> pa.Table:
-        sa = batch["sh_a"].to_pylist()
-        sb = batch["sh_b"].to_pylist()
+        oa, va = _views(batch["sh_a"])
+        ob, vb = _views(batch["sh_b"])
         n = batch.num_rows
         ja = np.empty(n, np.float64)
         for i in range(n):
             ja[i] = _jaccard_arrays(
-                np.frombuffer(sa[i], np.int64), np.frombuffer(sb[i], np.int64)
+                va[oa[i] // 8 : oa[i + 1] // 8], vb[ob[i] // 8 : ob[i + 1] // 8]
             )
         out = pa.table(
             {

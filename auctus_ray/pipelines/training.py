@@ -264,6 +264,31 @@ def ann_ivf_topk(sf_dir: str):
     return out.map_batches(round6, batch_format="pyarrow")
 
 
+def ann_ivf_exact(sf_dir: str):
+    """IVF with nprobe == n_centroids probes every list, so the result
+    is EXACTLY brute force — the whole IVF machinery (k-means training,
+    list assignment, probe filter, per-list scan, merge) oracle-checked
+    against the brute-force cosine SQL. The approximate behavior stays
+    demonstrated by ann_ivf_topk above."""
+    from auctus_ray.functions.ann import ivf_topk
+
+    q = _query_vectors(sf_dir)
+    ds = _embeddings(sf_dir)
+    out = ivf_topk(ds, q, k=10, n_centroids=16, nprobe=16)
+
+    def round6(batch: pa.Table) -> pa.Table:
+        c = batch["cosine"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": batch["query_id"],
+                "vec_id": batch["vec_id"],
+                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
 def ann_lsh_topk(sf_dir: str):
     """LSH-bucketed ANN (approximate; rows-only driver check — recall is
     judged in pytest against the brute-force baseline). Banded
@@ -375,6 +400,7 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
+    "ann_ivf_exact": ann_ivf_exact,
     "near_dup_embeddings": near_dup_embeddings,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -385,6 +411,7 @@ QUERIES = {
 SQL = {
     "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_ivf_exact": SQL_ANN_COSINE_TOPK,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
 }
