@@ -350,6 +350,27 @@ def cmd_discover(args) -> int:
     return 0
 
 
+def cmd_dataset_search(args) -> int:
+    """Dataset discovery search — the reference's POST /search surface
+    (keyword query + source/temporal/spatial/granularity 'variables'
+    filters, apiserver/search/__init__.py:55-330)."""
+    import json as _json
+
+    from auctus_ray.sources.discovery import search_datasets
+
+    temporal = None
+    if args.start or args.end:
+        temporal = (args.start or None, args.end or None)
+    bbox = tuple(args.bbox) if args.bbox else None
+    hits = search_datasets(
+        args.root, args.query, k=args.k,
+        source=args.source.split(",") if args.source else None,
+        temporal=temporal, bbox=bbox, granularity=args.granularity,
+    )
+    print(_json.dumps(hits, default=str))
+    return 0
+
+
 def cmd_cache_clean(args) -> int:
     """Watermark cache eviction (the reference cache_cleaner service,
     cache_cleaner/cache.py:40-140): report sizes, evict oldest `.cache`
@@ -523,6 +544,22 @@ def main(argv=None) -> int:
                          "reference's reprocess_all after a profiler "
                          "upgrade)")
     dc.set_defaults(fn=cmd_discover)
+
+    dss = sub.add_parser(
+        "dataset-search",
+        help="keyword + coverage-filtered search over the metadata index",
+    )
+    dss.add_argument("--root", required=True, help="segmented index root")
+    dss.add_argument("--query", required=True)
+    dss.add_argument("-k", type=int, default=10)
+    dss.add_argument("--source", default=None, help="comma-separated sources")
+    dss.add_argument("--start", default=None, help="temporal filter start (ISO)")
+    dss.add_argument("--end", default=None, help="temporal filter end (ISO)")
+    dss.add_argument("--bbox", type=float, nargs=4, default=None,
+                     metavar=("LON1", "LAT1", "LON2", "LAT2"))
+    dss.add_argument("--granularity", default=None,
+                     help="temporal resolution term filter (e.g. day)")
+    dss.set_defaults(fn=cmd_dataset_search)
 
     cc = sub.add_parser(
         "cache-clean",

@@ -116,6 +116,7 @@ def tokenize_batch(
     n_buckets: int,
     content_col: str = "content",
     column_map: dict[str, str] | None = None,
+    attrs: tuple = (),
 ) -> pa.Table:
     """Per-batch vectorized tokenize + per-doc tf + sha256 + key hash.
 
@@ -123,7 +124,13 @@ def tokenize_batch(
     token path (Arrow regex kernels + numpy run-length tf counting). The
     sha256-per-row loop is C-speed hashlib and doubles as the per-row
     invariant required by the graft contract.
+
+    ``attrs`` names input columns carried VERBATIM through the shuffle
+    into the forward map (typed per-doc metadata — numeric coverage
+    bounds, keyword fields — served by the Searcher's filter context,
+    the ES doc-values shape).
     """
+    raw = batch
     batch = apply_column_map(batch, column_map)
     n = batch.num_rows
     content = batch[content_col].combine_chunks() if isinstance(
@@ -189,21 +196,22 @@ def tokenize_batch(
     kh = key_hash_array(batch["repo"], batch["path"], batch["commit"])
     buckets = bucket_of(kh, n_buckets).astype(np.int32)
 
-    return pa.table(
-        {
-            "key_hash": pa.array(kh),
-            "bucket": pa.array(buckets),
-            "repo": batch["repo"],
-            "path": batch["path"],
-            "commit": batch["commit"],
-            "lang": batch["lang"],
-            "sha256": pa.array(sha, type=pa.string()),
-            "snippet": snippets,
-            "dl": pa.array(lengths),
-            "terms": terms_list,
-            "tfs": tfs_list,
-        }
-    )
+    out = {
+        "key_hash": pa.array(kh),
+        "bucket": pa.array(buckets),
+        "repo": batch["repo"],
+        "path": batch["path"],
+        "commit": batch["commit"],
+        "lang": batch["lang"],
+        "sha256": pa.array(sha, type=pa.string()),
+        "snippet": snippets,
+        "dl": pa.array(lengths),
+        "terms": terms_list,
+        "tfs": tfs_list,
+    }
+    for a in attrs or ():
+        out[a] = raw[a]
+    return pa.table(out)
 
 
 _ENCODE_PARALLEL_CACHE: int | None = None
@@ -300,20 +308,24 @@ def encode_bucket_group(
     shard = int(group["bucket"][0].as_py()) if bucket is None else bucket
     doc_ids = _assign_doc_ids_group(group, offsets, bucket=shard)
 
-    # forward map slice (docID -> identity + sha256 + dl), docID-sorted
-    fwd = pa.table(
-        {
-            "doc_id": pa.array(doc_ids),
-            "repo": group["repo"],
-            "path": group["path"],
-            "commit": group["commit"],
-            "lang": group["lang"],
-            "sha256": group["sha256"],
-            "snippet": group["snippet"],
-            "dl": group["dl"],
-        }
-    )
-    fwd = fwd.sort_by("doc_id")
+    # forward map slice (docID -> identity + sha256 + dl), docID-sorted;
+    # any column beyond the standard tokenize output is a carried attr
+    # (tokenize_batch attrs) and rides into the docmap for filter context
+    fwd_cols = {
+        "doc_id": pa.array(doc_ids),
+        "repo": group["repo"],
+        "path": group["path"],
+        "commit": group["commit"],
+        "lang": group["lang"],
+        "sha256": group["sha256"],
+        "snippet": group["snippet"],
+        "dl": group["dl"],
+    }
+    _std = set(fwd_cols) | {"key_hash", "bucket", "terms", "tfs"}
+    for name in group.schema.names:
+        if name not in _std:
+            fwd_cols[name] = group[name]
+    fwd = pa.table(fwd_cols).sort_by("doc_id")
     _atomic_write_table(fwd, os.path.join(docmap_dir, f"bucket={shard:05d}.parquet"))
 
     # explode postings in memory (numpy; no second shuffle)
@@ -420,15 +432,19 @@ def build_index(
     tokenize_concurrency: int | None = None,
     content_col: str = "content",
     column_map: dict[str, str] | None = None,
+    attrs: list[str] | tuple | None = None,
 ) -> BuildResult:
     """Run the full checkpointed build. Ray must already be initialized
     by the caller (driver contract: this function never calls ray.init).
 
     ``n_shards`` is accepted for API compatibility and, when given, sets
-    ``n_buckets`` (shard == docID bucket in this design).
+    ``n_buckets`` (shard == docID bucket in this design). ``attrs``
+    names input columns carried verbatim into the docmap for filter
+    context (tokenize_batch docstring).
     """
     if n_shards is not None:
         n_buckets = n_shards
+    attrs = tuple(attrs or ())
     if isinstance(input_paths, str):
         input_paths = sorted(
             glob.glob(os.path.join(input_paths, "*.parquet"))
@@ -441,11 +457,14 @@ def build_index(
     os.makedirs(index_dir, exist_ok=True)
     man = Manifest(index_dir)
     params_fp = fingerprint(
-        analyzer, n_buckets, content_col, repr(sorted((column_map or {}).items())), "v4"
+        analyzer, n_buckets, content_col,
+        repr(sorted((column_map or {}).items())), repr(attrs), "v4"
     )
     # prune the read to only the mapped input columns (a documents-style
     # table carries payload columns the index never touches)
-    read_columns = sorted(set(column_map.values())) if column_map else None
+    read_columns = (
+        sorted(set(column_map.values()) | set(attrs)) if column_map else None
+    )
 
     # ---- stage tokenize (per input-file group; the resumable unit) ----
     groups = [
@@ -472,6 +491,7 @@ def build_index(
                 "content_col": content_col,
                 # tuple-of-pairs: dicts defeat Ray's fn_kwargs schema hashing
                 "column_map": tuple(sorted(column_map.items())) if column_map else None,
+                "attrs": attrs,
             },
             batch_format="pyarrow",
             batch_size=tokenize_batch_size,

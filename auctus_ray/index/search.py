@@ -453,25 +453,66 @@ class Searcher:
             cached[key] = (base, codes, enc.dictionary.to_pylist())
         return cached[key]
 
+    def _shard_attr_numeric(self, shard_file: str, attr: str):
+        """Shard-LOCAL float64 attribute values from the shard's own
+        forward-map slice: (base_docid, values) with NaN for null —
+        the ES numeric doc-values shape backing range filters."""
+        cached = getattr(self, "_attr_cache", None)
+        if cached is None:
+            cached = self._attr_cache = {}
+        key = (shard_file, attr, "num")
+        if key not in cached:
+            bucket = os.path.basename(shard_file).split("=", 1)[1].split(".", 1)[0]
+            dm = os.path.join(self.index_dir, "docmap", f"bucket={bucket}.parquet")
+            tbl = pq.read_table(dm, columns=["doc_id", attr])
+            dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+            base = int(dids.min()) if dids.size else 0
+            col = pc.cast(tbl[attr].combine_chunks(), pa.float64())
+            vals = np.full(dids.size, np.nan, np.float64)
+            vals[dids - base] = col.to_numpy(zero_copy_only=False)
+            cached[key] = (base, vals)
+        return cached[key]
+
     def _shard_doc_mask(self, shard_file: str, filters: dict[str, list] | None):
         """AND of keyword filters over ONE shard's docID span ->
         (base_docid, bool mask) or None (reference filter context,
         apiserver/search/__init__.py:81-107). Tombstoned docIDs
         (`deleted_ids`) are masked out here too, so deletions apply on
-        every algorithm path exactly like a filter."""
+        every algorithm path exactly like a filter.
+
+        Filter specs: a LIST is a keyword terms-filter; a TUPLE is a
+        numeric comparison — ("<=", x), (">=", x) or ("range", lo, hi)
+        — over a float-castable docmap attribute (the reference's
+        temporal/spatial coverage range queries, search/__init__.py:
+        212-330). Docs with a null attribute never match (NaN compares
+        false), the ES missing-field semantics."""
         deleted = self.deleted_ids
         if not filters and (deleted is None or deleted.size == 0):
             return None
         base = None
         mask = None
         for attr, allowed in (filters or {}).items():
-            b, codes, values = self._shard_attr_codes(shard_file, attr)
-            allowed_set = set(allowed)
-            allowed_ids = np.array(
-                [i for i, v in enumerate(values) if v in allowed_set],
-                dtype=np.int32,
-            )
-            m = np.isin(codes, allowed_ids)
+            if isinstance(allowed, tuple) and allowed and allowed[0] in (
+                "<=", ">=", "range",
+            ):
+                b, vals = self._shard_attr_numeric(shard_file, attr)
+                with np.errstate(invalid="ignore"):
+                    if allowed[0] == "<=":
+                        m = vals <= float(allowed[1])
+                    elif allowed[0] == ">=":
+                        m = vals >= float(allowed[1])
+                    else:
+                        m = (vals >= float(allowed[1])) & (
+                            vals <= float(allowed[2])
+                        )
+            else:
+                b, codes, values = self._shard_attr_codes(shard_file, attr)
+                allowed_set = set(allowed)
+                allowed_ids = np.array(
+                    [i for i, v in enumerate(values) if v in allowed_set],
+                    dtype=np.int32,
+                )
+                m = np.isin(codes, allowed_ids)
             if mask is None:
                 base, mask = b, m
             else:

@@ -115,6 +115,7 @@ def _build_small_segment(
     column_map: dict[str, str] | None,
     content_col: str,
     params_fp: str,
+    attrs: tuple = (),
 ) -> BuildResult:
     """In-process segment build, output-identical to build_index: same
     tokenize/encode functions, same directory layout, same stats files.
@@ -142,11 +143,13 @@ def _build_small_segment(
             metrics=man.metrics(),
         )
     t0 = __import__("time").time()
-    read_columns = sorted(set(column_map.values())) if column_map else None
+    read_columns = (
+        sorted(set(column_map.values()) | set(attrs)) if column_map else None
+    )
     tbl = pa.concat_tables([pq.read_table(p, columns=read_columns) for p in paths])
     tok = tokenize_batch(
         tbl, analyzer=analyzer, n_buckets=n_buckets,
-        content_col=content_col, column_map=column_map,
+        content_col=content_col, column_map=column_map, attrs=attrs,
     )
     buckets = tok["bucket"].to_numpy(zero_copy_only=False)
     b_ids, b_cnt = np.unique(buckets, return_counts=True)
@@ -251,6 +254,7 @@ def add_segment(
     n_shards: int | None = None,
     column_map: dict[str, str] | None = None,
     content_col: str = "content",
+    attrs: list[str] | tuple | None = None,
     **build_kwargs,
 ) -> BuildResult:
     """Build + register one immutable segment. Content-fingerprinted
@@ -259,11 +263,13 @@ def add_segment(
     is healed by the next identical add (build resumes via its own
     manifest, registration is retried). Inputs under
     SMALL_SEGMENT_BYTES build in-process (output-identical fast path);
-    larger ones run the distributed checkpointed build."""
+    larger ones run the distributed checkpointed build. ``attrs``
+    columns ride into the docmap for filter context (build_index)."""
     paths = _resolve_paths(input_paths)
+    attrs = tuple(attrs or ())
     fp = fingerprint(
         file_fingerprint(paths), analyzer, n_shards or 0,
-        repr(sorted((column_map or {}).items())), content_col,
+        repr(sorted((column_map or {}).items())), content_col, repr(attrs),
     )
     name = f"seg-{fp[:12]}"
     seg_dir = os.path.join(root, SEG_DIR, name)
@@ -274,12 +280,13 @@ def add_segment(
         res = _build_small_segment(
             paths, seg_dir, analyzer=analyzer,
             n_buckets=n_shards or N_DOCID_BUCKETS, column_map=column_map,
-            content_col=content_col, params_fp=fp,
+            content_col=content_col, params_fp=fp, attrs=attrs,
         )
     else:
         res = build_index(
             paths, seg_dir, analyzer=analyzer, n_shards=n_shards,
-            column_map=column_map, content_col=content_col, **build_kwargs,
+            column_map=column_map, content_col=content_col, attrs=attrs,
+            **build_kwargs,
         )
     entries = load_segments(root)
     if not any(e["name"] == name for e in entries):
@@ -290,6 +297,7 @@ def add_segment(
                 "analyzer": analyzer,
                 "column_map": column_map,
                 "content_col": content_col,
+                "attrs": list(attrs),
                 "n_docs": res.n_docs,
                 "n_tokens": res.n_tokens,
             }
@@ -357,10 +365,12 @@ def compact(
     analyzer = sel[0]["analyzer"]
     column_map = sel[0]["column_map"]
     content_col = sel[0]["content_col"]
+    attrs = tuple(sel[0].get("attrs") or ())
     for e in sel[1:]:
-        if (e["analyzer"], e["column_map"], e["content_col"]) != (
-            analyzer, column_map, content_col,
-        ):
+        if (
+            e["analyzer"], e["column_map"], e["content_col"],
+            tuple(e.get("attrs") or ()),
+        ) != (analyzer, column_map, content_col, attrs):
             raise ValueError("segments disagree on analyzer/column_map")
     paths = sorted({p for e in sel for p in e["inputs"]})
     dels = load_deletes(root)
@@ -391,7 +401,8 @@ def compact(
     n_shards = build_kwargs.pop("n_shards", None)
     res = add_segment(
         root, build_inputs, analyzer=analyzer, n_shards=n_shards,
-        column_map=column_map, content_col=content_col, **build_kwargs,
+        column_map=column_map, content_col=content_col, attrs=attrs,
+        **build_kwargs,
     )
     merged_name = os.path.basename(res.index_dir)
     entries = load_segments(root)

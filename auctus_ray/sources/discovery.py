@@ -267,6 +267,42 @@ class Discoverer:
         )
         from auctus_ray.state.manifest import fingerprint
 
+        def coverage_attrs(doc: dict) -> dict:
+            """Flatten profile coverage to doc-level filterable scalars
+            (the reference keeps these nested in ES and range-queries
+            them, apiserver/search/__init__.py:212-330; scalar hull
+            bounds give identical intersects semantics for single-range
+            docs and a superset — candidate, never missing — for
+            multi-range ones). t_res flattens to the FIRST temporal
+            column's resolution."""
+            t_min = t_max = None
+            t_res = ""
+            for tc in doc.get("temporal_coverage") or []:
+                for r in tc.get("ranges") or []:
+                    g = r.get("range", {})
+                    if g.get("gte") is not None:
+                        t_min = g["gte"] if t_min is None else min(t_min, g["gte"])
+                    if g.get("lte") is not None:
+                        t_max = g["lte"] if t_max is None else max(t_max, g["lte"])
+                if not t_res and tc.get("temporal_resolution"):
+                    t_res = str(tc["temporal_resolution"])
+            lat_min = lat_max = lon_min = lon_max = None
+            for sc in doc.get("spatial_coverage") or []:
+                for r in sc.get("ranges") or []:
+                    coords = r.get("range", {}).get("coordinates")
+                    if not coords:
+                        continue
+                    (lo_lon, hi_lat), (hi_lon, lo_lat) = coords
+                    lat_min = lo_lat if lat_min is None else min(lat_min, lo_lat)
+                    lat_max = hi_lat if lat_max is None else max(lat_max, hi_lat)
+                    lon_min = lo_lon if lon_min is None else min(lon_min, lo_lon)
+                    lon_max = hi_lon if lon_max is None else max(lon_max, hi_lon)
+            return {
+                "t_min": t_min, "t_max": t_max, "t_res": t_res,
+                "lat_min": lat_min, "lat_max": lat_max,
+                "lon_min": lon_min, "lon_max": lon_max,
+            }
+
         rows = []
         stale_versions = []
         versions: dict[str, str] = {}
@@ -297,9 +333,19 @@ class Discoverer:
                     "source": str(md.get("source", self.identifier)),
                     "lang": "",
                     "text": text,
+                    **coverage_attrs(doc),
                 }
             )
         batch = pa.Table.from_pylist(rows)
+        # explicit float64 for the numeric coverage attrs: an all-null
+        # drain must not leave a null-typed docmap column behind
+        import pyarrow.compute as _pc
+
+        for c in ("t_min", "t_max", "lat_min", "lat_max", "lon_min", "lon_max"):
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c,
+                _pc.cast(batch[c], pa.float64()),
+            )
         src_dir = os.path.join(self.catalog_dir, "indexsrc")
         os.makedirs(src_dir, exist_ok=True)
         fp = fingerprint(*(r["dataset_id"] + r["version"] for r in rows))
@@ -316,6 +362,7 @@ class Discoverer:
                 "lang": "lang",
                 "content": "text",
             },
+            attrs=COVERAGE_ATTRS,
         )
         # version-aware replace: mask the superseded versions, then
         # clear dataset-level tombstones for everything just (re)added,
@@ -329,22 +376,70 @@ class Discoverer:
             self.catalog.mark("indexed", d["id"], versions[d["id"]], "done")
 
 
+# coverage attrs carried into the metadata index's docmap (filterable
+# doc-values); epoch-seconds temporal hull, degrees bbox hull, and the
+# flattened temporal resolution keyword
+COVERAGE_ATTRS = (
+    "t_min", "t_max", "t_res", "lat_min", "lat_max", "lon_min", "lon_max",
+)
+
+
+def _ts(v) -> float:
+    """ISO date string | datetime | epoch number -> epoch seconds."""
+    import numpy as np
+
+    if isinstance(v, (int, float)):
+        return float(v)
+    return float(
+        np.datetime64(str(v)[:19].replace(" ", "T")).astype("datetime64[s]").astype("int64")
+    )
+
+
 def search_datasets(
     seg_root: str,
     keywords: str,
     k: int = 10,
     source: list[str] | None = None,
+    temporal: tuple | None = None,
+    bbox: tuple | None = None,
+    granularity: str | None = None,
 ) -> list[dict]:
     """Keyword search over the metadata index — the reference's main
     query (parse_keyword_query_main_index, apiserver/search/
     __init__.py:55-91): conjunctive keywords over id/name/description/
     attribute_keywords, optional source terms-filter. Returns hydrated
-    hits [{dataset_id, source, score, rank}], best first."""
+    hits [{dataset_id, source, score, rank}], best first.
+
+    The reference's "variables" filters (search/__init__.py:186-330)
+    map onto docmap range filters:
+      temporal=(start, end)   — ISO strings / datetimes / epoch secs;
+                                either side may be None — intersects
+                                the dataset's temporal coverage hull;
+      bbox=(lon1, lat1, lon2, lat2) — intersects the spatial hull;
+      granularity='day'|...   — temporal_resolution term filter.
+    Datasets without the relevant coverage never match (ES nested-
+    missing semantics)."""
     from auctus_ray.index.segments import SegmentedSearcher
 
     s = SegmentedSearcher(seg_root)
-    filters = {"repo": source} if source else None
-    d, sc = s.search(keywords, k=k, operator="and", filters=filters)
+    filters: dict = {}
+    if source:
+        filters["repo"] = source
+    if temporal is not None:
+        start, end = temporal
+        if end is not None:
+            filters["t_min"] = ("<=", _ts(end))
+        if start is not None:
+            filters["t_max"] = (">=", _ts(start))
+    if bbox is not None:
+        lon1, lat1, lon2, lat2 = bbox
+        filters["lon_min"] = ("<=", max(lon1, lon2))
+        filters["lon_max"] = (">=", min(lon1, lon2))
+        filters["lat_min"] = ("<=", max(lat1, lat2))
+        filters["lat_max"] = (">=", min(lat1, lat2))
+    if granularity is not None:
+        filters["t_res"] = [granularity]
+    d, sc = s.search(keywords, k=k, operator="and", filters=filters or None)
     hits = s.hydrate_hits(d, sc)
     return [
         {

@@ -224,3 +224,94 @@ def test_reprocess_all_versioned_replace(ray_session, tmp_path, source_dir):
     assert len(search_datasets(root, "numbers", k=10)) == 1
     # idempotent: nothing pending after the drain
     assert d.profile_pending(seg_root=root) == []
+
+
+def test_coverage_filtered_search(ray_session, tmp_path):
+    """The reference's 'variables' query filters (temporal range /
+    spatial bbox / granularity, apiserver/search/__init__.py:186-330)
+    over the metadata index: coverage scalars ride the docmap as
+    doc-values and range-filter keyword hits."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # spatial dataset: NYC-ish lat/lon pair
+    rng = np.random.default_rng(7)
+    n = 200
+    pq.write_table(
+        pa.table(
+            {
+                "pickup_latitude": pa.array(
+                    40.6 + 0.3 * rng.random(n), pa.float64()
+                ),
+                "pickup_longitude": pa.array(
+                    -74.1 + 0.4 * rng.random(n), pa.float64()
+                ),
+                "fare": pa.array(rng.random(n) * 30, pa.float64()),
+            }
+        ),
+        str(src / "trips.parquet"),
+    )
+    # temporal dataset: daily 2015 observations
+    days = np.arange("2015-01-01", "2016-01-01", dtype="datetime64[D]")
+    pq.write_table(
+        pa.table(
+            {
+                "date": pa.array(
+                    [str(d) + "T00:00:00" for d in days], pa.string()
+                ),
+                "temp": pa.array(
+                    10 + 15 * np.sin(np.arange(days.size) / 58.0), pa.float64()
+                ),
+            }
+        ),
+        str(src / "weather.parquet"),
+    )
+    # no coverage at all
+    pq.write_table(
+        pa.table({"k": pa.array(np.arange(50), pa.int64())}),
+        str(src / "plain.parquet"),
+    )
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "segroot")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    done = d.profile_pending(seg_root=root, include_sample=False)
+    assert sorted(done) == [
+        "localdir.plain", "localdir.trips", "localdir.weather",
+    ]
+
+    def ids(**kw):
+        return sorted(
+            h["dataset_id"] for h in search_datasets(root, "localdir", k=10, **kw)
+        )
+
+    # unfiltered keyword hit: every dataset (id text contains 'localdir')
+    assert ids() == ["localdir.plain", "localdir.trips", "localdir.weather"]
+    # temporal intersect: only the 2015 daily table
+    assert ids(temporal=("2015-06-01", "2015-07-01")) == ["localdir.weather"]
+    # one-sided: start after all coverage -> nothing
+    assert ids(temporal=("2020-01-01", None)) == []
+    # one-sided: end before everything -> nothing; end inside -> weather
+    assert ids(temporal=(None, "2010-01-01")) == []
+    assert ids(temporal=(None, "2015-02-01")) == ["localdir.weather"]
+    # bbox intersect: only the NYC trips table
+    assert ids(bbox=(-74.2, 40.5, -73.5, 41.0)) == ["localdir.trips"]
+    assert ids(bbox=(10.0, 50.0, 11.0, 51.0)) == []
+    # granularity term filter
+    assert ids(granularity="day") == ["localdir.weather"]
+    assert ids(granularity="year") == []
+    # filters compose (AND): spatial bbox + wrong source -> nothing
+    assert ids(bbox=(-74.2, 40.5, -73.5, 41.0), source=["elsewhere"]) == []
+
+    # compaction carries the attrs: same filtered results afterwards
+    from auctus_ray.index.segments import compact, load_segments
+
+    compact(root, n_shards=1)
+    assert len(load_segments(root)) == 1
+    assert ids(temporal=("2015-06-01", "2015-07-01")) == ["localdir.weather"]
+    assert ids(bbox=(-74.2, 40.5, -73.5, 41.0)) == ["localdir.trips"]
