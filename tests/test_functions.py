@@ -1236,3 +1236,55 @@ def test_sniffer_skip_property(tmp_path_factory, n_garbage, n_cols, n_rows, deli
         e["nb_rows"] for e in plan["convert"] if e["identifier"] == "skip_rows"
     )
     assert skip == n_garbage
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    cases=st.lists(
+        st.tuples(
+            st.one_of(
+                st.none(),
+                st.floats(
+                    min_value=-1e9, max_value=1e9,
+                    allow_nan=False, allow_infinity=False,
+                ),
+                st.integers(min_value=-99, max_value=151),  # bias range
+            ),
+            st.text(
+                alphabet=st.characters(min_codepoint=32, max_codepoint=126),
+                max_size=12,
+            ),
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1800, 1, 1),
+                max_value=__import__("datetime").datetime(2200, 1, 1),
+            ).map(lambda d: d.replace(microsecond=0)),
+            st.datetimes(
+                min_value=__import__("datetime").datetime(1800, 1, 1),
+                max_value=__import__("datetime").datetime(2200, 1, 1),
+            ).map(lambda d: d.replace(microsecond=0)),
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_sav_compression_invariance(cases, tmp_path_factory):
+    """The .sav reader decodes uncompressed and bytecode-compressed
+    files identically for arbitrary case data (numeric incl. sysmis,
+    ASCII strings with trailing-space rstrip, DATE/DATETIME)."""
+    from auctus_ray.sources.sav import SavReader
+
+    tmp = tmp_path_factory.mktemp("sav_prop")
+    rows = []
+    for comp in (0, 1):
+        p = tmp / f"c{comp}.sav"
+        _write_sav(p, comp, cases)
+        with open(p, "rb") as fp:
+            r = SavReader(fp)
+            rows.append(list(r.rows()))
+    assert rows[0] == rows[1]
+    # strings rstrip trailing spaces (space-padded storage)
+    for (age, name, when, stamp), got in zip(cases, rows[0]):
+        assert got[1] == name.rstrip()
+        assert got[0] == (float(age) if age is not None else None)
+        assert got[2] == when.date()
+        assert got[3] == stamp

@@ -255,3 +255,73 @@ def test_xls_multisheet_fails_fast(tmp_path):
     p.write_bytes(_ole2_wrap(_workbook_stream(n_sheets=2), pad_regular=True))
     with pytest.raises(ConversionUnavailable, match="2 sheets"):
         read_table_auto(str(p))
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FF),
+            max_size=24,
+        ),
+        min_size=1,
+        max_size=6,
+    ),
+    data=st.data(),
+)
+def test_sst_continue_split_property(texts, data):
+    """SST parsing is invariant to WHERE the record splits into
+    CONTINUE fragments, as long as splits land on character boundaries
+    (the only splits [MS-XLS] allows): every split point must decode to
+    the same strings."""
+    from auctus_ray.sources.xls import _parse_sst
+
+    # build one contiguous SST payload, tracking legal split points
+    # (character boundaries inside each string's char data)
+    payload = bytearray(struct.pack("<II", len(texts), len(texts)))
+    splits_at: list[tuple[int, int]] = []  # (byte offset, width) candidates
+    for s in texts:
+        high = 1 if any(ord(c) > 0xFF for c in s) else 0
+        payload += struct.pack("<HB", len(s), high)
+        width = 2 if high else 1
+        start = len(payload)
+        payload += s.encode("utf-16-le" if high else "latin-1")
+        for ci in range(1, len(s)):
+            splits_at.append((start + ci * width, high))
+
+    whole = _parse_sst([bytes(payload)])
+    assert whole == texts
+
+    if splits_at:
+        off, high = data.draw(st.sampled_from(splits_at))
+        frag2 = bytes([high]) + bytes(payload[off:])
+        assert _parse_sst([bytes(payload[:off]), frag2]) == texts
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=-(2**29), max_value=2**29 - 1), st.booleans())
+def test_rk_int_roundtrip(v, div100):
+    from auctus_ray.sources.xls import _rk_value
+
+    rk = ((v & 0x3FFFFFFF) << 2) | 0x02 | (0x01 if div100 else 0)
+    expect = v / 100.0 if div100 else float(v)
+    assert _rk_value(rk) == expect
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.floats(allow_nan=False, allow_infinity=False), st.booleans())
+def test_rk_float_roundtrip(x, div100):
+    """Floats whose low 34 mantissa bits are zero are exactly RK-
+    representable (RK keeps the TOP 30 bits of the double); quantize
+    the drawn float to that grid first."""
+    from auctus_ray.sources.xls import _rk_value
+
+    bits = struct.unpack("<Q", struct.pack("<d", x))[0] & 0xFFFFFFFC00000000
+    x_q = struct.unpack("<d", struct.pack("<Q", bits))[0]
+    rk = ((bits >> 32) & 0xFFFFFFFC) | (0x01 if div100 else 0)
+    expect = x_q / 100.0 if div100 else x_q
+    assert _rk_value(rk) == expect or (expect != expect and _rk_value(rk) != _rk_value(rk))
