@@ -69,7 +69,10 @@ def ole2_stream(data: bytes, names=("Workbook", "Book")) -> bytes:
     difat_start = _u32(data, 68)[0]
 
     def sector(i: int) -> bytes:
-        off = 512 + i * ssz
+        # [MS-CFB]: sector n begins at (n+1) * sector_size — the header
+        # occupies one full sector (512 even for v4's 4096-byte sectors,
+        # where sector 0 starts at 4096, not 512)
+        off = (i + 1) * ssz
         return data[off : off + ssz]
 
     # DIFAT: 109 header entries, then chained DIFAT sectors whose last
