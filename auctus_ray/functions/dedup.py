@@ -989,3 +989,125 @@ def dedup_clusters(pairs_ds, max_rounds: int = 10, num_partitions: int = 16):
         lambda t: pa.table({"doc_id": t["node"], "cluster_id": t["lbl"]}),
         batch_format="pyarrow",
     )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    docs_ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_shingle_df: int = 64,
+    num_partitions: int | None = None,
+):
+    """EXACT n-gram (k-token shingle) Jaccard near-dup pairs via an
+    inverted shingle join — the classic set-similarity self-join
+    (id, shingle) explode -> hash-join on shingle -> per-pair
+    intersection count -> size join. No sketches: this is the
+    SQL-checkable exact member of the near-dup family (MinHash-LSH is
+    the sub-quadratic scale path; this one's cost is bounded by the
+    shingle-join fan-out).
+
+    ``max_shingle_df`` drops stop-shingles (df > cap) from PAIR
+    GENERATION only — set sizes stay exact, so Jaccard is slightly
+    UNDERESTIMATED for pairs sharing hot shingles (at the default cap
+    this touches nothing in the test corpora; the SQL oracle applies
+    the identical cap). The shingle definition (simple-analyzer tokens,
+    windowed polynomial over blake2b token hashes, short-doc collapse)
+    is shared with the whole dedup chain, so hash-set Jaccard equals
+    string-set Jaccard modulo 63-bit collisions.
+
+    Returns a Dataset (id_a, id_b, jaccard) with jaccard >= threshold,
+    sorted by (id_a, id_b).
+    """
+    from ray.data.aggregate import Count as _Count
+
+    nparts = _join_partitions(num_partitions or 32)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        sh, soff = shingle_hash_sets(texts, k)
+        counts = np.diff(soff)
+        ids = np.repeat(
+            batch[id_col].to_numpy(zero_copy_only=False), counts
+        )
+        return pa.table(
+            {"doc_id": pa.array(ids, pa.int64()), "sh": pa.array(sh, pa.int64())}
+        )
+
+    def sizes_batch(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        _, soff = shingle_hash_sets(texts, k)
+        return pa.table(
+            {
+                "doc_id": batch[id_col].cast(pa.int64()),
+                "n_sh": pa.array(np.diff(soff), pa.int64()),
+            }
+        )
+
+    sh_ds = docs_ds.map_batches(explode, batch_format="pyarrow")
+    # stop-shingle cap: distributed df count, keep df <= cap (semi-join)
+    keep = (
+        sh_ds.groupby("sh")
+        .aggregate(_Count(alias_name="_df"))
+        .map_batches(
+            lambda t: t.filter(
+                pc.less_equal(t["_df"], max_shingle_df)
+            ).select(["sh"]),
+            batch_format="pyarrow",
+        )
+    )
+    sh_kept = sh_ds.join(keep, "inner", num_partitions=nparts, on=("sh",))
+
+    a = sh_kept.map_batches(
+        lambda t: pa.table({"id_a": t["doc_id"], "sh": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    b = sh_kept.map_batches(
+        lambda t: pa.table({"id_b": t["doc_id"], "sh": t["sh"]}),
+        batch_format="pyarrow",
+    )
+    inter = (
+        a.join(b, "inner", num_partitions=nparts, on=("sh",))
+        .map_batches(
+            lambda t: t.filter(pc.less(t["id_a"], t["id_b"])),
+            batch_format="pyarrow",
+        )
+        .groupby(["id_a", "id_b"])
+        .aggregate(_Count(alias_name="inter"))
+    )
+
+    sizes = docs_ds.map_batches(sizes_batch, batch_format="pyarrow")
+    sz_a = sizes.map_batches(
+        lambda t: t.rename_columns(["id_a", "n_a"]), batch_format="pyarrow"
+    )
+    sz_b = sizes.map_batches(
+        lambda t: t.rename_columns(["id_b", "n_b"]), batch_format="pyarrow"
+    )
+    joined = inter.join(sz_a, "inner", num_partitions=nparts, on=("id_a",))
+    joined = joined.join(sz_b, "inner", num_partitions=nparts, on=("id_b",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        it = batch["inter"].to_numpy(zero_copy_only=False).astype(np.float64)
+        na = batch["n_a"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False).astype(np.float64)
+        j = it / (na + nb - it)
+        out = pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(j, pa.float64()),
+            }
+        )
+        return out.filter(pc.greater_equal(out["jaccard"], threshold))
+
+    return joined.map_batches(score, batch_format="pyarrow").sort(
+        ["id_a", "id_b"]
+    )

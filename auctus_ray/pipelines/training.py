@@ -101,6 +101,66 @@ def near_dup_minhash(sf_dir: str):
     return verified.map_batches(round6, batch_format="pyarrow")
 
 
+def near_dup_ngram_exact(sf_dir: str):
+    """EXACT 5-gram Jaccard near-dup pairs (>= 0.8) via the inverted
+    shingle self-join (functions/dedup.py:ngram_jaccard_pairs) — the
+    oracle-checked exact member of the near-dup family: DuckDB computes
+    the identical string-shingle Jaccard (same tokenizer regex, same
+    short-doc collapse, same stop-shingle cap), so the sketch-free
+    semantics are value-checked end-to-end. MinHash-LSH remains the
+    sub-quadratic scale path for the same threshold."""
+    from auctus_ray.functions.dedup import ngram_jaccard_pairs
+
+    out = ngram_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), k=5, threshold=0.8
+    )
+
+    def round6(batch: pa.Table) -> pa.Table:
+        j = batch["jaccard"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "id_a": batch["id_a"],
+                "id_b": batch["id_b"],
+                "jaccard": pa.array(np.floor(j * 1e6 + 0.5) / 1e6, pa.float64()),
+            }
+        )
+
+    return out.map_batches(round6, batch_format="pyarrow")
+
+
+SQL_NEAR_DUP_NGRAM_EXACT = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id, array_to_string(t[i:i+4], ' ') AS s
+    FROM toks, UNNEST(range(1, greatest(len(t) - 3, 1))) AS u(i)
+    WHERE len(t) >= 5
+    UNION ALL
+    SELECT doc_id, array_to_string(t, ' ') FROM toks
+    WHERE len(t) BETWEEN 1 AND 4
+  )
+),
+keep AS (SELECT s FROM sh GROUP BY s HAVING COUNT(*) <= 64),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+  FROM sh a JOIN sh b USING (s)
+  WHERE a.doc_id < b.doc_id AND s IN (SELECT s FROM keep)
+  GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)
+SELECT id_a, id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.8
+ORDER BY id_a, id_b
+"""
+
+
 def _doc_texts(sf_dir: str, ids=(0, 1)) -> list[str]:
     """FILTERED read of just the requested documents' text."""
     import pyarrow.dataset as pads
@@ -397,6 +457,7 @@ QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "near_dup_minhash": near_dup_minhash,
     "near_dup_simhash": near_dup_simhash,
+    "near_dup_ngram_exact": near_dup_ngram_exact,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
@@ -410,6 +471,7 @@ QUERIES = {
 
 SQL = {
     "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
+    "near_dup_ngram_exact": SQL_NEAR_DUP_NGRAM_EXACT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_exact": SQL_ANN_COSINE_TOPK,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

@@ -1288,3 +1288,28 @@ def test_sav_compression_invariance(cases, tmp_path_factory):
         assert got[0] == (float(age) if age is not None else None)
         assert got[2] == when.date()
         assert got[3] == stamp
+
+
+def test_ngram_jaccard_pairs_exact(dup_docs):
+    """The inverted-shingle exact join reports exactly the pairs the
+    per-pair jaccard() helper reports (same shingle definition), with
+    exact values — planted exact/near dups all found."""
+    from auctus_ray.functions.dedup import jaccard, ngram_jaccard_pairs
+
+    ds, table = dup_docs
+    out = ngram_jaccard_pairs(ds, k=3, threshold=0.5).to_pandas()
+    found = set(zip(out["id_a"], out["id_b"]))
+    assert (9, 10) in found and (10, 11) in found and (19, 20) in found
+    assert (29, 30) in found
+    texts = dict(zip(table["doc_id"].to_pylist(), table["text"].to_pylist()))
+    for a, b, j in zip(out["id_a"], out["id_b"], out["jaccard"]):
+        assert jaccard(texts[a], texts[b], 3) == pytest.approx(j)
+    # completeness: brute-force all pairs >= threshold == reported set
+    ids = table["doc_id"].to_pylist()
+    expect = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if jaccard(texts[a], texts[b], 3) >= 0.5
+    }
+    assert found == expect
