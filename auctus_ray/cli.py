@@ -366,6 +366,7 @@ def cmd_dataset_search(args) -> int:
         args.root, args.query, k=args.k,
         source=args.source.split(",") if args.source else None,
         temporal=temporal, bbox=bbox, granularity=args.granularity,
+        facets=args.facets, page=args.page,
     )
     print(_json.dumps(hits, default=str))
     return 0
@@ -559,6 +560,9 @@ def main(argv=None) -> int:
                      metavar=("LON1", "LAT1", "LON2", "LAT2"))
     dss.add_argument("--granularity", default=None,
                      help="temporal resolution term filter (e.g. day)")
+    dss.add_argument("--facets", action="store_true",
+                     help="return source/license buckets + total")
+    dss.add_argument("--page", type=int, default=1)
     dss.set_defaults(fn=cmd_dataset_search)
 
     cc = sub.add_parser(

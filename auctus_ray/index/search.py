@@ -443,6 +443,16 @@ class Searcher:
         if key not in cached:
             bucket = os.path.basename(shard_file).split("=", 1)[1].split(".", 1)[0]
             dm = os.path.join(self.index_dir, "docmap", f"bucket={bucket}.parquet")
+            if attr not in pq.read_schema(dm).names:
+                # field no document carries (e.g. an older segment built
+                # before the attr existed): every doc is missing — the
+                # ES missing-field shape (code -1 = __missing__ bucket,
+                # never matches a terms filter)
+                tbl = pq.read_table(dm, columns=["doc_id"])
+                dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                base = int(dids.min()) if dids.size else 0
+                cached[key] = (base, np.full(dids.size, -1, np.int32), [])
+                return cached[key]
             tbl = pq.read_table(dm, columns=["doc_id", attr])
             dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
             base = int(dids.min()) if dids.size else 0
@@ -464,6 +474,14 @@ class Searcher:
         if key not in cached:
             bucket = os.path.basename(shard_file).split("=", 1)[1].split(".", 1)[0]
             dm = os.path.join(self.index_dir, "docmap", f"bucket={bucket}.parquet")
+            if attr not in pq.read_schema(dm).names:
+                # absent field: all-NaN = never matches (missing-field)
+                n = pq.ParquetFile(dm).metadata.num_rows
+                tbl = pq.read_table(dm, columns=["doc_id"])
+                dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
+                base = int(dids.min()) if dids.size else 0
+                cached[key] = (base, np.full(n, np.nan, np.float64))
+                return cached[key]
             tbl = pq.read_table(dm, columns=["doc_id", attr])
             dids = tbl["doc_id"].to_numpy(zero_copy_only=False)
             base = int(dids.min()) if dids.size else 0
@@ -554,7 +572,7 @@ class Searcher:
         algorithm: str = "auto",
         filters: dict[str, list] | None = None,
         offset: int = 0,
-        facet_by: str | None = None,
+        facet_by: str | list | None = None,
     ):
         """Top-k (doc_ids, scores), score desc then docID asc, float64.
 
@@ -563,7 +581,9 @@ class Searcher:
         at 10000, mirroring the reference's page*size guard,
         search/__init__.py:576-577); facet_by: attribute whose value
         counts over ALL matching docs are returned as a third element
-        (ES terms aggs, search/__init__.py:587-603).
+        (ES terms aggs, search/__init__.py:587-603). A LIST of
+        attributes returns {attr: {value: count}} — the reference's
+        multi-agg search body (source/license/type, :587-603).
         """
         if offset + k > 10000:
             raise ValueError("offset + k must be <= 10000")
@@ -575,7 +595,12 @@ class Searcher:
         terms = sorted(base_terms)
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         if facet_by:
-            empty = (*empty, {})
+            empty = (
+                *empty,
+                {a: {} for a in facet_by}
+                if isinstance(facet_by, (list, tuple))
+                else {},
+            )
         if not terms:
             return empty
         dfs = self.dfs(terms)
@@ -585,7 +610,12 @@ class Searcher:
         if not terms:
             return empty
         idfs = {t: float(bm25_idf(float(dfs[t]), self.n_docs)) for t in terms}
-        counts: dict[str, int] = {}
+        facet_attrs = (
+            list(facet_by) if isinstance(facet_by, (list, tuple))
+            else [facet_by] if facet_by else []
+        )
+        facet_multi = isinstance(facet_by, (list, tuple))
+        counts: dict = {a: {} for a in facet_attrs} if facet_multi else {}
 
         kk = k + offset
         heap: list = []
@@ -620,9 +650,11 @@ class Searcher:
                     mask_info=mask_info, facet_docs=facet_docs,
                 )
                 if facet_by and facet_docs:
-                    self._shard_facet_counts(
-                        sf, facet_by, np.concatenate(facet_docs), counts
-                    )
+                    fdocs = np.concatenate(facet_docs)
+                    for a in facet_attrs:
+                        self._shard_facet_counts(
+                            sf, a, fdocs, counts[a] if facet_multi else counts
+                        )
                 continue
             scale = self.tfnorm_bound_scale
             plists = [
@@ -867,10 +899,11 @@ class DistributedSearcher:
         order = np.lexsort((doc_ids, -scores))[offset : offset + k]
         if facet_by is None:
             return doc_ids[order], scores[order]
-        facets: dict[str, int] = {}
+        from auctus_ray.util import merge_facet_counts
+
+        facets: dict = {}
         for p in parts:
-            for v, c in p[2].items():
-                facets[v] = facets.get(v, 0) + c
+            merge_facet_counts(facets, p[2])
         return doc_ids[order], scores[order], facets
 
     def hydrate_hits(self, doc_ids, scores) -> pa.Table:

@@ -552,7 +552,9 @@ class SegmentedSearcher:
         kk = k + offset
         all_ids: list[np.ndarray] = []
         all_scores: list[np.ndarray] = []
-        facets: dict[str, int] = {}
+        facets: dict = {}
+        from auctus_ray.util import merge_facet_counts
+
         for s, base in zip(self.searchers, self.bases):
             out = s.search(
                 query, k=kk, operator=operator, algorithm=algorithm,
@@ -562,8 +564,7 @@ class SegmentedSearcher:
             all_ids.append(d.astype(np.int64) + base)
             all_scores.append(sc)
             if facet_by is not None:
-                for v, c in out[2].items():
-                    facets[v] = facets.get(v, 0) + c
+                merge_facet_counts(facets, out[2])
         doc_ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
         scores = np.concatenate(all_scores) if all_scores else np.empty(0, np.float64)
         order = np.lexsort((doc_ids, -scores))[offset : offset + k]
@@ -669,7 +670,7 @@ class _SegGroupWorker:
         primed_dfs: dict[str, int], **kw,
     ):
         all_ids, all_scores = [], []
-        facets: dict[str, int] = {}
+        facets: dict = {}
         for s, base in self.units:
             s._df_cache.update(primed_dfs)
             out = s.search(
@@ -678,8 +679,9 @@ class _SegGroupWorker:
             all_ids.append(out[0].astype(np.int64) + base)
             all_scores.append(out[1])
             if kw.get("facet_by") is not None:
-                for v, c in out[2].items():
-                    facets[v] = facets.get(v, 0) + c
+                from auctus_ray.util import merge_facet_counts
+
+                merge_facet_counts(facets, out[2])
         ids = np.concatenate(all_ids) if all_ids else np.empty(0, np.int64)
         sc = (
             np.concatenate(all_scores) if all_scores
@@ -762,10 +764,11 @@ class DistributedSegmentedSearcher:
         order = np.lexsort((doc_ids, -scores))[offset : offset + k]
         if facet_by is None:
             return doc_ids[order], scores[order]
-        facets: dict[str, int] = {}
+        from auctus_ray.util import merge_facet_counts
+
+        facets: dict = {}
         for p in parts:
-            for v, c in p[2].items():
-                facets[v] = facets.get(v, 0) + c
+            merge_facet_counts(facets, p[2])
         return doc_ids[order], scores[order], facets
 
     def hydrate_hits(self, doc_ids, scores) -> pa.Table:

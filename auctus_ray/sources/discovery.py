@@ -333,6 +333,7 @@ class Discoverer:
                     "source": str(md.get("source", self.identifier)),
                     "lang": "",
                     "text": text,
+                    "license": str(md.get("license", "")),
                     **coverage_attrs(doc),
                 }
             )
@@ -381,6 +382,7 @@ class Discoverer:
 # flattened temporal resolution keyword
 COVERAGE_ATTRS = (
     "t_min", "t_max", "t_res", "lat_min", "lat_max", "lon_min", "lon_max",
+    "license",
 )
 
 
@@ -403,7 +405,9 @@ def search_datasets(
     temporal: tuple | None = None,
     bbox: tuple | None = None,
     granularity: str | None = None,
-) -> list[dict]:
+    facets: bool = False,
+    page: int = 1,
+) -> list[dict] | dict:
     """Keyword search over the metadata index — the reference's main
     query (parse_keyword_query_main_index, apiserver/search/
     __init__.py:55-91): conjunctive keywords over id/name/description/
@@ -418,7 +422,13 @@ def search_datasets(
       bbox=(lon1, lat1, lon2, lat2) — intersects the spatial hull;
       granularity='day'|...   — temporal_resolution term filter.
     Datasets without the relevant coverage never match (ES nested-
-    missing semantics)."""
+    missing semantics).
+
+    facets=True returns the reference's search response shape
+    (search/__init__.py:587-643): {"results": [...], "facets":
+    {"source"/"license": {buckets}}, "total": n} — bucket counts over
+    ALL matching docs, total from the source agg. page paginates
+    (page*k <= 10000, the reference scroll guard)."""
     from auctus_ray.index.segments import SegmentedSearcher
 
     s = SegmentedSearcher(seg_root)
@@ -439,9 +449,19 @@ def search_datasets(
         filters["lat_max"] = (">=", min(lat1, lat2))
     if granularity is not None:
         filters["t_res"] = [granularity]
-    d, sc = s.search(keywords, k=k, operator="and", filters=filters or None)
+    offset = (page - 1) * k
+    if facets:
+        d, sc, fc = s.search(
+            keywords, k=k, operator="and", filters=filters or None,
+            offset=offset, facet_by=["repo", "license"],
+        )
+    else:
+        d, sc = s.search(
+            keywords, k=k, operator="and", filters=filters or None,
+            offset=offset,
+        )
     hits = s.hydrate_hits(d, sc)
-    return [
+    results = [
         {
             "dataset_id": r["path"],
             "source": r["repo"],
@@ -450,6 +470,23 @@ def search_datasets(
         }
         for r in hits.to_pylist()
     ]
+    if not facets:
+        return results
+    # total matches = sum over one agg's buckets incl. missing (the
+    # source field is never null, so this counts every matching doc)
+    raw_src = fc.get("repo", {})
+    total = sum(raw_src.values())
+    src = {v: c for v, c in raw_src.items() if v != "__missing__"}
+    lic = {
+        v: c
+        for v, c in fc.get("license", {}).items()
+        if v not in ("", "__missing__")
+    }
+    return {
+        "results": results,
+        "facets": {"source": src, "license": lic},
+        "total": total,
+    }
 
 
 class LocalDirectoryDiscoverer(Discoverer):

@@ -190,3 +190,16 @@ def sorted_membership(haystack, needles):
         return np.zeros(len(needles), bool), pos_c
     mask = (pos < haystack.size) & (haystack[pos_c] == needles)
     return mask, pos_c
+
+
+def merge_facet_counts(dst: dict, src: dict) -> None:
+    """Accumulate facet counts in place. Handles both shapes the
+    searchers produce: flat {value: count} (single facet_by attr) and
+    nested {attr: {value: count}} (facet_by list)."""
+    for k, v in src.items():
+        if isinstance(v, dict):
+            d = dst.setdefault(k, {})
+            for kk, c in v.items():
+                d[kk] = d.get(kk, 0) + c
+        else:
+            dst[k] = dst.get(k, 0) + v

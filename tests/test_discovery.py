@@ -315,3 +315,61 @@ def test_coverage_filtered_search(ray_session, tmp_path):
     assert len(load_segments(root)) == 1
     assert ids(temporal=("2015-06-01", "2015-07-01")) == ["localdir.weather"]
     assert ids(bbox=(-74.2, 40.5, -73.5, 41.0)) == ["localdir.trips"]
+
+
+def test_dataset_search_facets_and_pagination(ray_session, tmp_path):
+    """facets=True returns the reference search-response shape
+    (results + source/license buckets over ALL matches + total,
+    search/__init__.py:587-643); page paginates disjointly."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(5):
+        pq.write_table(
+            pa.table({"k": pa.array(np.arange(20) + i, pa.int64())}),
+            str(src / f"tbl{i}.parquet"),
+        )
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "root")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    assert len(d.profile_pending(seg_root=root, include_sample=False)) == 5
+
+    out = search_datasets(root, "localdir", k=3, facets=True)
+    assert isinstance(out, dict)
+    assert len(out["results"]) == 3
+    assert out["total"] == 5
+    assert out["facets"]["source"] == {"localdir": 5}
+    assert out["facets"]["license"] == {}  # no license metadata recorded
+
+    # pagination: pages are disjoint, ordered, and cover the matches
+    p1 = search_datasets(root, "localdir", k=3, page=1)
+    p2 = search_datasets(root, "localdir", k=3, page=2)
+    ids1 = [h["dataset_id"] for h in p1]
+    ids2 = [h["dataset_id"] for h in p2]
+    assert len(ids1) == 3 and len(ids2) == 2
+    assert not set(ids1) & set(ids2)
+
+
+def test_multi_facet_equals_single_facets(ray_session, tmp_path, source_dir):
+    """facet_by=[a, b] returns exactly the two single-attr facet runs
+    (the multi-agg search body, reference search/__init__.py:587-603)
+    through the segmented searcher."""
+    from auctus_ray.index.segments import SegmentedSearcher
+    from auctus_ray.sources.discovery import LocalDirectoryDiscoverer
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "root")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    d.discover_datasets()
+    d.profile_pending(seg_root=root, include_sample=False)
+    s = SegmentedSearcher(root)
+    _, _, multi = s.search("localdir", k=5, operator="and",
+                           facet_by=["repo", "license"])
+    _, _, f_repo = s.search("localdir", k=5, operator="and", facet_by="repo")
+    _, _, f_lic = s.search("localdir", k=5, operator="and", facet_by="license")
+    assert multi == {"repo": f_repo, "license": f_lic}
