@@ -334,6 +334,26 @@ def profile_dataset_document(
         "columns": columns_meta,
         "attribute_keywords": _attribute_keywords(names),
     }
+    # dataset-level types + per-type column counts (reference
+    # core.py:729-746): per-column determine_dataset_type, counted
+    from auctus_ray.pipelines.profile import determine_dataset_type
+
+    type_counts: dict[str, int] = {}
+    for meta in columns_meta:
+        dt = determine_dataset_type(
+            meta["structural_type"], meta["semantic_types"]
+        )
+        if dt:
+            type_counts[dt] = type_counts.get(dt, 0) + 1
+    for key, d_type in (
+        ("nb_spatial_columns", "spatial"),
+        ("nb_temporal_columns", "temporal"),
+        ("nb_categorical_columns", "categorical"),
+        ("nb_numerical_columns", "numerical"),
+    ):
+        if type_counts.get(d_type):
+            doc[key] = type_counts[d_type]
+    doc["types"] = sorted(type_counts)
     try:
         doc["size"] = os.path.getsize(path)
     except OSError:

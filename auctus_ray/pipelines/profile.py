@@ -784,3 +784,33 @@ SQL = {
     "orders_with_line_aggs": SQL_ORDERS_WITH_LINE_AGGS,
     "customer_order_aggs_spec": SQL_CUSTOMER_ORDER_AGGS_SPEC,
 }
+
+
+# dataset-level type labels (reference types.py:54-57)
+DATASET_NUMERICAL = "numerical"
+DATASET_CATEGORICAL = "categorical"
+DATASET_SPATIAL = "spatial"
+DATASET_TEMPORAL = "temporal"
+
+
+def determine_dataset_type(structural: str, semantic_types) -> str | None:
+    """One column's dataset-type contribution (reference
+    profile_types.py:360-384): spatial structural/semantic types win,
+    then temporal, categorical, numerical. Our profiler emits GeoPoint
+    / latitude / longitude / ADMIN for the spatial sets (no
+    GeoShape/address legs — those detectors don't exist here)."""
+    from auctus_ray.functions.admin import T_ADMIN
+
+    if structural == T_GEO_POINT:
+        return DATASET_SPATIAL
+    if any(
+        t in (T_LATITUDE, T_LONGITUDE, T_ADMIN) for t in semantic_types
+    ):
+        return DATASET_SPATIAL
+    if T_DATE_TIME in semantic_types:
+        return DATASET_TEMPORAL
+    if T_CATEGORICAL in semantic_types:
+        return DATASET_CATEGORICAL
+    if structural in (T_INTEGER, T_FLOAT):
+        return DATASET_NUMERICAL
+    return None

@@ -334,6 +334,10 @@ class Discoverer:
                     "lang": "",
                     "text": text,
                     "license": str(md.get("license", "")),
+                    # dataset types as ONE space-joined sorted keyword
+                    # (the multi-valued ES 'types' field: facet buckets
+                    # split back into per-type counts at query time)
+                    "dtypes": " ".join(doc.get("types", [])),
                     **coverage_attrs(doc),
                 }
             )
@@ -382,7 +386,7 @@ class Discoverer:
 # flattened temporal resolution keyword
 COVERAGE_ATTRS = (
     "t_min", "t_max", "t_res", "lat_min", "lat_max", "lon_min", "lon_max",
-    "license",
+    "license", "dtypes",
 )
 
 
@@ -453,7 +457,7 @@ def search_datasets(
     if facets:
         d, sc, fc = s.search(
             keywords, k=k, operator="and", filters=filters or None,
-            offset=offset, facet_by=["repo", "license"],
+            offset=offset, facet_by=["repo", "license", "dtypes"],
         )
     else:
         d, sc = s.search(
@@ -482,9 +486,18 @@ def search_datasets(
         for v, c in fc.get("license", {}).items()
         if v not in ("", "__missing__")
     }
+    # the multi-valued types facet: buckets are joined compositions
+    # ("numerical spatial": 3) over ALL matches, so client-side
+    # re-splitting is exact (reference 'type' agg, :593-601)
+    typ: dict[str, int] = {}
+    for v, c in fc.get("dtypes", {}).items():
+        if v in ("", "__missing__"):
+            continue
+        for t in v.split():
+            typ[t] = typ.get(t, 0) + c
     return {
         "results": results,
-        "facets": {"source": src, "license": lic},
+        "facets": {"source": src, "license": lic, "type": typ},
         "total": total,
     }
 

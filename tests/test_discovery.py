@@ -308,6 +308,13 @@ def test_coverage_filtered_search(ray_session, tmp_path):
     # filters compose (AND): spatial bbox + wrong source -> nothing
     assert ids(bbox=(-74.2, 40.5, -73.5, 41.0), source=["elsewhere"]) == []
 
+    # dataset-type facet: trips = spatial+numerical, weather =
+    # temporal+numerical, plain = numerical (reference 'type' agg over
+    # the multi-valued types field, core.py:729-746)
+    out = search_datasets(root, "localdir", k=10, facets=True)
+    assert out["facets"]["type"] == {"numerical": 3, "spatial": 1, "temporal": 1}
+    assert out["total"] == 3
+
     # compaction carries the attrs: same filtered results afterwards
     from auctus_ray.index.segments import compact, load_segments
 
@@ -345,6 +352,7 @@ def test_dataset_search_facets_and_pagination(ray_session, tmp_path):
     assert out["total"] == 5
     assert out["facets"]["source"] == {"localdir": 5}
     assert out["facets"]["license"] == {}  # no license metadata recorded
+    assert out["facets"]["type"] == {"numerical": 5}  # int tables
 
     # pagination: pages are disjoint, ordered, and cover the matches
     p1 = search_datasets(root, "localdir", k=3, page=1)
