@@ -411,6 +411,7 @@ def search_datasets(
     granularity: str | None = None,
     facets: bool = False,
     page: int = 1,
+    distributed: int = 0,
 ) -> list[dict] | dict:
     """Keyword search over the metadata index — the reference's main
     query (parse_keyword_query_main_index, apiserver/search/
@@ -432,10 +433,19 @@ def search_datasets(
     (search/__init__.py:587-643): {"results": [...], "facets":
     {"source"/"license": {buckets}}, "total": n} — bucket counts over
     ALL matching docs, total from the source agg. page paginates
-    (page*k <= 10000, the reference scroll guard)."""
-    from auctus_ray.index.segments import SegmentedSearcher
+    (page*k <= 10000, the reference scroll guard). distributed=N
+    serves the query through N (segment, shard-group) actors — the
+    fan-out shape for a catalog too large for one process."""
+    from auctus_ray.index.segments import (
+        DistributedSegmentedSearcher,
+        SegmentedSearcher,
+    )
 
-    s = SegmentedSearcher(seg_root)
+    s = (
+        DistributedSegmentedSearcher(seg_root, n_actors=distributed)
+        if distributed
+        else SegmentedSearcher(seg_root)
+    )
     filters: dict = {}
     if source:
         filters["repo"] = source
@@ -454,17 +464,21 @@ def search_datasets(
     if granularity is not None:
         filters["t_res"] = [granularity]
     offset = (page - 1) * k
-    if facets:
-        d, sc, fc = s.search(
-            keywords, k=k, operator="and", filters=filters or None,
-            offset=offset, facet_by=["repo", "license", "dtypes"],
-        )
-    else:
-        d, sc = s.search(
-            keywords, k=k, operator="and", filters=filters or None,
-            offset=offset,
-        )
-    hits = s.hydrate_hits(d, sc)
+    try:
+        if facets:
+            d, sc, fc = s.search(
+                keywords, k=k, operator="and", filters=filters or None,
+                offset=offset, facet_by=["repo", "license", "dtypes"],
+            )
+        else:
+            d, sc = s.search(
+                keywords, k=k, operator="and", filters=filters or None,
+                offset=offset,
+            )
+        hits = s.hydrate_hits(d, sc)
+    finally:
+        if distributed:
+            s.shutdown()
     results = [
         {
             "dataset_id": r["path"],

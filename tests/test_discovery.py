@@ -381,3 +381,21 @@ def test_multi_facet_equals_single_facets(ray_session, tmp_path, source_dir):
     _, _, f_repo = s.search("localdir", k=5, operator="and", facet_by="repo")
     _, _, f_lic = s.search("localdir", k=5, operator="and", facet_by="license")
     assert multi == {"repo": f_repo, "license": f_lic}
+
+
+def test_dataset_search_distributed_equals_local(ray_session, tmp_path, source_dir):
+    """distributed=N serves the identical results (ids, scores, facets,
+    total) through the (segment, shard-group) actor fan-out."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "root")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    d.discover_datasets()
+    d.profile_pending(seg_root=root, include_sample=False)
+    local = search_datasets(root, "localdir", k=5, facets=True)
+    dist = search_datasets(root, "localdir", k=5, facets=True, distributed=2)
+    assert dist == local
