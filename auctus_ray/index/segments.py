@@ -423,6 +423,15 @@ def compact(
             os.remove(dp)
     for name in sel_names - {merged_name}:
         shutil.rmtree(os.path.join(root, SEG_DIR, name), ignore_errors=True)
+    # superseded compact-src rewrite dirs: a filtered corpus copy is
+    # materialized per tombstone-purging merge and stays referenced as
+    # the merged segment's inputs — once NO registered segment points
+    # into one, it is garbage (otherwise N delete+compact cycles keep
+    # ~N corpus copies under the index root)
+    referenced = {p for e in kept + merged_entry for p in e["inputs"]}
+    for d_ in glob.glob(os.path.join(root, SEG_DIR, "compact-src-*")):
+        if not any(p.startswith(d_ + os.sep) for p in referenced):
+            shutil.rmtree(d_, ignore_errors=True)
     return res
 
 
@@ -637,11 +646,16 @@ class _SegGroupWorker:
         assignments: list[tuple[str, list[str], int, float]],
         n_docs: int,
         avgdl: float,
+        synonyms=None,
     ):
         self.units: list[tuple[Searcher, int]] = []
         dels = load_deletes(root)
         for seg_dir, shard_files, base, bound_scale in assignments:
-            s = Searcher(seg_dir)
+            # synonyms must reach the actors too: each worker
+            # re-tokenizes the query, and a worker without the map
+            # would silently drop expansion-only matches (breaking the
+            # distributed==local contract)
+            s = Searcher(seg_dir, synonyms=synonyms)
             s.shard_files = shard_files
             s.tfnorm_bound_scale = bound_scale
             s.avgdl = avgdl
@@ -723,6 +737,7 @@ class DistributedSegmentedSearcher:
                 ],
                 self.local.n_docs,
                 self.local.avgdl,
+                synonyms,
             )
             for g in groups
             if g

@@ -255,6 +255,12 @@ def _docs_segments_root(sf_dir: str) -> str:
         n = pq.ParquetFile(src).metadata.num_rows
         mid = n // 2
         tmp = split_dir + ".temp"  # .temp: protected from the cache sweeper
+        # a crashed earlier attempt may have left partial blocks here;
+        # writing fresh files NEXT TO them would commit duplicates
+        # (compact() makes the same move on its rewrite dir)
+        import shutil as _shutil
+
+        _shutil.rmtree(tmp, ignore_errors=True)
         for name, expr in (
             ("a", pads.field("doc_id") < mid),
             ("b", pads.field("doc_id") >= mid),

@@ -221,7 +221,17 @@ class Discoverer:
                     metrics={"error": "materialize.path missing"},
                 )
                 continue
-            doc = profile_dataset_document(path, **profile_kwargs)
+            try:
+                doc = profile_dataset_document(path, **profile_kwargs)
+            except Exception as e:  # noqa: BLE001 — a poison file (bad
+                # decode, unsupported subset) must not wedge the whole
+                # drain: journal the error like the missing-path case
+                # and keep draining; a content change re-queues it
+                self.catalog.mark(
+                    "profiled", d["id"], d["fingerprint"], "error",
+                    metrics={"error": f"{type(e).__name__}: {e}"},
+                )
+                continue
             doc["id"] = d["id"]
             doc["metadata"] = d.get("metadata", {})
             tmp = self._profile_path(d["id"]) + ".tmp"

@@ -266,8 +266,15 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
     library only (reference excel.py:10-41 does the same conversion via
     openpyxl). Subset handled: shared strings (incl. rich-text runs),
     inline strings, numbers/booleans/formula results as their stored
-    `<v>` text; missing cells become empty fields. The worksheet XML is
-    stream-parsed (iterparse) — one row in memory at a time."""
+    `<v>` text; missing cells become empty fields. Excel omits trailing
+    empty <c> elements, and a ragged CSV fails the Arrow read behind
+    this converter — so rows FROM the first full-width row on are
+    padded to the sheet width. Rows BEFORE it (the title/garbage
+    region) stay ragged on purpose: padding a one-cell title to full
+    width would hide it from the skip-rows detector (the reference via
+    openpyxl pads everything and mis-reads such sheets; divergence
+    documented). Driver-side single-file decode, bounded by upload
+    size."""
     import xml.etree.ElementTree as ET
     import zipfile
 
@@ -278,8 +285,8 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
         sheet = _xlsx_first_sheet(z)
-        with z.open(sheet) as sf, open(out_path, "w", newline="") as out:
-            w = csv.writer(out)
+        rows: list[list[str]] = []
+        with z.open(sheet) as sf:
             for _, el in ET.iterparse(sf):
                 if el.tag != f"{_XLSX_NS}row":
                     continue
@@ -303,8 +310,18 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
                         if ctype == "s" and val != "":
                             val = shared[int(val)]
                     cells[col] = val
-                w.writerow(cells)
-                el.clear()  # stream: free the row subtree
+                rows.append(cells)
+                el.clear()  # free the row subtree
+        width = max((len(r) for r in rows), default=0)
+        first_full = next(
+            (i for i, r in enumerate(rows) if len(r) == width), 0
+        )
+        with open(out_path, "w", newline="") as out:
+            w = csv.writer(out)
+            for i, r in enumerate(rows):
+                w.writerow(
+                    r + [""] * (width - len(r)) if i >= first_full else r
+                )
 
 
 def stata_to_csv(path: str, out_path: str) -> None:
@@ -366,11 +383,13 @@ _CONVERTERS = {
 
 def _converted_path(path: str, fmt: str) -> str:
     """Cached CSV conversion of a binary-format file (mtime-invalidated,
-    atomic rename — the same contract as every other cache dir)."""
+    atomic rename). `.cache` suffix: the watermark sweeper
+    (state/cache.py) recognizes the entry as evictable — without it
+    every distinct upload would leave an unevictable CSV copy."""
     import hashlib
 
     tag = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
-    out_dir = os.path.join("/tmp/auctus_ray_cache", f"{fmt}_{tag}")
+    out_dir = os.path.join("/tmp/auctus_ray_cache", f"{fmt}_{tag}.cache")
     out = os.path.join(out_dir, "converted.csv")
     if os.path.exists(out) and os.path.getmtime(out) >= os.path.getmtime(path):
         return out

@@ -1313,3 +1313,75 @@ def test_ngram_jaccard_pairs_exact(dup_docs):
         if jaccard(texts[a], texts[b], 3) >= 0.5
     }
     assert found == expect
+
+
+def test_xlsx_trailing_empty_cells(ray_session, tmp_path):
+    """Excel omits trailing empty <c> elements entirely; the converted
+    CSV must still be rectangular (padded to the sheet width) or the
+    Arrow read behind read_table_auto fails on the short row."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>a</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>b</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>c</t></is></c></row>'
+        '<row r="2"><c r="A2"><v>1</v></c><c r="B2"><v>2</v></c>'
+        '<c r="C2"><v>3</v></c></row>'
+        '<row r="3"><c r="A3"><v>4</v></c></row>'  # B3/C3 omitted
+        '<row r="4"><c r="A4"><v>5</v></c><c r="B4"><v>6</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    book = tmp_path / "trail.xlsx"
+    with zipfile.ZipFile(book, "w") as z:
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+    from auctus_ray.sources.ingest import read_table_auto
+
+    df = read_table_auto(str(book)).to_pandas()
+    assert list(df.columns) == ["a", "b", "c"]
+    assert len(df) == 3
+    assert df["a"].tolist() == [1, 4, 5]
+    assert df["b"].isna().tolist() == [False, True, False]
+    assert df["c"].isna().tolist() == [False, True, True]
+
+
+def test_converted_cache_is_sweepable(tmp_path):
+    """Conversion caches carry the .cache suffix so the watermark
+    sweeper (state/cache.py) can evict them."""
+    import pandas as pd
+
+    from auctus_ray.sources.ingest import _converted_path
+
+    df = pd.DataFrame({"x": [1, 2]})
+    dta = tmp_path / "t.dta"
+    df.to_stata(str(dta), write_index=False)
+    out = _converted_path(str(dta), "stata")
+    assert "/stata_" in out and out.split("/")[-2].endswith(".cache")
+
+
+def test_profile_pending_poison_file(ray_session, tmp_path):
+    """A file whose decode fails (multi-sheet xlsx etc.) must not wedge
+    the drain: the bad dataset journals an error, everything else
+    profiles (reference: per-message ack/nack in the profiler queue)."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from auctus_ray.sources.discovery import LocalDirectoryDiscoverer
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _pq.write_table(
+        _pa.table({"k": _pa.array(np.arange(10), _pa.int64())}),
+        str(src / "good.parquet"),
+    )
+    # truncated OLE2 magic -> ConversionUnavailable inside profiling
+    (src / "bad.xlsx").write_bytes(b"PK\x03\x04" + b"\x00" * 60)
+    cat = str(tmp_path / "cat")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    done = d.profile_pending(include_sample=False)
+    assert done == ["localdir.good"]
+    rec = d.catalog.latest("profiled", "localdir.bad")
+    assert rec is not None and rec["status"] == "error"

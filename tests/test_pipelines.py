@@ -333,3 +333,48 @@ def test_lang_id_planted_probes(ray_session):
     for pid, lg in zip((-1, -2, -3, -4), ("en", "fr", "es", "de")):
         assert out.loc[pid, "lang_pred"] == lg
     assert set(LANG_PROBE_TEXTS) == {"en", "fr", "es", "de"}
+
+
+def test_segsrc_stale_temp_not_reused(ray_session):
+    """A crashed split attempt leaves a partial .temp dir; the retry
+    must start clean (rmtree first) or the committed split contains
+    BOTH the stale partial and the fresh files -> duplicated docs in
+    the incremental segments."""
+    import hashlib
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.pipelines.fulltext import (
+        _CACHE_ROOT, _docs_segments_root, bm25_topk_incremental,
+    )
+    from auctus_ray.state.manifest import file_fingerprint
+
+    sf_dir = "/root/testdata/sf0.001"
+    src = os.path.join(sf_dir, "documents.parquet")
+    n_docs = pq.ParquetFile(src).metadata.num_rows
+    tag = hashlib.sha256(
+        (sf_dir + file_fingerprint([src])).encode()
+    ).hexdigest()[:12]
+    split_dir = os.path.join(_CACHE_ROOT, f"docs_segsrc_{tag}.cache")
+    root = os.path.join(_CACHE_ROOT, f"docs_segroot_{tag}.cache")
+    shutil.rmtree(split_dir, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    # plant a stale partial block from a "crashed" earlier attempt
+    stale = os.path.join(split_dir + ".temp", "a")
+    os.makedirs(stale, exist_ok=True)
+    pq.write_table(
+        pq.read_table(src).slice(0, 5), os.path.join(stale, "stale.parquet")
+    )
+    _docs_segments_root(sf_dir)
+    total = sum(
+        pq.ParquetFile(os.path.join(dp, f)).metadata.num_rows
+        for dp, _, fs in os.walk(split_dir)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    assert total == n_docs  # no duplicated rows from the stale block
+    out = bm25_topk_incremental(sf_dir)
+    assert len(out) == 10

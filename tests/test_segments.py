@@ -428,3 +428,67 @@ def test_property_any_split_matches_monolithic(
     sd, ss = seg.search(q, k=25, operator=op)
     md, ms = mono.search(q, k=25, operator=op)
     assert (ss == ms).all(), (cuts, q, op)
+
+
+def test_distributed_segmented_synonyms_equal_local(seg_root):
+    """Synonym maps must reach the shard-group ACTORS: a worker without
+    the map re-tokenizes the query unexpanded and silently drops
+    expansion-only matches. distributed == local under synonyms."""
+    from auctus_ray.index.segments import (
+        DistributedSegmentedSearcher,
+        SegmentedSearcher,
+    )
+
+    # 'zzzqqq' exists nowhere: every hit for it comes ONLY through the
+    # expansion — an actor without the map would return nothing
+    syn = {"license": ["copyright"], "zzzqqq": ["def"]}
+    local = SegmentedSearcher(seg_root, synonyms=syn)
+    dist = DistributedSegmentedSearcher(seg_root, n_actors=3, synonyms=syn)
+    try:
+        for q, op in [("the license", "or"), ("zzzqqq", "or"), ("license", "and")]:
+            ld, ls = local.search(q, k=20, operator=op)
+            dd, dsc = dist.search(q, k=20, operator=op)
+            assert (ld == dd).all() and (ls == dsc).all(), q
+        # non-vacuous: the expansion-only query actually returns hits
+        sd_, _ = local.search("zzzqqq", k=20, operator="or")
+        assert len(sd_) > 0
+        plain = SegmentedSearcher(seg_root)
+        pd_, _ = plain.search("zzzqqq", k=20, operator="or")
+        assert len(pd_) == 0
+    finally:
+        dist.shutdown()
+
+
+def test_compact_src_dirs_garbage_collected(
+    ray_session, small_corpus, tmp_path_factory
+):
+    """Each tombstone-purging compact materializes a filtered corpus
+    copy (compact-src-*); once no registered segment references one it
+    must be removed, or N delete+compact cycles keep ~N corpus copies."""
+    import glob as _glob
+
+    from auctus_ray.index.segments import (
+        add_segment, compact, delete_docs, load_segments,
+    )
+
+    _, paths = small_corpus
+    root = str(tmp_path_factory.mktemp("gc_root"))
+    add_segment(root, paths[:2], n_shards=2, files_per_group=2)
+    add_segment(root, paths[2:], n_shards=2, files_per_group=2)
+
+    seg0 = SegmentedSearcher(root)
+    d0, _ = seg0.search("the", k=2, operator="or")
+    victims = seg0.hydrate_hits(d0, np.zeros(len(d0)))["path"].to_pylist()
+
+    delete_docs(root, [victims[0]], column="path")
+    compact(root, n_shards=2)
+    assert len(_glob.glob(os.path.join(root, "segments", "compact-src-*"))) == 1
+
+    delete_docs(root, [victims[1]], column="path")
+    compact(root, n_shards=2)
+    # the first cycle's rewrite dir is no longer referenced -> gone
+    srcs = _glob.glob(os.path.join(root, "segments", "compact-src-*"))
+    assert len(srcs) == 1
+    entries = load_segments(root)
+    assert len(entries) == 1
+    assert all(p.startswith(srcs[0] + os.sep) for p in entries[0]["inputs"])
