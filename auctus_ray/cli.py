@@ -405,6 +405,7 @@ def cmd_seg(args) -> int:
         res = seg.add_segment(
             args.root, args.input, analyzer=args.analyzer,
             n_shards=args.shards, column_map=cmap,
+            attrs=args.attrs.split(",") if args.attrs else None,
         )
         print(json.dumps({
             "segment": os.path.basename(res.index_dir),
@@ -422,7 +423,18 @@ def cmd_seg(args) -> int:
         else:
             s = seg.SegmentedSearcher(args.root)
             stats = s.stats()
-        d, sc = s.search(args.query, k=args.k, operator=args.operator)
+        filters = None
+        if args.filter:
+            filters = {}
+            for spec in args.filter:
+                attr, val = spec.split("=", 1)
+                if val.startswith((">=", "<=")):
+                    filters[attr] = (val[:2], float(val[2:]))
+                else:
+                    filters[attr] = val.split("|")
+        d, sc = s.search(
+            args.query, k=args.k, operator=args.operator, filters=filters
+        )
         print(json.dumps({
             "stats": stats,
             "hits": s.hydrate_hits(d, sc).to_pylist(),
@@ -583,6 +595,13 @@ def main(argv=None) -> int:
     sg.add_argument("action", choices=["add", "search", "delete", "compact"])
     sg.add_argument("--root", required=True, help="segmented index root")
     sg.add_argument("--input", help="parquet file/dir/glob (add)")
+    sg.add_argument("--attrs", default=None,
+                    help="comma-separated input columns carried into "
+                         "the docmap for filter context (add)")
+    sg.add_argument("--filter", action="append", default=None,
+                    metavar="ATTR=V1|V2 or ATTR=>=N / ATTR=<=N",
+                    help="search filter: keyword terms or numeric "
+                         "comparison over a docmap attr (repeatable)")
     sg.add_argument("--column-map", default=None,
                     help="corpus=source column mapping, e.g. "
                          "repo=source,path=doc_id,commit=doc_id,"
