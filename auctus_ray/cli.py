@@ -372,6 +372,24 @@ def cmd_dataset_search(args) -> int:
     return 0
 
 
+def cmd_catalog_joinsearch(args) -> int:
+    """Joinable-dataset search across every profiled dataset in a
+    discovery catalog, via the persisted per-column Lazo sketches
+    (reference profiler -> Lazo server -> join search)."""
+    import ray
+
+    from auctus_ray.sources.discovery import join_search_catalog
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    out = join_search_catalog(
+        args.catalog, args.input, args.column, k=args.k,
+        exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
+    )
+    print(json.dumps(out.to_pylist()))
+    return 0
+
+
 def cmd_cache_clean(args) -> int:
     """Watermark cache eviction (the reference cache_cleaner service,
     cache_cleaner/cache.py:40-140): report sizes, evict oldest `.cache`
@@ -576,6 +594,19 @@ def main(argv=None) -> int:
                      help="return source/license buckets + total")
     dss.add_argument("--page", type=int, default=1)
     dss.set_defaults(fn=cmd_dataset_search)
+
+    cj = sub.add_parser(
+        "catalog-joinsearch",
+        help="rank profiled catalog datasets by join containment "
+             "with a query column (persisted Lazo sketches)",
+    )
+    cj.add_argument("--catalog", required=True, help="catalog journal dir")
+    cj.add_argument("--input", required=True, help="query table file")
+    cj.add_argument("--column", required=True, help="query column")
+    cj.add_argument("-k", type=int, default=None)
+    cj.add_argument("--exclude", default=None,
+                    help="comma-separated dataset ids to skip")
+    cj.set_defaults(fn=cmd_catalog_joinsearch)
 
     cc = sub.add_parser(
         "cache-clean",

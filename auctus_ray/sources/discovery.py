@@ -134,6 +134,9 @@ class Discoverer:
         prof = self._profile_path(full_id)
         if os.path.exists(prof):
             os.remove(prof)
+        sk = self._sketch_path(full_id)
+        if os.path.exists(sk):
+            os.remove(sk)
         # the stored shared-storage copy goes too (discovery.py:155-158)
         stored = self._shared_storage_path(full_id)
         if stored:
@@ -182,10 +185,64 @@ class Discoverer:
             self.catalog_dir, "profiles", encode_dataset_id(full_id) + ".json"
         )
 
+    def _sketch_path(self, full_id: str) -> str:
+        return os.path.join(
+            self.catalog_dir, "sketches", encode_dataset_id(full_id) + ".parquet"
+        )
+
+    def _write_column_sketches(self, full_id: str, path: str,
+                               n_perm: int = 128) -> None:
+        """Lazo sketches for every string-typed column, persisted as one
+        parquet per dataset under catalog/sketches — the role of the
+        reference's Lazo SERVER (the profiler pushes each textual
+        column's sketch, core.py:475-521; join search later queries the
+        server across the whole catalog, apiserver/search/join.py:
+        141-170). Sketch files are catalog-metadata-sized (n_perm ints
+        + a cardinality per column)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from auctus_ray.functions.joinsearch import (
+            distinct_str_values, sketch_column,
+        )
+        from auctus_ray.sources.ingest import read_table_auto
+
+        ds = read_table_auto(path)
+        schema = ds.schema()
+        rows = []
+        for name, typ in zip(schema.names, schema.types):
+            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+                continue
+            sk = sketch_column(distinct_str_values(ds, name), n_perm)
+            rows.append(
+                {
+                    "column_name": name,
+                    "n_perm": sk.n_perm,
+                    "card": sk.cardinality,
+                    "mins": sk.hash_values.tobytes(),
+                }
+            )
+        os.makedirs(os.path.join(self.catalog_dir, "sketches"), exist_ok=True)
+        out = self._sketch_path(full_id)
+        tbl = pa.Table.from_pylist(
+            rows,
+            schema=pa.schema(
+                [
+                    ("column_name", pa.string()),
+                    ("n_perm", pa.int32()),
+                    ("card", pa.int64()),
+                    ("mins", pa.large_binary()),
+                ]
+            ),
+        )
+        pq.write_table(tbl, out + ".tmp")
+        os.replace(out + ".tmp", out)
+
     def profile_pending(
         self,
         seg_root: str | None = None,
         max_segments: int = 32,
+        column_sketches: bool = True,
         **profile_kwargs,
     ) -> list[str]:
         """Drain the pending set: profile each dataset (a distributed
@@ -234,6 +291,8 @@ class Discoverer:
                 continue
             doc["id"] = d["id"]
             doc["metadata"] = d.get("metadata", {})
+            if column_sketches:
+                self._write_column_sketches(d["id"], path)
             tmp = self._profile_path(d["id"]) + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(doc, f, sort_keys=True)
@@ -555,3 +614,56 @@ class LocalDirectoryDiscoverer(Discoverer):
                 )
             )
         return found
+
+
+def join_search_catalog(
+    catalog_dir: str,
+    query_path: str,
+    column: str,
+    k: int | None = None,
+    n_perm: int = 128,
+    exclude: set[str] | frozenset[str] = frozenset(),
+) -> pa.Table:
+    """Joinable-dataset search across EVERY profiled dataset in the
+    catalog: sketch the query column, score it against the persisted
+    per-column Lazo sketches (the reference's lazo_client.query flow,
+    apiserver/search/join.py:141-170), rank by containment, cap at
+    MAX_LAZO_CANDIDATES. The candidate side reads only sketch files
+    (n_perm ints + a cardinality per column — catalog-metadata-sized);
+    no dataset is re-scanned at query time. ``exclude`` drops the
+    query's own dataset id (reference ignore_datasets)."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from auctus_ray.functions.joinsearch import (
+        MAX_LAZO_CANDIDATES,
+        LazoSketch,
+        _rank_and_cap,
+        distinct_str_values,
+        lazo_containment,
+        sketch_column,
+    )
+    from auctus_ray.functions.scalars import decode_dataset_id
+    from auctus_ray.sources.ingest import read_table_auto
+
+    q = sketch_column(
+        distinct_str_values(read_table_auto(query_path), column), n_perm
+    )
+    rows: list[tuple[str, str, float]] = []
+    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
+        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
+        if full_id in exclude:
+            continue
+        t = pq.read_table(f)
+        for r in t.to_pylist():
+            if r["n_perm"] != n_perm:
+                continue  # sketches only compare at equal permutation counts
+            c = LazoSketch(
+                r["n_perm"], np.frombuffer(r["mins"], np.int64), r["card"]
+            )
+            rows.append(
+                (full_id, r["column_name"], lazo_containment(q, c))
+            )
+    return _rank_and_cap(rows, k or MAX_LAZO_CANDIDATES)

@@ -399,3 +399,74 @@ def test_dataset_search_distributed_equals_local(ray_session, tmp_path, source_d
     local = search_datasets(root, "localdir", k=5, facets=True)
     dist = search_datasets(root, "localdir", k=5, facets=True, distributed=2)
     assert dist == local
+
+
+def test_join_search_catalog(ray_session, tmp_path):
+    """Joinable-dataset search across the whole profiled catalog via
+    persisted per-column Lazo sketches (the reference's profiler->Lazo
+    server->join-search flow, core.py:475-521 + search/join.py:141-170):
+    query time touches only sketch files, never the datasets."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        join_search_catalog,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cities = [f"city{i:03d}" for i in range(200)]
+    pq.write_table(
+        pa.table(
+            {
+                "city": pa.array(cities, pa.string()),
+                "pop": pa.array(np.arange(200), pa.int64()),
+            }
+        ),
+        str(src / "population.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "place": pa.array(cities[:100], pa.string()),
+                "temp": pa.array(np.arange(100) * 0.5, pa.float64()),
+            }
+        ),
+        str(src / "weather.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "name": pa.array([f"person{i}" for i in range(150)], pa.string()),
+                "age": pa.array(np.arange(150), pa.int64()),
+            }
+        ),
+        str(src / "people.parquet"),
+    )
+    cat = str(tmp_path / "cat")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    d.profile_pending(include_sample=False)
+    # one sketch file per dataset; numeric-only columns excluded
+    import glob as _glob
+
+    assert len(_glob.glob(os.path.join(cat, "sketches", "*.parquet"))) == 3
+
+    # query = weather.place (contained in population.city): population
+    # must rank first with containment ~1; people.name scores ~0
+    out = join_search_catalog(
+        cat, str(src / "weather.parquet"), "place",
+        exclude={"localdir.weather"},
+    ).to_pylist()
+    assert out[0]["dataset_id"] == "localdir.population"
+    assert out[0]["column_name"] == "city"
+    assert out[0]["containment"] > 0.8
+    tail = {r["dataset_id"]: r["containment"] for r in out[1:]}
+    assert all(c < 0.3 for c in tail.values())
+    assert "localdir.weather" not in {r["dataset_id"] for r in out}
+
+    # deletion removes the dataset's sketches from the catalog
+    d.delete_dataset(dataset_id="population")
+    out2 = join_search_catalog(
+        cat, str(src / "weather.parquet"), "place",
+        exclude={"localdir.weather"},
+    ).to_pylist()
+    assert all(r["dataset_id"] != "localdir.population" for r in out2)
