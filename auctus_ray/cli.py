@@ -390,6 +390,19 @@ def cmd_catalog_joinsearch(args) -> int:
     return 0
 
 
+def cmd_catalog_unionsearch(args) -> int:
+    """Unionable-dataset search across a discovery catalog's recorded
+    schemas (reference union flow over profiled column listings)."""
+    from auctus_ray.sources.discovery import union_search_catalog
+
+    out = union_search_catalog(
+        args.catalog, args.input, k=args.k,
+        exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
+    )
+    print(json.dumps(out.to_pylist()))
+    return 0
+
+
 def cmd_cache_clean(args) -> int:
     """Watermark cache eviction (the reference cache_cleaner service,
     cache_cleaner/cache.py:40-140): report sizes, evict oldest `.cache`
@@ -607,6 +620,18 @@ def main(argv=None) -> int:
     cj.add_argument("--exclude", default=None,
                     help="comma-separated dataset ids to skip")
     cj.set_defaults(fn=cmd_catalog_joinsearch)
+
+    cu = sub.add_parser(
+        "catalog-unionsearch",
+        help="rank profiled catalog datasets by fuzzy schema match "
+             "with a query table",
+    )
+    cu.add_argument("--catalog", required=True, help="catalog journal dir")
+    cu.add_argument("--input", required=True, help="query table file")
+    cu.add_argument("-k", type=int, default=50)
+    cu.add_argument("--exclude", default=None,
+                    help="comma-separated dataset ids to skip")
+    cu.set_defaults(fn=cmd_catalog_unionsearch)
 
     cc = sub.add_parser(
         "cache-clean",

@@ -207,19 +207,27 @@ class Discoverer:
         )
         from auctus_ray.sources.ingest import read_table_auto
 
+        from auctus_ray.pipelines.unionsearch import _tclass
+
         ds = read_table_auto(path)
         schema = ds.schema()
         rows = []
         for name, typ in zip(schema.names, schema.types):
-            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
-                continue
-            sk = sketch_column(distinct_str_values(ds, name), n_perm)
+            if pa.types.is_string(typ) or pa.types.is_large_string(typ):
+                sk = sketch_column(distinct_str_values(ds, name), n_perm)
+                card, mins = sk.cardinality, sk.hash_values.tobytes()
+            else:
+                # non-string columns carry no Lazo sketch (card -1) but
+                # DO record their type class: union search matches
+                # schemas across the whole catalog from this file alone
+                card, mins = -1, b""
             rows.append(
                 {
                     "column_name": name,
-                    "n_perm": sk.n_perm,
-                    "card": sk.cardinality,
-                    "mins": sk.hash_values.tobytes(),
+                    "tclass": _tclass(typ),
+                    "n_perm": n_perm,
+                    "card": card,
+                    "mins": mins,
                 }
             )
         os.makedirs(os.path.join(self.catalog_dir, "sketches"), exist_ok=True)
@@ -229,6 +237,7 @@ class Discoverer:
             schema=pa.schema(
                 [
                     ("column_name", pa.string()),
+                    ("tclass", pa.string()),
                     ("n_perm", pa.int32()),
                     ("card", pa.int64()),
                     ("mins", pa.large_binary()),
@@ -658,8 +667,10 @@ def join_search_catalog(
             continue
         t = pq.read_table(f)
         for r in t.to_pylist():
-            if r["n_perm"] != n_perm:
-                continue  # sketches only compare at equal permutation counts
+            if r["n_perm"] != n_perm or r["card"] < 0:
+                # mismatched permutation counts never compare; card -1
+                # marks an unsketched (non-string) column
+                continue
             c = LazoSketch(
                 r["n_perm"], np.frombuffer(r["mins"], np.int64), r["card"]
             )
@@ -667,3 +678,71 @@ def join_search_catalog(
                 (full_id, r["column_name"], lazo_containment(q, c))
             )
     return _rank_and_cap(rows, k or MAX_LAZO_CANDIDATES)
+
+
+def union_search_catalog(
+    catalog_dir: str,
+    query_path: str,
+    k: int = 50,
+    exclude: set[str] | frozenset[str] = frozenset(),
+) -> pa.Table:
+    """Unionable-dataset search across EVERY profiled dataset: fuzzy
+    1-1 column matching (ES AUTO fuzziness + 3-gram name similarity +
+    type-class equality, the reference union flow apiserver/search/
+    union.py:13-87) between the query table's schema and each
+    catalog dataset's recorded (column, type-class) listing — query
+    time reads only the sketch/schema files. Both sides classify
+    through the SAME Arrow `_tclass`, recorded at profile time.
+    Returns (rank, dataset_id, matched, n_pairs, score) — score =
+    sum of pair similarities / n_query_columns, the reference's
+    dataset score."""
+    import glob as _glob
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.functions.scalars import decode_dataset_id
+    from auctus_ray.pipelines.unionsearch import _tclass, score_candidate
+    from auctus_ray.sources.ingest import read_table_auto
+
+    qschema = read_table_auto(query_path).schema()
+    query_cols = [
+        (n.lower(), _tclass(t)) for n, t in zip(qschema.names, qschema.types)
+    ]
+    nq = max(1, len(query_cols))
+    scored: list[tuple] = []
+    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
+        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
+        if full_id in exclude:
+            continue
+        t = pq.read_table(f, columns=["column_name", "tclass"])
+        cand_cols = [
+            (n.lower(), tc)
+            for n, tc in zip(
+                t["column_name"].to_pylist(), t["tclass"].to_pylist()
+            )
+        ]
+        hit = score_candidate(query_cols, cand_cols)
+        if hit is not None:
+            n_pairs, sum_sim_e9, matched = hit
+            scored.append((full_id, matched, n_pairs, sum_sim_e9))
+    scored.sort(key=lambda r: (-r[3], r[0]))
+    scored = scored[:k]
+    score6 = [
+        float(np.floor(s / (nq * 1e9) * 1e6 + 0.5) / 1e6)
+        for _, _, _, s in scored
+    ]
+    return pa.table(
+        {
+            "rank": pa.array(
+                np.arange(1, len(scored) + 1, dtype=np.int64)
+            ),
+            "dataset_id": pa.array([r[0] for r in scored], pa.string()),
+            "matched": pa.array([r[1] for r in scored], pa.string()),
+            "n_pairs": pa.array(
+                [r[2] for r in scored], pa.int64()
+            ),
+            "score": pa.array(score6, pa.float64()),
+        }
+    )

@@ -470,3 +470,70 @@ def test_join_search_catalog(ray_session, tmp_path):
         exclude={"localdir.weather"},
     ).to_pylist()
     assert all(r["dataset_id"] != "localdir.population" for r in out2)
+
+
+def test_union_search_catalog(ray_session, tmp_path):
+    """Unionable-dataset search across the profiled catalog: fuzzy
+    schema matching against the recorded per-dataset (column, type
+    class) listings — no dataset rescans at query time (reference
+    union flow, apiserver/search/union.py:13-87)."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        union_search_catalog,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    base = pa.table(
+        {
+            "city": pa.array(["a", "b"], pa.string()),
+            "population": pa.array([1, 2], pa.int64()),
+            "area": pa.array([0.5, 0.7], pa.float64()),
+        }
+    )
+    pq.write_table(base, str(src / "query.parquet"))
+    # near-identical schema (typo column name) -> strong union candidate
+    pq.write_table(
+        pa.table(
+            {
+                "citty": pa.array(["x"], pa.string()),
+                "population": pa.array([9], pa.int64()),
+                "area": pa.array([1.0], pa.float64()),
+            }
+        ),
+        str(src / "match.parquet"),
+    )
+    # type-mismatched twin: same names, population as string -> the
+    # population pair is rejected (type-class equality gate)
+    pq.write_table(
+        pa.table(
+            {
+                "city": pa.array(["y"], pa.string()),
+                "population": pa.array(["9"], pa.string()),
+            }
+        ),
+        str(src / "mismatch.parquet"),
+    )
+    # unrelated schema -> <=1 pair -> dropped entirely
+    pq.write_table(
+        pa.table({"zz": pa.array([1], pa.int64())}),
+        str(src / "noise.parquet"),
+    )
+    cat = str(tmp_path / "cat")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    d.profile_pending(include_sample=False)
+
+    out = union_search_catalog(
+        cat, str(src / "query.parquet"), exclude={"localdir.query"}
+    ).to_pylist()
+    ids = [r["dataset_id"] for r in out]
+    assert ids[0] == "localdir.match"
+    assert out[0]["n_pairs"] == 3
+    assert "population=population" in out[0]["matched"]
+    assert "city=citty" in out[0]["matched"]
+    assert "localdir.noise" not in ids
+    assert "localdir.query" not in ids
+    # type gate: int-vs-str population is rejected, leaving city as the
+    # only pair; <=1 pair drops the dataset (reference union.py:83-86)
+    assert "localdir.mismatch" not in ids
