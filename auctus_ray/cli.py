@@ -403,6 +403,23 @@ def cmd_catalog_unionsearch(args) -> int:
     return 0
 
 
+def cmd_catalog_augsearch(args) -> int:
+    """Combined join+union augmentation search over a discovery
+    catalog (the reference search response with a data profile)."""
+    import ray
+
+    from auctus_ray.sources.discovery import augmentation_search_catalog
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    out = augmentation_search_catalog(
+        args.catalog, args.input, column=args.column, k=args.k,
+        exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
+    )
+    print(json.dumps(out.to_pylist()))
+    return 0
+
+
 def cmd_cache_clean(args) -> int:
     """Watermark cache eviction (the reference cache_cleaner service,
     cache_cleaner/cache.py:40-140): report sizes, evict oldest `.cache`
@@ -632,6 +649,18 @@ def main(argv=None) -> int:
     cu.add_argument("--exclude", default=None,
                     help="comma-separated dataset ids to skip")
     cu.set_defaults(fn=cmd_catalog_unionsearch)
+
+    ca = sub.add_parser(
+        "catalog-augsearch",
+        help="combined join+union augmentation search over a catalog",
+    )
+    ca.add_argument("--catalog", required=True)
+    ca.add_argument("--input", required=True, help="query table file")
+    ca.add_argument("--column", default=None,
+                    help="join column (default: best string column)")
+    ca.add_argument("-k", type=int, default=50)
+    ca.add_argument("--exclude", default=None)
+    ca.set_defaults(fn=cmd_catalog_augsearch)
 
     cc = sub.add_parser(
         "cache-clean",

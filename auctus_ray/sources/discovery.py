@@ -746,3 +746,75 @@ def union_search_catalog(
             "score": pa.array(score6, pa.float64()),
         }
     )
+
+
+def augmentation_search_catalog(
+    catalog_dir: str,
+    query_path: str,
+    column: str | None = None,
+    k: int = 50,
+    exclude: set[str] | frozenset[str] = frozenset(),
+) -> pa.Table:
+    """The reference's combined augmentation response over the profiled
+    catalog (get_augmentation_search_results, apiserver/search/
+    __init__.py:369-420): join candidates (Lazo containment of
+    ``column``; every string column of the query when omitted — take
+    the best per dataset) zip-interleaved with union candidates (fuzzy
+    schema match), capped at ``k``. Query time reads only catalog
+    sketch/schema files."""
+    import numpy as np
+    import pyarrow as pa
+
+    from auctus_ray.sources.ingest import read_table_auto
+
+    if column is not None:
+        j = join_search_catalog(catalog_dir, query_path, column, exclude=exclude)
+        j_rows = list(
+            zip(
+                j["dataset_id"].to_pylist(),
+                [f"{column}->{c}" for c in j["column_name"].to_pylist()],
+                j["containment"].to_pylist(),
+            )
+        )
+    else:
+        schema = read_table_auto(query_path).schema()
+        best: dict[str, tuple[str, float]] = {}
+        for name, typ in zip(schema.names, schema.types):
+            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
+                continue
+            t = join_search_catalog(catalog_dir, query_path, name, exclude=exclude)
+            for d_, c_, s_ in zip(
+                t["dataset_id"].to_pylist(),
+                t["column_name"].to_pylist(),
+                t["containment"].to_pylist(),
+            ):
+                if s_ > best.get(d_, ("", -1.0))[1]:
+                    best[d_] = (f"{name}->{c_}", s_)
+        j_rows = sorted(
+            ((d_, det, s_) for d_, (det, s_) in best.items()),
+            key=lambda r: (-r[2], r[0]),
+        )
+    u = union_search_catalog(catalog_dir, query_path, k=k, exclude=exclude)
+    u_rows = list(
+        zip(
+            u["dataset_id"].to_pylist(),
+            u["matched"].to_pylist(),
+            u["score"].to_pylist(),
+        )
+    )
+    rows: list[tuple[str, str, str, float]] = []
+    for i in range(max(len(j_rows), len(u_rows))):
+        if i < len(j_rows):
+            rows.append(("join", *j_rows[i]))
+        if i < len(u_rows):
+            rows.append(("union", *u_rows[i]))
+    rows = rows[:k]
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int64)),
+            "aug_type": pa.array([r[0] for r in rows], pa.string()),
+            "dataset_id": pa.array([r[1] for r in rows], pa.string()),
+            "detail": pa.array([r[2] for r in rows], pa.string()),
+            "score": pa.array([r[3] for r in rows], pa.float64()),
+        }
+    )

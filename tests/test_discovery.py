@@ -537,3 +537,62 @@ def test_union_search_catalog(ray_session, tmp_path):
     # type gate: int-vs-str population is rejected, leaving city as the
     # only pair; <=1 pair drops the dataset (reference union.py:83-86)
     assert "localdir.mismatch" not in ids
+
+
+def test_augmentation_search_catalog(ray_session, tmp_path):
+    """Combined join+union augmentation over the catalog: interleaved
+    ranked results, reading only sketch/schema files (reference
+    get_augmentation_search_results, search/__init__.py:369-420)."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        augmentation_search_catalog,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    cities = [f"city{i:03d}" for i in range(120)]
+    pq.write_table(
+        pa.table(
+            {
+                "city": pa.array(cities, pa.string()),
+                "pop": pa.array(np.arange(120), pa.int64()),
+            }
+        ),
+        str(src / "query.parquet"),
+    )
+    # joinable: contains all the query's cities under another schema
+    pq.write_table(
+        pa.table(
+            {
+                "location": pa.array(cities, pa.string()),
+                "gdp": pa.array(np.arange(120) * 1.5, pa.float64()),
+            }
+        ),
+        str(src / "economy.parquet"),
+    )
+    # unionable: near-identical schema
+    pq.write_table(
+        pa.table(
+            {
+                "citty": pa.array(cities[:10], pa.string()),
+                "pop": pa.array(np.arange(10), pa.int64()),
+            }
+        ),
+        str(src / "more_cities.parquet"),
+    )
+    cat = str(tmp_path / "cat")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    d.profile_pending(include_sample=False)
+
+    out = augmentation_search_catalog(
+        cat, str(src / "query.parquet"), exclude={"localdir.query"}
+    ).to_pylist()
+    assert out[0]["aug_type"] == "join"
+    assert out[0]["dataset_id"] == "localdir.economy"
+    assert out[0]["detail"] == "city->location"
+    assert out[0]["score"] > 0.8
+    unions = [r for r in out if r["aug_type"] == "union"]
+    assert unions and unions[0]["dataset_id"] == "localdir.more_cities"
+    assert "city=citty" in unions[0]["detail"]
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
