@@ -338,6 +338,9 @@ def cmd_discover(args) -> int:
     if args.reprocess:
         n = d.reprocess_all()
         print(f"re-queued {n} datasets for profiling")
+    if args.backfill_sketches:
+        ids = d.backfill_sketches()
+        print(f"backfilled sketches for {len(ids)} datasets")
     found = d.discover_datasets()
     pending = [x["id"] for x in d.pending()]
     print(f"discovered {len(found)} datasets; {len(pending)} pending profile")
@@ -393,8 +396,12 @@ def cmd_catalog_joinsearch(args) -> int:
 def cmd_catalog_unionsearch(args) -> int:
     """Unionable-dataset search across a discovery catalog's recorded
     schemas (reference union flow over profiled column listings)."""
+    import ray
+
     from auctus_ray.sources.discovery import union_search_catalog
 
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
     out = union_search_catalog(
         args.catalog, args.input, k=args.k,
         exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
@@ -600,6 +607,9 @@ def main(argv=None) -> int:
                          "'seg search')")
     dc.add_argument("--no-profile", action="store_true")
     dc.add_argument("--no-sample", action="store_true")
+    dc.add_argument("--backfill-sketches", action="store_true",
+                    help="write column sketches for datasets profiled "
+                         "before the sketch catalog existed")
     dc.add_argument("--reprocess", action="store_true",
                     help="re-queue every live dataset first (the "
                          "reference's reprocess_all after a profiler "

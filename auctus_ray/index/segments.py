@@ -365,13 +365,18 @@ def compact(
     analyzer = sel[0]["analyzer"]
     column_map = sel[0]["column_map"]
     content_col = sel[0]["content_col"]
-    attrs = tuple(sel[0].get("attrs") or ())
     for e in sel[1:]:
-        if (
-            e["analyzer"], e["column_map"], e["content_col"],
-            tuple(e.get("attrs") or ()),
-        ) != (analyzer, column_map, content_col, attrs):
+        if (e["analyzer"], e["column_map"], e["content_col"]) != (
+            analyzer, column_map, content_col,
+        ):
             raise ValueError("segments disagree on analyzer/column_map")
+    # attrs may legitimately differ across segments after an engine
+    # upgrade added attr columns (older indexsrc inputs lack the new
+    # columns entirely, so a union rebuild cannot read them): merge
+    # with the INTERSECTION — dropped attrs behave as missing fields
+    # (never match a filter) until their datasets re-profile
+    attr_sets = [set(e.get("attrs") or ()) for e in sel]
+    attrs = tuple(sorted(set.intersection(*attr_sets))) if attr_sets else ()
     paths = sorted({p for e in sel for p in e["inputs"]})
     dels = load_deletes(root)
 
@@ -427,10 +432,15 @@ def compact(
     # materialized per tombstone-purging merge and stays referenced as
     # the merged segment's inputs — once NO registered segment points
     # into one, it is garbage (otherwise N delete+compact cycles keep
-    # ~N corpus copies under the index root)
-    referenced = {p for e in kept + merged_entry for p in e["inputs"]}
+    # ~N corpus copies under the index root). Paths REALPATH-normalized
+    # on both sides: the same root spelled relative vs absolute across
+    # invocations must not delete a live dir.
+    referenced = {
+        os.path.realpath(p) for e in kept + merged_entry for p in e["inputs"]
+    }
     for d_ in glob.glob(os.path.join(root, SEG_DIR, "compact-src-*")):
-        if not any(p.startswith(d_ + os.sep) for p in referenced):
+        real = os.path.realpath(d_)
+        if not any(p.startswith(real + os.sep) for p in referenced):
             shutil.rmtree(d_, ignore_errors=True)
     return res
 

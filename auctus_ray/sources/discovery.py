@@ -157,12 +157,50 @@ class Discoverer:
 
     def pending(self) -> list[dict]:
         """Discovered datasets whose CURRENT content fingerprint has no
-        'profiled' record — the profile queue."""
+        'profiled' record — the profile queue. A dataset whose SAME
+        fingerprint already failed ('error' mark) is PARKED, not
+        retried every drain (re-running an unchanged poison file fails
+        identically and grows the journal forever); a content change or
+        reprocess_all() re-queues it."""
         out = []
         for d in self.datasets():
-            if not self.catalog.is_done("profiled", d["id"], d["fingerprint"]):
-                out.append(d)
+            if self.catalog.is_done("profiled", d["id"], d["fingerprint"]):
+                continue
+            last = self.catalog.latest("profiled", d["id"])
+            if (
+                last is not None
+                and last["status"] == "error"
+                and last["fingerprint"] == d["fingerprint"]
+            ):
+                continue
+            out.append(d)
         return out
+
+    def backfill_sketches(self) -> list[str]:
+        """Write column sketches for live datasets profiled BEFORE the
+        sketch catalog existed (catalog search iterates sketch files
+        only, so un-sketched datasets would be silently invisible to
+        join/union/augmentation search). Much cheaper than
+        reprocess_all: no re-profiling, one materialized read per
+        missing dataset. Returns the backfilled ids."""
+        done = []
+        for d in self.datasets():
+            if os.path.exists(self._sketch_path(d["id"])):
+                continue
+            last = self.catalog.latest("profiled", d["id"])
+            if last is None or last["status"] != "done":
+                continue  # never profiled (or errored): not cataloged
+            path = self._shared_storage_path(d["id"]) or d.get(
+                "materialize", {}
+            ).get("path")
+            if not path or not os.path.exists(path):
+                continue
+            try:
+                self._write_column_sketches(d["id"], path)
+            except Exception:  # noqa: BLE001 — poison files stay absent
+                continue
+            done.append(d["id"])
+        return done
 
     def reprocess_all(self) -> int:
         """Re-queue every live dataset for profiling, keeping its
@@ -209,7 +247,10 @@ class Discoverer:
 
         from auctus_ray.pipelines.unionsearch import _tclass
 
-        ds = read_table_auto(path)
+        # ONE read for all columns: per-column sketch pipelines execute
+        # off the materialized blocks instead of re-scanning the source
+        # once per string column
+        ds = read_table_auto(path).materialize()
         schema = ds.schema()
         rows = []
         for name, typ in zip(schema.names, schema.types):
@@ -289,10 +330,13 @@ class Discoverer:
                 continue
             try:
                 doc = profile_dataset_document(path, **profile_kwargs)
+                if column_sketches:
+                    self._write_column_sketches(d["id"], path)
             except Exception as e:  # noqa: BLE001 — a poison file (bad
-                # decode, unsupported subset) must not wedge the whole
-                # drain: journal the error like the missing-path case
-                # and keep draining; a content change re-queues it
+                # decode, unsupported subset) or a failed sketch pass
+                # must not wedge the whole drain: journal the error
+                # (pending() parks the unchanged fingerprint) and keep
+                # draining; a content change or reprocess_all re-queues
                 self.catalog.mark(
                     "profiled", d["id"], d["fingerprint"], "error",
                     metrics={"error": f"{type(e).__name__}: {e}"},
@@ -300,8 +344,6 @@ class Discoverer:
                 continue
             doc["id"] = d["id"]
             doc["metadata"] = d.get("metadata", {})
-            if column_sketches:
-                self._write_column_sketches(d["id"], path)
             tmp = self._profile_path(d["id"]) + ".tmp"
             with open(tmp, "w", encoding="utf-8") as f:
                 json.dump(doc, f, sort_keys=True)
@@ -760,48 +802,83 @@ def augmentation_search_catalog(
     __init__.py:369-420): join candidates (Lazo containment of
     ``column``; every string column of the query when omitted — take
     the best per dataset) zip-interleaved with union candidates (fuzzy
-    schema match), capped at ``k``. Query time reads only catalog
-    sketch/schema files."""
+    schema match), capped at ``k``. Query time makes ONE pass over the
+    catalog sketch/schema files (all query-column sketches scored per
+    file) and ONE materialized read of the query table."""
+    import glob as _glob
+
     import numpy as np
     import pyarrow as pa
+    import pyarrow.parquet as pq
 
+    from auctus_ray.functions.joinsearch import (
+        LazoSketch,
+        lazo_containment,
+        sketch_column,
+    )
+    from auctus_ray.functions.joinsearch import (
+        distinct_str_values as _distinct,
+    )
+    from auctus_ray.functions.scalars import decode_dataset_id
+    from auctus_ray.pipelines.unionsearch import _tclass, score_candidate
     from auctus_ray.sources.ingest import read_table_auto
 
-    if column is not None:
-        j = join_search_catalog(catalog_dir, query_path, column, exclude=exclude)
-        j_rows = list(
-            zip(
-                j["dataset_id"].to_pylist(),
-                [f"{column}->{c}" for c in j["column_name"].to_pylist()],
-                j["containment"].to_pylist(),
-            )
-        )
-    else:
-        schema = read_table_auto(query_path).schema()
-        best: dict[str, tuple[str, float]] = {}
-        for name, typ in zip(schema.names, schema.types):
-            if not (pa.types.is_string(typ) or pa.types.is_large_string(typ)):
-                continue
-            t = join_search_catalog(catalog_dir, query_path, name, exclude=exclude)
-            for d_, c_, s_ in zip(
-                t["dataset_id"].to_pylist(),
-                t["column_name"].to_pylist(),
-                t["containment"].to_pylist(),
-            ):
-                if s_ > best.get(d_, ("", -1.0))[1]:
-                    best[d_] = (f"{name}->{c_}", s_)
-        j_rows = sorted(
-            ((d_, det, s_) for d_, (det, s_) in best.items()),
-            key=lambda r: (-r[2], r[0]),
-        )
-    u = union_search_catalog(catalog_dir, query_path, k=k, exclude=exclude)
-    u_rows = list(
-        zip(
-            u["dataset_id"].to_pylist(),
-            u["matched"].to_pylist(),
-            u["score"].to_pylist(),
-        )
+    qds = read_table_auto(query_path).materialize()
+    schema = qds.schema()
+    query_cols = [
+        (n.lower(), _tclass(t)) for n, t in zip(schema.names, schema.types)
+    ]
+    nq = max(1, len(query_cols))
+    sketch_names = (
+        [column]
+        if column is not None
+        else [
+            n
+            for n, t in zip(schema.names, schema.types)
+            if pa.types.is_string(t) or pa.types.is_large_string(t)
+        ]
     )
+    q_sketches = {
+        n: sketch_column(_distinct(qds, n)) for n in sketch_names
+    }
+
+    best: dict[str, tuple[str, float]] = {}
+    u_scored: list[tuple] = []
+    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
+        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
+        if full_id in exclude:
+            continue
+        t = pq.read_table(f)
+        cand_cols = []
+        for r in t.to_pylist():
+            cand_cols.append((r["column_name"].lower(), r.get("tclass", "")))
+            if r["card"] < 0:
+                continue
+            c = LazoSketch(
+                r["n_perm"], np.frombuffer(r["mins"], np.int64), r["card"]
+            )
+            for qn, qsk in q_sketches.items():
+                if qsk.n_perm != r["n_perm"]:
+                    continue
+                s_ = lazo_containment(qsk, c)
+                if s_ > best.get(full_id, ("", -1.0))[1]:
+                    best[full_id] = (f"{qn}->{r['column_name']}", s_)
+        hit = score_candidate(query_cols, cand_cols)
+        if hit is not None:
+            n_pairs, sum_sim_e9, matched = hit
+            u_scored.append((full_id, matched, sum_sim_e9))
+    j_rows = sorted(
+        (
+            (d_, det, float(np.floor(s_ * 1e6 + 0.5) / 1e6))
+            for d_, (det, s_) in best.items()
+        ),
+        key=lambda r: (-r[2], r[0]),
+    )
+    u_scored.sort(key=lambda r: (-r[2], r[0]))
+    u_rows = [
+        (d_, m_, float(np.floor(s_ / (nq * 1e9) * 1e6 + 0.5) / 1e6))
+        for d_, m_, s_ in u_scored[:k]
+    ]
     rows: list[tuple[str, str, str, float]] = []
     for i in range(max(len(j_rows), len(u_rows))):
         if i < len(j_rows):

@@ -310,6 +310,11 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
                         if ctype == "s" and val != "":
                             val = shared[int(val)]
                     cells[col] = val
+                # trim trailing EMPTY cells: a value-less styled cell
+                # (<c r="Z3" s="1"/>) must not inflate the sheet width
+                # with phantom columns
+                while cells and cells[-1] == "":
+                    cells.pop()
                 rows.append(cells)
                 el.clear()  # free the row subtree
         width = max((len(r) for r in rows), default=0)

@@ -596,3 +596,57 @@ def test_augmentation_search_catalog(ray_session, tmp_path):
     assert unions and unions[0]["dataset_id"] == "localdir.more_cities"
     assert "city=citty" in unions[0]["detail"]
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+
+def test_backfill_sketches_and_error_parking(ray_session, tmp_path):
+    """(1) Datasets profiled before the sketch catalog existed are
+    invisible to catalog search until backfill_sketches() writes their
+    files (no re-profiling). (2) A poison file is parked after its
+    error mark — not retried on every drain — until reprocess_all or a
+    content change re-queues it."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        join_search_catalog,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    vals = [f"v{i}" for i in range(80)]
+    pq.write_table(
+        pa.table({"name": pa.array(vals, pa.string())}),
+        str(src / "full.parquet"),
+    )
+    pq.write_table(
+        pa.table({"alias": pa.array(vals[:30], pa.string())}),
+        str(src / "part.parquet"),
+    )
+    (src / "bad.xlsx").write_bytes(b"PK\x03\x04" + b"\x00" * 40)
+    cat = str(tmp_path / "cat")
+    d = LocalDirectoryDiscoverer("localdir", cat, str(src))
+    d.discover_datasets()
+    done = d.profile_pending(include_sample=False, column_sketches=False)
+    assert sorted(done) == ["localdir.full", "localdir.part"]
+    # error parked: the poison file is NOT pending anymore
+    assert d.pending() == []
+    assert d.profile_pending(include_sample=False) == []
+
+    # no sketches yet -> catalog search is empty; backfill fills it
+    assert join_search_catalog(
+        cat, str(src / "part.parquet"), "alias",
+        exclude={"localdir.part"},
+    ).num_rows == 0
+    ids = d.backfill_sketches()
+    assert "localdir.full" in ids
+    out = join_search_catalog(
+        cat, str(src / "part.parquet"), "alias",
+        exclude={"localdir.part"},
+    ).to_pylist()
+    assert out and out[0]["dataset_id"] == "localdir.full"
+    assert out[0]["containment"] > 0.8
+
+    # reprocess_all re-queues EVERY attempted dataset — including the
+    # parked error (a profiler upgrade may fix the decode)
+    assert d.reprocess_all() == 3
+    assert {x["id"] for x in d.pending()} == {
+        "localdir.bad", "localdir.full", "localdir.part",
+    }
