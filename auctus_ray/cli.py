@@ -495,7 +495,11 @@ def cmd_seg(args) -> int:
             "hits": s.hydrate_hits(d, sc).to_pylist(),
         }, default=str))
     elif args.action == "delete":
-        n = seg.delete_docs(args.root, args.values.split(","), column=args.column)
+        values = [v for v in args.values.split(",") if v]
+        if not values:
+            print(json.dumps({"error": "delete requires --values"}))
+            return 2
+        n = seg.delete_docs(args.root, values, column=args.column)
         print(json.dumps({"tombstones": n}))
     elif args.action == "compact":
         _ray_up(args.num_cpus)

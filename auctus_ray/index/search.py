@@ -502,15 +502,30 @@ class Searcher:
         numeric comparison — ("<=", x), (">=", x) or ("range", lo, hi)
         — over a float-castable docmap attribute (the reference's
         temporal/spatial coverage range queries, search/__init__.py:
-        212-330). Docs with a null attribute never match (NaN compares
-        false), the ES missing-field semantics."""
+        212-330), or ("has", token) — token membership within a
+        space-joined multi-valued keyword attr (the reference's nested
+        per-column terms query, search/__init__.py:212-330: ANY column
+        matching the term qualifies the doc). Docs with a null
+        attribute never match (NaN compares false), the ES
+        missing-field semantics."""
         deleted = self.deleted_ids
         if not filters and (deleted is None or deleted.size == 0):
             return None
         base = None
         mask = None
         for attr, allowed in (filters or {}).items():
-            if isinstance(allowed, tuple) and allowed and allowed[0] in (
+            if isinstance(allowed, tuple) and allowed and allowed[0] == "has":
+                b, codes, values = self._shard_attr_codes(shard_file, attr)
+                tok = allowed[1]
+                allowed_ids = np.array(
+                    [
+                        i for i, v in enumerate(values)
+                        if v and tok in v.split()
+                    ],
+                    dtype=np.int32,
+                )
+                m = np.isin(codes, allowed_ids)
+            elif isinstance(allowed, tuple) and allowed and allowed[0] in (
                 "<=", ">=", "range",
             ):
                 b, vals = self._shard_attr_numeric(shard_file, attr)

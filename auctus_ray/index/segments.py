@@ -255,6 +255,7 @@ def add_segment(
     column_map: dict[str, str] | None = None,
     content_col: str = "content",
     attrs: list[str] | tuple | None = None,
+    _register: bool = True,
     **build_kwargs,
 ) -> BuildResult:
     """Build + register one immutable segment. Content-fingerprinted
@@ -264,7 +265,12 @@ def add_segment(
     manifest, registration is retried). Inputs under
     SMALL_SEGMENT_BYTES build in-process (output-identical fast path);
     larger ones run the distributed checkpointed build. ``attrs``
-    columns ride into the docmap for filter context (build_index)."""
+    columns ride into the docmap for filter context (build_index).
+
+    ``_register=False`` builds WITHOUT touching segments.json — compact()
+    uses it so the merged segment's registration and the source
+    segments' removal happen in ONE atomic segments.json write (a crash
+    can never leave merged + sources simultaneously registered)."""
     paths = _resolve_paths(input_paths)
     attrs = tuple(attrs or ())
     fp = fingerprint(
@@ -288,22 +294,29 @@ def add_segment(
             column_map=column_map, content_col=content_col, attrs=attrs,
             **build_kwargs,
         )
-    entries = load_segments(root)
-    if not any(e["name"] == name for e in entries):
-        entries.append(
-            {
-                "name": name,
-                "inputs": paths,
-                "analyzer": analyzer,
-                "column_map": column_map,
-                "content_col": content_col,
-                "attrs": list(attrs),
-                "n_docs": res.n_docs,
-                "n_tokens": res.n_tokens,
-            }
-        )
-        _atomic_json(os.path.join(root, SEGMENTS_FILE), entries)
+    if _register:
+        entries = load_segments(root)
+        if not any(e["name"] == name for e in entries):
+            entries.append(
+                _segment_entry(
+                    name, paths, analyzer, column_map, content_col, attrs, res
+                )
+            )
+            _atomic_json(os.path.join(root, SEGMENTS_FILE), entries)
     return res
+
+
+def _segment_entry(name, paths, analyzer, column_map, content_col, attrs, res):
+    return {
+        "name": name,
+        "inputs": paths,
+        "analyzer": analyzer,
+        "column_map": column_map,
+        "content_col": content_col,
+        "attrs": list(attrs),
+        "n_docs": res.n_docs,
+        "n_tokens": res.n_tokens,
+    }
 
 
 def delete_docs(root: str, values: list, column: str = "path") -> int:
@@ -404,15 +417,25 @@ def compact(
         build_inputs = paths
 
     n_shards = build_kwargs.pop("n_shards", None)
+    # build the merged segment UNREGISTERED, then swap registration in a
+    # single atomic segments.json write (merged in, sources out) — a
+    # crash before the swap leaves only an orphan directory, never a
+    # state where merged + sources are both registered (duplicate docs,
+    # inflated df/n_docs)
     res = add_segment(
         root, build_inputs, analyzer=analyzer, n_shards=n_shards,
         column_map=column_map, content_col=content_col, attrs=attrs,
-        **build_kwargs,
+        _register=False, **build_kwargs,
     )
     merged_name = os.path.basename(res.index_dir)
     entries = load_segments(root)
     sel_names = {e["name"] for e in sel}
-    merged_entry = [e for e in entries if e["name"] == merged_name]
+    merged_entry = [e for e in entries if e["name"] == merged_name] or [
+        _segment_entry(
+            merged_name, _resolve_paths(build_inputs), analyzer,
+            column_map, content_col, attrs, res,
+        )
+    ]
     kept = [
         e for e in entries
         if e["name"] not in sel_names and e["name"] != merged_name

@@ -393,10 +393,12 @@ class Discoverer:
             them, apiserver/search/__init__.py:212-330; scalar hull
             bounds give identical intersects semantics for single-range
             docs and a superset — candidate, never missing — for
-            multi-range ones). t_res flattens to the FIRST temporal
-            column's resolution."""
+            multi-range ones). t_res keeps EVERY temporal column's
+            resolution as a space-joined keyword (like dtypes) so a
+            granularity filter matches any column — the reference's
+            per-column nested terms query (search/__init__.py:212-330)."""
             t_min = t_max = None
-            t_res = ""
+            t_res_set: list[str] = []
             for tc in doc.get("temporal_coverage") or []:
                 for r in tc.get("ranges") or []:
                     g = r.get("range", {})
@@ -404,8 +406,10 @@ class Discoverer:
                         t_min = g["gte"] if t_min is None else min(t_min, g["gte"])
                     if g.get("lte") is not None:
                         t_max = g["lte"] if t_max is None else max(t_max, g["lte"])
-                if not t_res and tc.get("temporal_resolution"):
-                    t_res = str(tc["temporal_resolution"])
+                res = tc.get("temporal_resolution")
+                if res and str(res) not in t_res_set:
+                    t_res_set.append(str(res))
+            t_res = " ".join(t_res_set)
             lat_min = lat_max = lon_min = lon_max = None
             for sc in doc.get("spatial_coverage") or []:
                 for r in sc.get("ranges") or []:
@@ -582,7 +586,9 @@ def search_datasets(
         filters["lat_min"] = ("<=", max(lat1, lat2))
         filters["lat_max"] = (">=", min(lat1, lat2))
     if granularity is not None:
-        filters["t_res"] = [granularity]
+        # token-membership: t_res is space-joined across ALL temporal
+        # columns; any column at the requested resolution qualifies
+        filters["t_res"] = ("has", granularity)
     offset = (page - 1) * k
     try:
         if facets:
@@ -642,7 +648,9 @@ class LocalDirectoryDiscoverer(Discoverer):
     shape of the reference's socrata/zenodo/... directory plugins
     without their network clients."""
 
-    EXTENSIONS = (".parquet", ".csv", ".tsv", ".xlsx", ".txt")
+    EXTENSIONS = (
+        ".parquet", ".csv", ".tsv", ".xlsx", ".xls", ".sav", ".dta", ".txt",
+    )
 
     def __init__(self, identifier: str, catalog_dir: str, root: str):
         super().__init__(identifier, catalog_dir)

@@ -79,7 +79,11 @@ def ole2_stream(data: bytes, names=("Workbook", "Book")) -> bytes:
     # u32 points at the next DIFAT sector
     difat: list[int] = list(struct.unpack_from("<109I", data, 76))
     s = difat_start
+    difat_seen: set[int] = set()
     while s not in (_ENDCHAIN, _FREE):
+        if s in difat_seen:
+            raise XlsError("cyclic DIFAT chain")
+        difat_seen.add(s)
         raw = sector(s)
         difat.extend(struct.unpack_from(f"<{ssz // 4 - 1}I", raw, 0))
         s = _u32(raw, ssz - 4)[0]

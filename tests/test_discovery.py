@@ -275,6 +275,28 @@ def test_coverage_filtered_search(ray_session, tmp_path):
         pa.table({"k": pa.array(np.arange(50), pa.int64())}),
         str(src / "plain.parquet"),
     )
+    # TWO temporal columns at different resolutions: a granularity
+    # filter must match on ANY column's resolution, not just the first
+    # (reference nests per-column temporal_resolution terms,
+    # apiserver/search/__init__.py:212-330)
+    months = np.arange("2012-01", "2022-01", dtype="datetime64[M]")
+    pq.write_table(
+        pa.table(
+            {
+                "obs_day": pa.array(
+                    [str(d) + "T00:00:00" for d in days[: months.size]],
+                    pa.string(),
+                ),
+                "period_month": pa.array(
+                    [str(m) + "-01T00:00:00" for m in months], pa.string()
+                ),
+                "val": pa.array(
+                    np.arange(months.size, dtype=np.float64), pa.float64()
+                ),
+            }
+        ),
+        str(src / "mixed.parquet"),
+    )
 
     cat = str(tmp_path / "cat")
     root = str(tmp_path / "segroot")
@@ -282,7 +304,8 @@ def test_coverage_filtered_search(ray_session, tmp_path):
     d.discover_datasets()
     done = d.profile_pending(seg_root=root, include_sample=False)
     assert sorted(done) == [
-        "localdir.plain", "localdir.trips", "localdir.weather",
+        "localdir.mixed", "localdir.plain", "localdir.trips",
+        "localdir.weather",
     ]
 
     def ids(**kw):
@@ -291,37 +314,50 @@ def test_coverage_filtered_search(ray_session, tmp_path):
         )
 
     # unfiltered keyword hit: every dataset (id text contains 'localdir')
-    assert ids() == ["localdir.plain", "localdir.trips", "localdir.weather"]
-    # temporal intersect: only the 2015 daily table
-    assert ids(temporal=("2015-06-01", "2015-07-01")) == ["localdir.weather"]
-    # one-sided: start after all coverage -> nothing
-    assert ids(temporal=("2020-01-01", None)) == []
-    # one-sided: end before everything -> nothing; end inside -> weather
+    assert ids() == [
+        "localdir.mixed", "localdir.plain", "localdir.trips",
+        "localdir.weather",
+    ]
+    # temporal intersect: the 2015 daily table + mixed (2012-2021 months)
+    assert ids(temporal=("2015-06-01", "2015-07-01")) == [
+        "localdir.mixed", "localdir.weather",
+    ]
+    # one-sided: start after weather's coverage -> only mixed reaches 2020
+    assert ids(temporal=("2020-01-01", None)) == ["localdir.mixed"]
+    # one-sided: end before everything -> nothing; end inside -> both
     assert ids(temporal=(None, "2010-01-01")) == []
-    assert ids(temporal=(None, "2015-02-01")) == ["localdir.weather"]
+    assert ids(temporal=(None, "2015-02-01")) == [
+        "localdir.mixed", "localdir.weather",
+    ]
     # bbox intersect: only the NYC trips table
     assert ids(bbox=(-74.2, 40.5, -73.5, 41.0)) == ["localdir.trips"]
     assert ids(bbox=(10.0, 50.0, 11.0, 51.0)) == []
-    # granularity term filter
-    assert ids(granularity="day") == ["localdir.weather"]
+    # granularity term filter: matches ANY temporal column's resolution
+    # (mixed has day AND month columns — the flatten-to-first bug would
+    # miss one of them)
+    assert ids(granularity="day") == ["localdir.mixed", "localdir.weather"]
+    assert ids(granularity="month") == ["localdir.mixed"]
     assert ids(granularity="year") == []
     # filters compose (AND): spatial bbox + wrong source -> nothing
     assert ids(bbox=(-74.2, 40.5, -73.5, 41.0), source=["elsewhere"]) == []
 
-    # dataset-type facet: trips = spatial+numerical, weather =
+    # dataset-type facet: trips = spatial+numerical, weather/mixed =
     # temporal+numerical, plain = numerical (reference 'type' agg over
     # the multi-valued types field, core.py:729-746)
     out = search_datasets(root, "localdir", k=10, facets=True)
-    assert out["facets"]["type"] == {"numerical": 3, "spatial": 1, "temporal": 1}
-    assert out["total"] == 3
+    assert out["facets"]["type"] == {"numerical": 4, "spatial": 1, "temporal": 2}
+    assert out["total"] == 4
 
     # compaction carries the attrs: same filtered results afterwards
     from auctus_ray.index.segments import compact, load_segments
 
     compact(root, n_shards=1)
     assert len(load_segments(root)) == 1
-    assert ids(temporal=("2015-06-01", "2015-07-01")) == ["localdir.weather"]
+    assert ids(temporal=("2015-06-01", "2015-07-01")) == [
+        "localdir.mixed", "localdir.weather",
+    ]
     assert ids(bbox=(-74.2, 40.5, -73.5, 41.0)) == ["localdir.trips"]
+    assert ids(granularity="month") == ["localdir.mixed"]
 
 
 def test_dataset_search_facets_and_pagination(ray_session, tmp_path):

@@ -138,6 +138,50 @@ def test_registration_crash_heals(seg_root, small_corpus):
     assert load_segments(seg_root) == before
 
 
+def test_compact_swap_is_atomic(ray_session, small_corpus, tmp_path_factory,
+                                monkeypatch):
+    """A crash during compact's registration swap must never leave the
+    merged segment AND its sources simultaneously registered (that
+    state duplicates documents and inflates df/n_docs). The merged
+    segment registers in the SAME atomic segments.json write that drops
+    the sources — so a crash before the swap leaves only the original
+    sources plus an orphan directory, and retrying completes."""
+    import auctus_ray.index.segments as segmod
+
+    _, paths = small_corpus
+    root = str(tmp_path_factory.mktemp("seg_atomic"))
+    add_segment(root, paths[:2], n_shards=2, files_per_group=2)
+    add_segment(root, paths[2:], n_shards=2, files_per_group=2)
+    before = load_segments(root)
+    assert len(before) == 2
+
+    real = segmod._atomic_json
+
+    def crash_on_swap(path, obj):
+        if path.endswith(segmod.SEGMENTS_FILE):
+            raise RuntimeError("simulated crash during swap")
+        return real(path, obj)
+
+    monkeypatch.setattr(segmod, "_atomic_json", crash_on_swap)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        compact(root, n_shards=2)
+    monkeypatch.setattr(segmod, "_atomic_json", real)
+
+    # pre-swap crash: registration unchanged — never merged+sources both
+    assert load_segments(root) == before
+    s = SegmentedSearcher(root)
+    d, _ = s.search("the license", k=50, operator="or")
+    hits = s.hydrate_hits(d, _[: len(d)]).to_pylist()
+    keys = [(r["repo"], r["path"], r["commit"]) for r in hits]
+    assert len(keys) == len(set(keys))  # no duplicated documents
+
+    # retry completes: exactly one registered segment, same corpus size
+    compact(root, n_shards=2)
+    after = load_segments(root)
+    assert len(after) == 1
+    assert after[0]["n_docs"] == sum(e["n_docs"] for e in before)
+
+
 def test_wand_bound_safety_mixed_avgdl(ray_session, tmp_path_factory):
     """Segments with very different document lengths: the merged avgdl
     exceeds the short segment's build avgdl, so its stored block-max

@@ -257,6 +257,24 @@ def test_xls_multisheet_fails_fast(tmp_path):
         read_table_auto(str(p))
 
 
+def test_xls_cyclic_difat_raises():
+    """A crafted DIFAT sector that points back at itself must raise
+    XlsError, not loop forever with unbounded memory growth (the
+    discovery drain's poison-file handling catches exceptions, not
+    hangs)."""
+    from auctus_ray.sources.xls import XlsError, ole2_stream
+
+    data = bytearray(_ole2_wrap(_workbook_stream(), pad_regular=True))
+    # append a DIFAT sector whose next-pointer (last u32) is itself
+    self_idx = len(data) // 512 - 1  # sector n starts at (n+1)*512
+    sect = struct.pack(f"<{512 // 4 - 1}I", *([FREE] * (512 // 4 - 1)))
+    sect += struct.pack("<I", self_idx)
+    data += sect
+    struct.pack_into("<I", data, 68, self_idx)  # header DIFAT start
+    with pytest.raises(XlsError, match="cyclic DIFAT"):
+        ole2_stream(bytes(data))
+
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
