@@ -41,9 +41,12 @@ class Discoverer:
     ``discover_datasets``, call ``record_dataset`` for each find."""
 
     def __init__(self, identifier: str, catalog_dir: str):
+        from auctus_ray.sources.sketchtable import SketchTable
+
         self.identifier = identifier
         self.catalog_dir = catalog_dir
         self.catalog = Manifest(catalog_dir)
+        self.sketch_table = SketchTable(catalog_dir)
 
     # -- plugin hook ------------------------------------------------------
     def discover_datasets(self) -> None:  # pragma: no cover - interface
@@ -134,9 +137,10 @@ class Discoverer:
         prof = self._profile_path(full_id)
         if os.path.exists(prof):
             os.remove(prof)
-        sk = self._sketch_path(full_id)
-        if os.path.exists(sk):
-            os.remove(sk)
+        # sketch rows tombstone out of the catalog table (hidden at
+        # query time, purged by the next sketch-table compaction)
+        self.sketch_table.delete(full_id)
+        self.catalog.mark("sketched", full_id, "tombstone", "deleted")
         # the stored shared-storage copy goes too (discovery.py:155-158)
         stored = self._shared_storage_path(full_id)
         if stored:
@@ -178,14 +182,17 @@ class Discoverer:
 
     def backfill_sketches(self) -> list[str]:
         """Write column sketches for live datasets profiled BEFORE the
-        sketch catalog existed (catalog search iterates sketch files
+        sketch catalog existed (catalog search reads the sketch table
         only, so un-sketched datasets would be silently invisible to
         join/union/augmentation search). Much cheaper than
         reprocess_all: no re-profiling, one materialized read per
-        missing dataset. Returns the backfilled ids."""
+        missing dataset; all backfilled rows land as ONE table append.
+        Returns the backfilled ids."""
         done = []
+        rows_by_dataset: dict[str, list[dict]] = {}
+        fps: dict[str, str] = {}
         for d in self.datasets():
-            if os.path.exists(self._sketch_path(d["id"])):
+            if self.catalog.is_done("sketched", d["id"], d["fingerprint"]):
                 continue
             last = self.catalog.latest("profiled", d["id"])
             if last is None or last["status"] != "done":
@@ -196,10 +203,15 @@ class Discoverer:
             if not path or not os.path.exists(path):
                 continue
             try:
-                self._write_column_sketches(d["id"], path)
+                rows_by_dataset[d["id"]] = self._column_sketch_rows(path)
             except Exception:  # noqa: BLE001 — poison files stay absent
                 continue
+            fps[d["id"]] = d["fingerprint"]
             done.append(d["id"])
+        if rows_by_dataset:
+            self.sketch_table.append(rows_by_dataset)
+            for fid, fp in fps.items():
+                self.catalog.mark("sketched", fid, fp, "done")
         return done
 
     def reprocess_all(self) -> int:
@@ -223,29 +235,21 @@ class Discoverer:
             self.catalog_dir, "profiles", encode_dataset_id(full_id) + ".json"
         )
 
-    def _sketch_path(self, full_id: str) -> str:
-        return os.path.join(
-            self.catalog_dir, "sketches", encode_dataset_id(full_id) + ".parquet"
-        )
-
-    def _write_column_sketches(self, full_id: str, path: str,
-                               n_perm: int = 128) -> None:
-        """Lazo sketches for every string-typed column, persisted as one
-        parquet per dataset under catalog/sketches — the role of the
-        reference's Lazo SERVER (the profiler pushes each textual
+    def _column_sketch_rows(self, path: str, n_perm: int = 128) -> list[dict]:
+        """Lazo sketch rows for every column of one dataset — the role
+        of the reference's profiler->Lazo-server push (each textual
         column's sketch, core.py:475-521; join search later queries the
-        server across the whole catalog, apiserver/search/join.py:
-        141-170). Sketch files are catalog-metadata-sized (n_perm ints
-        + a cardinality per column)."""
+        server's single index across the whole catalog,
+        apiserver/search/join.py:141-170). Rows are catalog-metadata-
+        sized (n_perm ints + a cardinality per column); they append to
+        the partitioned sketch TABLE once per drain."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
         from auctus_ray.functions.joinsearch import (
             distinct_str_values, sketch_column,
         )
-        from auctus_ray.sources.ingest import read_table_auto
-
         from auctus_ray.pipelines.unionsearch import _tclass
+        from auctus_ray.sources.ingest import read_table_auto
 
         # ONE read for all columns: per-column sketch pipelines execute
         # off the materialized blocks instead of re-scanning the source
@@ -260,7 +264,7 @@ class Discoverer:
             else:
                 # non-string columns carry no Lazo sketch (card -1) but
                 # DO record their type class: union search matches
-                # schemas across the whole catalog from this file alone
+                # schemas across the whole catalog from these rows alone
                 card, mins = -1, b""
             rows.append(
                 {
@@ -271,22 +275,7 @@ class Discoverer:
                     "mins": mins,
                 }
             )
-        os.makedirs(os.path.join(self.catalog_dir, "sketches"), exist_ok=True)
-        out = self._sketch_path(full_id)
-        tbl = pa.Table.from_pylist(
-            rows,
-            schema=pa.schema(
-                [
-                    ("column_name", pa.string()),
-                    ("tclass", pa.string()),
-                    ("n_perm", pa.int32()),
-                    ("card", pa.int64()),
-                    ("mins", pa.large_binary()),
-                ]
-            ),
-        )
-        pq.write_table(tbl, out + ".tmp")
-        os.replace(out + ".tmp", out)
+        return rows
 
     def profile_pending(
         self,
@@ -315,6 +304,8 @@ class Discoverer:
         os.makedirs(os.path.join(self.catalog_dir, "profiles"), exist_ok=True)
         done = []
         to_index = []
+        sketch_rows: dict[str, list[dict]] = {}
+        sketch_fps: dict[str, str] = {}
         for d in self.pending():
             # shared storage wins over re-materialization (reference:
             # "materialization won't occur for datasets that are in
@@ -331,7 +322,8 @@ class Discoverer:
             try:
                 doc = profile_dataset_document(path, **profile_kwargs)
                 if column_sketches:
-                    self._write_column_sketches(d["id"], path)
+                    sketch_rows[d["id"]] = self._column_sketch_rows(path)
+                    sketch_fps[d["id"]] = d["fingerprint"]
             except Exception as e:  # noqa: BLE001 — a poison file (bad
                 # decode, unsupported subset) or a failed sketch pass
                 # must not wedge the whole drain: journal the error
@@ -350,6 +342,15 @@ class Discoverer:
             os.replace(tmp, self._profile_path(d["id"]))
             done.append(d["id"])
             to_index.append((d, doc))
+        if sketch_rows:
+            # ONE sketch-table append per drain (file count grows with
+            # drains, not datasets); lands BEFORE the 'profiled' marks
+            # so a crash re-runs the idempotent append (the retry
+            # supersedes the orphaned first write via the stale map)
+            self.sketch_table.append(sketch_rows)
+            for fid, fp in sketch_fps.items():
+                self.catalog.mark("sketched", fid, fp, "done")
+            self.sketch_table.maybe_compact()
         if seg_root is not None and to_index:
             self._index_batch(seg_root, to_index)
         for d, doc in to_index:
@@ -684,50 +685,29 @@ def join_search_catalog(
     exclude: set[str] | frozenset[str] = frozenset(),
 ) -> pa.Table:
     """Joinable-dataset search across EVERY profiled dataset in the
-    catalog: sketch the query column, score it against the persisted
-    per-column Lazo sketches (the reference's lazo_client.query flow,
-    apiserver/search/join.py:141-170), rank by containment, cap at
-    MAX_LAZO_CANDIDATES. The candidate side reads only sketch files
-    (n_perm ints + a cardinality per column — catalog-metadata-sized);
-    no dataset is re-scanned at query time. ``exclude`` drops the
-    query's own dataset id (reference ignore_datasets)."""
-    import glob as _glob
-
-    import numpy as np
-    import pyarrow.parquet as pq
-
+    catalog: sketch the query column, score it against the partitioned
+    sketch TABLE (the reference's lazo_client.query flow against the
+    Lazo server's single index, apiserver/search/join.py:141-170), rank
+    by containment, cap at MAX_LAZO_CANDIDATES. The candidate side is
+    one distributed Dataset pipeline over catalog-metadata-sized rows —
+    no per-dataset file opens, no driver-side scoring loop, no dataset
+    re-scans at query time. ``exclude`` drops the query's own dataset
+    id (reference ignore_datasets)."""
     from auctus_ray.functions.joinsearch import (
         MAX_LAZO_CANDIDATES,
-        LazoSketch,
-        _rank_and_cap,
         distinct_str_values,
-        lazo_containment,
         sketch_column,
     )
-    from auctus_ray.functions.scalars import decode_dataset_id
     from auctus_ray.sources.ingest import read_table_auto
+    from auctus_ray.sources.sketchtable import SketchTable, join_scores
 
     q = sketch_column(
         distinct_str_values(read_table_auto(query_path), column), n_perm
     )
-    rows: list[tuple[str, str, float]] = []
-    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
-        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
-        if full_id in exclude:
-            continue
-        t = pq.read_table(f)
-        for r in t.to_pylist():
-            if r["n_perm"] != n_perm or r["card"] < 0:
-                # mismatched permutation counts never compare; card -1
-                # marks an unsketched (non-string) column
-                continue
-            c = LazoSketch(
-                r["n_perm"], np.frombuffer(r["mins"], np.int64), r["card"]
-            )
-            rows.append(
-                (full_id, r["column_name"], lazo_containment(q, c))
-            )
-    return _rank_and_cap(rows, k or MAX_LAZO_CANDIDATES)
+    return join_scores(
+        SketchTable(catalog_dir), q, exclude=exclude,
+        k=k or MAX_LAZO_CANDIDATES,
+    )
 
 
 def union_search_catalog(
@@ -739,46 +719,29 @@ def union_search_catalog(
     """Unionable-dataset search across EVERY profiled dataset: fuzzy
     1-1 column matching (ES AUTO fuzziness + 3-gram name similarity +
     type-class equality, the reference union flow apiserver/search/
-    union.py:13-87) between the query table's schema and each
-    catalog dataset's recorded (column, type-class) listing — query
-    time reads only the sketch/schema files. Both sides classify
+    union.py:13-87) between the query table's schema and each catalog
+    dataset's recorded (column, type-class) rows in the partitioned
+    sketch table — a distributed groupby(dataset_id).map_groups over a
+    mins-pruned read, not a driver file loop. Both sides classify
     through the SAME Arrow `_tclass`, recorded at profile time.
     Returns (rank, dataset_id, matched, n_pairs, score) — score =
     sum of pair similarities / n_query_columns, the reference's
     dataset score."""
-    import glob as _glob
-
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from auctus_ray.functions.scalars import decode_dataset_id
-    from auctus_ray.pipelines.unionsearch import _tclass, score_candidate
+    from auctus_ray.pipelines.unionsearch import _tclass
     from auctus_ray.sources.ingest import read_table_auto
+    from auctus_ray.sources.sketchtable import SketchTable, union_scores
 
     qschema = read_table_auto(query_path).schema()
     query_cols = [
         (n.lower(), _tclass(t)) for n, t in zip(qschema.names, qschema.types)
     ]
     nq = max(1, len(query_cols))
-    scored: list[tuple] = []
-    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
-        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
-        if full_id in exclude:
-            continue
-        t = pq.read_table(f, columns=["column_name", "tclass"])
-        cand_cols = [
-            (n.lower(), tc)
-            for n, tc in zip(
-                t["column_name"].to_pylist(), t["tclass"].to_pylist()
-            )
-        ]
-        hit = score_candidate(query_cols, cand_cols)
-        if hit is not None:
-            n_pairs, sum_sim_e9, matched = hit
-            scored.append((full_id, matched, n_pairs, sum_sim_e9))
-    scored.sort(key=lambda r: (-r[3], r[0]))
-    scored = scored[:k]
+    scored = union_scores(
+        SketchTable(catalog_dir), query_cols, exclude=exclude, k=k
+    )
     score6 = [
         float(np.floor(s / (nq * 1e9) * 1e6 + 0.5) / 1e6)
         for _, _, _, s in scored
@@ -810,26 +773,24 @@ def augmentation_search_catalog(
     __init__.py:369-420): join candidates (Lazo containment of
     ``column``; every string column of the query when omitted — take
     the best per dataset) zip-interleaved with union candidates (fuzzy
-    schema match), capped at ``k``. Query time makes ONE pass over the
-    catalog sketch/schema files (all query-column sketches scored per
-    file) and ONE materialized read of the query table."""
-    import glob as _glob
-
+    schema match), capped at ``k``. Both sides run as distributed
+    Dataset pipelines over the partitioned sketch table (all
+    query-column sketches scored per batch) with ONE materialized read
+    of the query table."""
     import numpy as np
     import pyarrow as pa
-    import pyarrow.parquet as pq
 
-    from auctus_ray.functions.joinsearch import (
-        LazoSketch,
-        lazo_containment,
-        sketch_column,
-    )
+    from auctus_ray.functions.joinsearch import sketch_column
     from auctus_ray.functions.joinsearch import (
         distinct_str_values as _distinct,
     )
-    from auctus_ray.functions.scalars import decode_dataset_id
-    from auctus_ray.pipelines.unionsearch import _tclass, score_candidate
+    from auctus_ray.pipelines.unionsearch import _tclass
     from auctus_ray.sources.ingest import read_table_auto
+    from auctus_ray.sources.sketchtable import (
+        SketchTable,
+        join_best_per_dataset,
+        union_scores,
+    )
 
     qds = read_table_auto(query_path).materialize()
     schema = qds.schema()
@@ -850,42 +811,13 @@ def augmentation_search_catalog(
         n: sketch_column(_distinct(qds, n)) for n in sketch_names
     }
 
-    best: dict[str, tuple[str, float]] = {}
-    u_scored: list[tuple] = []
-    for f in sorted(_glob.glob(os.path.join(catalog_dir, "sketches", "*.parquet"))):
-        full_id = decode_dataset_id(os.path.basename(f)[: -len(".parquet")])
-        if full_id in exclude:
-            continue
-        t = pq.read_table(f)
-        cand_cols = []
-        for r in t.to_pylist():
-            cand_cols.append((r["column_name"].lower(), r.get("tclass", "")))
-            if r["card"] < 0:
-                continue
-            c = LazoSketch(
-                r["n_perm"], np.frombuffer(r["mins"], np.int64), r["card"]
-            )
-            for qn, qsk in q_sketches.items():
-                if qsk.n_perm != r["n_perm"]:
-                    continue
-                s_ = lazo_containment(qsk, c)
-                if s_ > best.get(full_id, ("", -1.0))[1]:
-                    best[full_id] = (f"{qn}->{r['column_name']}", s_)
-        hit = score_candidate(query_cols, cand_cols)
-        if hit is not None:
-            n_pairs, sum_sim_e9, matched = hit
-            u_scored.append((full_id, matched, sum_sim_e9))
-    j_rows = sorted(
-        (
-            (d_, det, float(np.floor(s_ * 1e6 + 0.5) / 1e6))
-            for d_, (det, s_) in best.items()
-        ),
-        key=lambda r: (-r[2], r[0]),
-    )
-    u_scored.sort(key=lambda r: (-r[2], r[0]))
+    table = SketchTable(catalog_dir)
+    j_rows = join_best_per_dataset(table, q_sketches, exclude=exclude, k=k)
     u_rows = [
         (d_, m_, float(np.floor(s_ / (nq * 1e9) * 1e6 + 0.5) / 1e6))
-        for d_, m_, s_ in u_scored[:k]
+        for d_, m_, _n, s_ in union_scores(
+            table, query_cols, exclude=exclude, k=k
+        )
     ]
     rows: list[tuple[str, str, str, float]] = []
     for i in range(max(len(j_rows), len(u_rows))):

@@ -226,6 +226,61 @@ def test_reprocess_all_versioned_replace(ray_session, tmp_path, source_dir):
     assert d.profile_pending(seg_root=root) == []
 
 
+def test_drain_crash_after_index_heals(ray_session, tmp_path, source_dir,
+                                       monkeypatch):
+    """Kill-and-resume for the discovery drain: crash AFTER the drain's
+    index segment committed and the sketch rows appended but BEFORE the
+    'profiled' journal marks. The retry must re-profile, re-index
+    (versioned replace — no duplicate live docs) and re-append sketches
+    (stale map supersedes the orphaned first append — no duplicate live
+    sketch rows)."""
+    from auctus_ray.sources.discovery import (
+        LocalDirectoryDiscoverer,
+        search_datasets,
+    )
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "root")
+    d = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    d.discover_datasets()
+
+    real = LocalDirectoryDiscoverer._index_batch
+
+    def crash_after_index(self, seg_root, to_index):
+        real(self, seg_root, to_index)
+        raise RuntimeError("simulated crash after index commit")
+
+    monkeypatch.setattr(
+        LocalDirectoryDiscoverer, "_index_batch", crash_after_index
+    )
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        d.profile_pending(seg_root=root, include_sample=False)
+    monkeypatch.setattr(LocalDirectoryDiscoverer, "_index_batch", real)
+
+    # nothing was journaled as profiled: everything is still pending,
+    # even though a segment committed and sketch rows were appended
+    d2 = LocalDirectoryDiscoverer("localdir", cat, source_dir)
+    assert [x["id"] for x in d2.pending()] == [
+        "localdir.cities", "localdir.numbers",
+    ]
+    assert d2.profile_pending(seg_root=root, include_sample=False) == [
+        "localdir.cities", "localdir.numbers",
+    ]
+    # exactly ONE live doc per dataset in keyword search
+    hits = search_datasets(root, "population", k=10)
+    assert [h["dataset_id"] for h in hits] == ["localdir.cities"]
+    assert len(search_datasets(root, "numbers", k=10)) == 1
+    # exactly ONE live sketch-row set per dataset in the sketch table
+    live = d2.sketch_table.dataset().take_all()
+    per_ds = {}
+    for r in live:
+        per_ds.setdefault(r["dataset_id"], set()).add(r["seq"])
+    assert set(per_ds) == {"localdir.cities", "localdir.numbers"}
+    assert all(len(seqs) == 1 for seqs in per_ds.values())
+    # idempotent afterwards
+    assert d2.profile_pending(seg_root=root) == []
+
+
 def test_coverage_filtered_search(ray_session, tmp_path):
     """The reference's 'variables' query filters (temporal range /
     spatial bbox / granularity, apiserver/search/__init__.py:186-330)
@@ -481,10 +536,14 @@ def test_join_search_catalog(ray_session, tmp_path):
     d = LocalDirectoryDiscoverer("localdir", cat, str(src))
     d.discover_datasets()
     d.profile_pending(include_sample=False)
-    # one sketch file per dataset; numeric-only columns excluded
+    # ONE sketch-table part per DRAIN, not one file per dataset (the
+    # file-per-dataset layout is O(catalog) file opens per query)
     import glob as _glob
 
-    assert len(_glob.glob(os.path.join(cat, "sketches", "*.parquet"))) == 3
+    assert not _glob.glob(os.path.join(cat, "sketches", "*"))
+    parts = _glob.glob(os.path.join(cat, "sketch_table", "part-*.parquet"))
+    assert len(parts) == 1
+    assert pq.read_table(parts[0]).num_rows == 6  # 3 datasets x 2 cols
 
     # query = weather.place (contained in population.city): population
     # must rank first with containment ~1; people.name scores ~0
