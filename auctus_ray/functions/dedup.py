@@ -448,6 +448,36 @@ def _sketch_table(sub: pa.Table, id_col: str, text_col: str, k: int) -> pa.Table
     )
 
 
+def _jaccard_pairs_vec(flat_a: np.ndarray, len_a: np.ndarray,
+                       flat_b: np.ndarray, len_b: np.ndarray) -> np.ndarray:
+    """Per-pair Jaccard of sorted-unique int64 segments, fully
+    vectorized across the batch: one np.unique over the combined
+    values, one searchsorted membership probe over composite
+    (pair, value-rank) keys, per-pair counts via bincount — no Python
+    loop over pairs. Both inputs are segment-concatenated in pair
+    order with each segment sorted, so the composite B keys are
+    globally sorted (value rank is monotone in value)."""
+    n = len_a.size
+    ja = np.zeros(n, np.float64)
+    ja[(len_a == 0) & (len_b == 0)] = 1.0  # two empty sets: defined as 1
+    if flat_a.size == 0 or flat_b.size == 0:
+        return ja
+    comb = np.concatenate([flat_a, flat_b])
+    uniq, inv = np.unique(comb, return_inverse=True)
+    m = np.int64(uniq.size)
+    pair_a = np.repeat(np.arange(n, dtype=np.int64), len_a)
+    pair_b = np.repeat(np.arange(n, dtype=np.int64), len_b)
+    ka = pair_a * m + inv[: flat_a.size]
+    kb = pair_b * m + inv[flat_a.size:]
+    pos = np.searchsorted(kb, ka)
+    hit = (pos < kb.size) & (kb[np.minimum(pos, kb.size - 1)] == ka)
+    inter = np.bincount(pair_a[hit], minlength=n).astype(np.int64)
+    union = len_a + len_b - inter
+    nz = union > 0
+    ja[nz] = inter[nz] / union[nz]
+    return ja
+
+
 def candidate_shingle_sets(docs_ds, id_arr: np.ndarray, id_col: str,
                            text_col: str, k: int):
     """Docs filtered to the candidate id set (sorted-array membership via
@@ -556,14 +586,6 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
         broadcast_bytes,
     )
 
-    def _jaccard_arrays(A: np.ndarray, B: np.ndarray) -> float:
-        if A.size == 0 and B.size == 0:
-            return 1.0
-        if A.size == 0 or B.size == 0:
-            return 0.0
-        inter = np.intersect1d(A, B, assume_unique=True).size
-        return inter / (A.size + B.size - inter)
-
     sketches_for_join = None
     if ids_fit:
         # broadcast path: candidate sketches (bounded by the LSH
@@ -616,6 +638,21 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
         skref = ray.put((sk_ids, sk_offs, sk_blob))
         _empty64 = np.empty(0, np.int64)
 
+        def _gather_segments(vals, offs, pos, found):
+            """Concatenate the (sorted) extents at `pos` in pair order:
+            (flat values, per-pair lengths) — one vectorized gather."""
+            if offs.size <= 1:  # empty sketch set: nothing to gather
+                return _empty64, np.zeros(len(pos), np.int64)
+            starts = np.where(found, offs[pos] // 8, 0)
+            lens = np.where(found, (offs[pos + 1] - offs[pos]) // 8, 0)
+            total = int(lens.sum())
+            if total == 0:
+                return _empty64, lens
+            base = np.repeat(starts, lens)
+            cum = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            idx = base + (np.arange(total) - np.repeat(cum, lens))
+            return vals[idx], lens
+
         def verify_bcast(batch: pa.Table) -> pa.Table:
             from auctus_ray.util import sorted_membership
 
@@ -625,19 +662,11 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             b_ = batch["id_b"].to_numpy(zero_copy_only=False)
             ma, pos_a = sorted_membership(ids_s, a)
             mb, pos_b = sorted_membership(ids_s, b_)
-            ja = np.empty(len(a), np.float64)
-            for i in range(len(a)):
-                A = (
-                    vals[offs[pos_a[i]] // 8 : offs[pos_a[i] + 1] // 8]
-                    if ma[i]
-                    else _empty64
-                )
-                B = (
-                    vals[offs[pos_b[i]] // 8 : offs[pos_b[i] + 1] // 8]
-                    if mb[i]
-                    else _empty64
-                )
-                ja[i] = _jaccard_arrays(A, B)
+            pos_a = np.minimum(pos_a, max(len(ids_s) - 1, 0))
+            pos_b = np.minimum(pos_b, max(len(ids_s) - 1, 0))
+            flat_a, len_a = _gather_segments(vals, offs, pos_a, ma)
+            flat_b, len_b = _gather_segments(vals, offs, pos_b, mb)
+            ja = _jaccard_pairs_vec(flat_a, len_a, flat_b, len_b)
             out = pa.table(
                 {"id_a": batch["id_a"], "id_b": batch["id_b"], "jaccard": pa.array(ja)}
             )
@@ -688,12 +717,13 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
     def verify(batch: pa.Table) -> pa.Table:
         oa, va = _views(batch["sh_a"])
         ob, vb = _views(batch["sh_b"])
-        n = batch.num_rows
-        ja = np.empty(n, np.float64)
-        for i in range(n):
-            ja[i] = _jaccard_arrays(
-                va[oa[i] // 8 : oa[i + 1] // 8], vb[ob[i] // 8 : ob[i + 1] // 8]
-            )
+        # extents are already concatenated in row (= pair) order: slice
+        # the flat value views once and hand the whole batch to the
+        # vectorized kernel — no per-pair Python loop
+        ja = _jaccard_pairs_vec(
+            va[oa[0] // 8 : oa[-1] // 8], np.diff(oa) // 8,
+            vb[ob[0] // 8 : ob[-1] // 8], np.diff(ob) // 8,
+        )
         out = pa.table(
             {
                 "id_a": batch["id_a"],

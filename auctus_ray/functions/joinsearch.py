@@ -75,26 +75,6 @@ def _hash_values(vals: pa.Array) -> np.ndarray:
     return out
 
 
-def exact_containment_count(cand_distinct_ds, query_vals_sorted: np.ndarray) -> int:
-    """|Q ∩ C| with C streamed: membership via searchsorted against the
-    broadcast sorted query-value array, summed per batch, reduced by
-    Dataset.sum — never collects C."""
-    import ray
-
-    ref = ray.put(query_vals_sorted)
-
-    def count_hits(batch: pa.Table) -> pa.Table:
-        from auctus_ray.util import sorted_membership
-
-        q = ray.get(ref)
-        vs = np.asarray(batch["value"].to_pylist(), dtype=object).astype(str)
-        mask, _ = sorted_membership(q, vs)
-        return pa.table({"hits": pa.array([int(mask.sum())], pa.int64())})
-
-    out = cand_distinct_ds.map_batches(count_hits, batch_format="pyarrow").sum("hits")
-    return int(out or 0)
-
-
 class LazoSketch:
     """(n_permutations, hash_values, cardinality) — the reference's
     per-column Lazo sketch triple (apiserver/search/join.py:141-145)."""
@@ -322,9 +302,11 @@ def textual_join_search(
     """Rank candidate columns by containment of the query column.
 
     candidates: {(dataset_id, column_name): distinct-value Dataset}.
-    exact=True  -> exact streamed-membership containment (SQL-checkable;
-    per-candidate pipelines — prefer exact_containment_scores for a
-    whole catalog in one pipeline);
+    exact=True  -> exact containment via the ONE-pipeline
+    exact_containment_scores path (candidates tagged and unioned into a
+    single (dataset_id, column_name, value) stream; the query side is
+    byte-budget-planned — broadcast when small, hash semi-join when
+    not; query values never take_all to the driver);
     exact=False -> Lazo sketch estimate (the reference's path for
     big-vs-big, where neither side is collected).
     Returns an Arrow table (dataset_id, column_name, containment) with
@@ -332,15 +314,30 @@ def textual_join_search(
     name asc, capped at `max_candidates` (reference top-300)."""
     rows = []
     if exact:
-        qvals = np.asarray(
-            [r["value"] for r in query_distinct_ds.take_all()], dtype=object
-        ).astype(str)
-        qvals.sort()
-        nq = qvals.size
-        for (ds_id, col), cand in sorted(candidates.items()):
-            hits = exact_containment_count(cand, qvals) if nq else 0
-            score = hits / nq if nq else 0.0
-            rows.append((ds_id, col, score))
+        catalog = sorted(candidates)
+        parts = []
+        for ds_id, col in catalog:
+            def tag(batch: pa.Table, ds_id=ds_id, col=col) -> pa.Table:
+                n = batch.num_rows
+                return pa.table(
+                    {
+                        "dataset_id": pa.array([ds_id] * n, pa.string()),
+                        "column_name": pa.array([col] * n, pa.string()),
+                        "value": pc.cast(batch["value"], pa.string()),
+                    }
+                )
+
+            parts.append(
+                candidates[(ds_id, col)].map_batches(
+                    tag, batch_format="pyarrow"
+                )
+            )
+        if not parts:
+            return _rank_and_cap([], max_candidates)
+        cand_values = parts[0].union(*parts[1:]) if len(parts) > 1 else parts[0]
+        return exact_containment_scores(
+            query_distinct_ds, cand_values, max_candidates, catalog=catalog
+        )
     else:
         sk_q = sketch_column(query_distinct_ds, n_perm, seed)
         for (ds_id, col), cand in sorted(candidates.items()):

@@ -43,6 +43,7 @@ from auctus_ray.functions.spatial import GeohashSketch, spatial_ranges_kmeans
 from auctus_ray.pipelines.profile import (
     T_DATE_TIME,
     T_FLOAT,
+    T_GEO_POLYGON,
     T_INTEGER,
     T_LATITUDE,
     T_LONGITUDE,
@@ -223,6 +224,114 @@ def _spatial_coverage(ds, pairs: list[tuple[str, str]],
     return out
 
 
+_WKT_NUM = None  # compiled lazily (module import stays light)
+
+
+def _wkt_polygon_coverage(ds, cols: list[str],
+                          sample_cap: int = 20000, seed: int = 89) -> list[dict]:
+    """Spatial coverage for GEO_POLYGON columns: per batch, extract all
+    ring vertices (one C-level findall over the batch's joined cells —
+    the vote regex guarantees digit/space/dot content), geohash-sketch
+    them and subsample coordinates for the k-means envelope boxes, the
+    same mergeable shape _spatial_coverage uses for lat/long pairs.
+    The reference types polygons (profile_types.py:203-204) but only
+    sketches points; envelope ranges over the vertex cloud give the
+    coverage filter the same intersects semantics."""
+    import re as _re
+
+    global _WKT_NUM
+    if _WKT_NUM is None:
+        _WKT_NUM = _re.compile(r"[0-9.]+ [0-9.]+")
+    from auctus_ray.pipelines.profile import _VOTES
+
+    pat = _VOTES["wkt_polygon"]
+    out = []
+    for col in cols:
+        def partial(batch: pa.Table, col=col) -> pa.Table:
+            arr = batch[col]
+            if not pa.types.is_string(arr.type):
+                arr = pc.cast(arr, pa.string())
+            arr = pc.fill_null(arr, "")
+            vals = arr.filter(
+                pc.match_substring_regex(arr, pat)
+            ).to_pylist()
+            pairs = _WKT_NUM.findall("|".join(vals))
+            if pairs:
+                xy = np.array(
+                    [p.split(" ") for p in pairs], dtype=np.float64
+                )
+                lon, lat = xy[:, 0], xy[:, 1]  # WKT vertex order: x y
+                m = (
+                    (-90.0 < lat) & (lat < 90.0)
+                    & (-180.0 < lon) & (lon < 180.0)
+                )
+                lat, lon = lat[m], lon[m]
+            else:
+                lat = lon = np.empty(0, np.float64)
+            sk = GeohashSketch(number=MAX_GEOHASHES)
+            sk.add_points(lat, lon)
+            rng = np.random.Generator(np.random.PCG64(seed))
+            if lat.size > 512:
+                idx = rng.choice(lat.size, 512, replace=False)
+                lat, lon = lat[idx], lon[idx]
+            return pa.Table.from_pylist(
+                [
+                    {
+                        "levels": json.dumps(sk.levels),
+                        "total": sk.total,
+                        "lat_s": json.dumps([float(v) for v in lat]),
+                        "lon_s": json.dumps([float(v) for v in lon]),
+                    }
+                ]
+            )
+
+        sketch = GeohashSketch(number=MAX_GEOHASHES)
+        lat_all: list[float] = []
+        lon_all: list[float] = []
+        for batch in ds.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow"):
+            for levels, total, lat_s, lon_s in zip(
+                batch["levels"].to_pylist(),
+                batch["total"].to_pylist(),
+                batch["lat_s"].to_pylist(),
+                batch["lon_s"].to_pylist(),
+            ):
+                other = GeohashSketch(number=MAX_GEOHASHES)
+                other.levels = [
+                    {k: int(v) for k, v in lvl.items()}
+                    for lvl in json.loads(levels)
+                ]
+                other.total = int(total)
+                sketch.merge(other)
+                if len(lat_all) < sample_cap:
+                    lat_all.extend(json.loads(lat_s))
+                    lon_all.extend(json.loads(lon_s))
+        if sketch.total == 0:
+            continue
+        boxes = spatial_ranges_kmeans(np.array(lat_all), np.array(lon_all))
+        out.append(
+            {
+                "type": "polygon",
+                "column_names": [col],
+                "geohashes4": [
+                    {"hash": h, "number": n} for h, n in sketch.get_hashes()
+                ],
+                "ranges": [
+                    {
+                        "range": {
+                            "type": "envelope",
+                            "coordinates": [[lo_lon, hi_lat], [hi_lon, lo_lat]],
+                        }
+                    }
+                    for lo_lat, hi_lat, lo_lon, hi_lon in boxes
+                ],
+                "number": sketch.total,
+            }
+        )
+    return out
+
+
 def _csv_sample(ds, n_rows: int = SAMPLE_ROWS) -> str:
     """First-N truncated-cell CSV sample with CRLF terminators
     (reference samples seeded-random rows of the in-RAM frame,
@@ -249,11 +358,21 @@ def profile_dataset_document(
     include_sample: bool = True,
     plots: bool = True,
     coverage: bool = True,
+    nominatim: str | None = None,
+    nominatim_transport=None,
 ) -> dict:
     """Full reference-shaped profile document for one table. Any
     sniffable format (Parquet, CSV/TSV with garbage headers, XLSX)
     profiles end-to-end via the ingestion chain — the reference's
-    detect -> convert -> profile flow (profiler/profiler.py:90-160)."""
+    detect -> convert -> profile flow (profiler/profiler.py:90-160).
+
+    ``nominatim``: geocoder URL — free-TEXT non-ADMIN columns resolve
+    through the shared geocoder actor and gain the ADDRESS semantic
+    type + address spatial coverage (reference core.py:448-463 +
+    process_dataset(nominatim=...)). ``nominatim_transport`` injects
+    the HTTP leg (this environment has no network; the reference's own
+    test swaps nominatim_query the same way, tests/test_profile.py:
+    725-857)."""
     from auctus_ray.sources.ingest import read_table_auto
 
     ds = read_table_auto(path)
@@ -272,6 +391,7 @@ def profile_dataset_document(
     num_ranges: dict[str, tuple[float, float]] = {}
     lat_cols: list[str] = []
     lon_cols: list[str] = []
+    polygon_cols: list[str] = []
     temporal: list[dict] = []
     for idx, name in enumerate(names):
         p = by_col[name]
@@ -304,6 +424,8 @@ def profile_dataset_document(
             lat_cols.append(name)
         if T_LONGITUDE in sem:
             lon_cols.append(name)
+        if p["structural_type"] == T_GEO_POLYGON:
+            polygon_cols.append(name)
         if T_DATE_TIME in sem or p.get("temporal_resolution"):
             ts = _sample_timestamps(p)
             if ts.size:
@@ -326,6 +448,42 @@ def profile_dataset_document(
         for meta in columns_meta:
             if meta["name"] in plot_map:
                 meta["plot"] = plot_map[meta["name"]]
+
+    address_cov: list[dict] = []
+    if nominatim is not None:
+        # free-TEXT non-ADMIN columns resolve against the shared
+        # geocoder actor; >=80% resolved -> ADDRESS semantic type +
+        # address spatial coverage (reference core.py:448-463)
+        import ray as _ray
+
+        from auctus_ray.functions.admin import T_ADMIN
+        from auctus_ray.functions.geocode import (
+            T_ADDRESS,
+            address_spatial_coverage,
+            column_is_address,
+            make_geocoder_actor,
+        )
+        from auctus_ray.pipelines.profile import T_TEXT
+
+        geocoder = make_geocoder_actor(nominatim, nominatim_transport)
+        try:
+            for meta in columns_meta:
+                sem = meta["semantic_types"]
+                if (
+                    meta["structural_type"] != T_TEXT
+                    or T_TEXT not in sem
+                    or T_ADMIN in sem
+                ):
+                    continue
+                is_addr, locs = column_is_address(ds, meta["name"], geocoder)
+                if is_addr:
+                    if T_ADDRESS not in sem:
+                        sem.append(T_ADDRESS)
+                    cov = address_spatial_coverage(meta["name"], locs)
+                    if cov:
+                        address_cov.append(cov)
+        finally:
+            _ray.kill(geocoder)
 
     doc: dict = {
         "nb_rows": int(prof[0]["n_rows"]) if prof else 0,
@@ -399,10 +557,12 @@ def profile_dataset_document(
             used_lo.add(lo)
             pairs.append((la, lo))
         pairs.sort(key=lambda p_: order[p_[0]])
-        if pairs:
-            sc = _spatial_coverage(ds, pairs)
-            if sc:
-                doc["spatial_coverage"] = sc
+        sc = _spatial_coverage(ds, pairs) if pairs else []
+        if polygon_cols:
+            sc.extend(_wkt_polygon_coverage(ds, polygon_cols))
+        sc.extend(address_cov)
+        if sc:
+            doc["spatial_coverage"] = sc
         if temporal:
             doc["temporal_coverage"] = temporal
 

@@ -50,6 +50,7 @@ T_FILE_PATH = "https://metadata.datadrivendiscovery.org/types/FileName"
 T_ID = "http://schema.org/identifier"
 T_CATEGORICAL = "http://schema.org/Enumeration"
 T_GEO_POINT = "http://schema.org/GeoCoordinates"
+T_GEO_POLYGON = "http://schema.org/GeoShape"
 
 MAX_UNCLEAN = 0.02
 TEXT_WORDS_THRESHOLD = 0.5
@@ -65,6 +66,12 @@ _VOTES = {
     "url": r"^https?://[^\s]+$",
     "file": r"^(?:/[^/\s]+)+/?$",
     "wkt_point": r"^POINT ?\(-?[0-9]{1,3}(?:\.[0-9]{1,15})? -?[0-9]{1,3}(?:\.[0-9]{1,15})?\)$",
+    # reference _re_wkt_polygon (profile_types.py:48-55): ring(s) of
+    # digit/space/dot vertices — negatives deliberately unmatched there.
+    # DIVERGENCE: the reference ring class omits ',', which rejects
+    # standard comma-separated WKT vertices ("30 10, 40 40, ..."); we
+    # accept them (a superset of the reference's matches)
+    "wkt_polygon": r"^POLYGON ?\(\([0-9 .,]+\)(?:, ?\([0-9 .,]+\))*\)$",
     "latlong_point": r"^\(?-?[0-9]{1,3}\.[0-9]{1,15}, ?-?[0-9]{1,3}\.[0-9]{1,15}\)?$",
     "text4": r"^\S+(?:\s+\S+){3,}",  # >= 4 whitespace-separated words
     "bool": r"^(?i:0|1|true|false|y|n|yes|no)$",
@@ -225,6 +232,10 @@ def finalize_profile(partials: "list[dict]",
             structural = T_FLOAT
         elif c["c_wkt_point"] >= threshold or c["c_latlong_point"] >= threshold:
             structural = T_GEO_POINT
+        elif c["c_wkt_polygon"] >= threshold:
+            # reference profile_types.py:203-204: WKT polygons are their
+            # own structural type, decided after the point formats
+            structural = T_GEO_POLYGON
         else:
             structural = T_TEXT
 
@@ -797,14 +808,17 @@ def determine_dataset_type(structural: str, semantic_types) -> str | None:
     """One column's dataset-type contribution (reference
     profile_types.py:360-384): spatial structural/semantic types win,
     then temporal, categorical, numerical. Our profiler emits GeoPoint
-    / latitude / longitude / ADMIN for the spatial sets (no
-    GeoShape/address legs — those detectors don't exist here)."""
+    / GeoShape / latitude / longitude / ADMIN / address (the last only
+    when a Nominatim geocoder is configured) for the spatial sets."""
     from auctus_ray.functions.admin import T_ADMIN
 
-    if structural == T_GEO_POINT:
+    if structural in (T_GEO_POINT, T_GEO_POLYGON):
         return DATASET_SPATIAL
     if any(
-        t in (T_LATITUDE, T_LONGITUDE, T_ADMIN) for t in semantic_types
+        t in (
+            T_LATITUDE, T_LONGITUDE, T_ADMIN, "http://schema.org/address",
+        )
+        for t in semantic_types
     ):
         return DATASET_SPATIAL
     if T_DATE_TIME in semantic_types:

@@ -113,6 +113,59 @@ def test_profile_document_shape(geo_table_path):
     json.dumps(doc)
 
 
+def test_profile_document_wkt_polygon_coverage(ray_session, tmp_path):
+    """A WKT-polygon column profiles as GEO_POLYGON and contributes a
+    bbox spatial-coverage entry built from its ring vertices (reference
+    types polygons via profile_types.py:203-204; envelope ranges follow
+    the point-coverage shape, core.py:781-830)."""
+    from auctus_ray.pipelines.document import profile_dataset_document
+    from auctus_ray.pipelines.profile import T_GEO_POLYGON
+
+    rng = np.random.default_rng(3)
+    n = 120
+    # unit squares jittered inside lon [30, 40], lat [10, 20]
+    x0 = 30 + 9 * rng.random(n)
+    y0 = 10 + 9 * rng.random(n)
+    polys = [
+        f"POLYGON (({x:.3f} {y:.3f}, {x + 1:.3f} {y:.3f}, "
+        f"{x + 1:.3f} {y + 1:.3f}, {x:.3f} {y + 1:.3f}, {x:.3f} {y:.3f}))"
+        for x, y in zip(x0, y0)
+    ]
+    p = tmp_path / "shapes.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "zone": pa.array(polys, pa.string()),
+                "value": pa.array(rng.random(n), pa.float64()),
+            }
+        ),
+        str(p),
+    )
+    doc = profile_dataset_document(str(p), include_sample=False)
+    cols = {c["name"]: c for c in doc["columns"]}
+    assert cols["zone"]["structural_type"] == T_GEO_POLYGON
+    assert "spatial" in doc["types"]
+    sc = [e for e in doc["spatial_coverage"] if e["type"] == "polygon"]
+    assert len(sc) == 1
+    assert sc[0]["column_names"] == ["zone"]
+    assert sc[0]["number"] == 5 * n  # every ring vertex counted
+    assert sum(g["number"] for g in sc[0]["geohashes4"]) == 5 * n
+    assert 1 <= len(sc[0]["ranges"]) <= 3
+    # the envelope hull covers the vertex cloud
+    lo_lons = [r["range"]["coordinates"][0][0] for r in sc[0]["ranges"]]
+    hi_lats = [r["range"]["coordinates"][0][1] for r in sc[0]["ranges"]]
+    hi_lons = [r["range"]["coordinates"][1][0] for r in sc[0]["ranges"]]
+    lo_lats = [r["range"]["coordinates"][1][1] for r in sc[0]["ranges"]]
+    # boxes are built from a bounded coordinate subsample (like the
+    # lat/long pair coverage): they sit inside the true bbox and span
+    # most of the vertex cloud
+    assert 30 <= min(lo_lons) and max(hi_lons) <= 41
+    assert 10 <= min(lo_lats) and max(hi_lats) <= 21
+    assert max(hi_lons) - min(lo_lons) > 5
+    assert max(hi_lats) - min(lo_lats) > 5
+    json.dumps(doc)
+
+
 def test_profile_document_driver_query(ray_session):
     from auctus_ray.pipelines.document import profile_dataset_doc
 

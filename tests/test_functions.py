@@ -629,6 +629,35 @@ def test_edit_distance_empty_strings():
     assert edit_distance("abc", "") == 3  # over cap -> cap+1
 
 
+def test_jaccard_pairs_vec_matches_scalar():
+    """The batch-vectorized per-pair Jaccard kernel equals the scalar
+    set formula on random sorted-unique segments, including empty/empty
+    (=1.0) and empty/non-empty (=0.0) pairs."""
+    from auctus_ray.functions.dedup import _jaccard_pairs_vec
+
+    rng = np.random.default_rng(17)
+    seg_a, seg_b = [], []
+    for _ in range(200):
+        seg_a.append(np.unique(rng.integers(-50, 50, rng.integers(0, 30))))
+        seg_b.append(np.unique(rng.integers(-50, 50, rng.integers(0, 30))))
+    seg_a[0] = seg_a[1] = np.empty(0, np.int64)  # empty vs empty / vs non
+    flat_a = np.concatenate(seg_a).astype(np.int64)
+    flat_b = np.concatenate(seg_b).astype(np.int64)
+    len_a = np.array([s.size for s in seg_a], np.int64)
+    len_b = np.array([s.size for s in seg_b], np.int64)
+    got = _jaccard_pairs_vec(flat_a, len_a, flat_b, len_b)
+
+    def scalar(A, B):
+        if A.size == 0 and B.size == 0:
+            return 1.0
+        inter = np.intersect1d(A, B, assume_unique=True).size
+        u = A.size + B.size - inter
+        return inter / u if u else 0.0
+
+    want = np.array([scalar(a, b) for a, b in zip(seg_a, seg_b)])
+    assert np.array_equal(got, want)
+
+
 def test_minhash_verify_join_path(dup_docs):
     """The Dataset.join verify path (taken when the candidate set
     exceeds the broadcast threshold) produces the same verified pairs

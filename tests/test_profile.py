@@ -94,6 +94,44 @@ def test_latlong_by_name_and_range():
     assert T_LATITUDE not in p["height"]["semantic_types"]
 
 
+def test_wkt_polygon_structural_type():
+    """WKT polygons decide GEO_POLYGON (reference _re_wkt_polygon vote
+    profile_types.py:48-55, decision :203-204): single and multi-ring
+    match; negative coordinates deliberately do NOT (the reference
+    pattern allows only digit/space/dot inside rings), and 2% garbage
+    is tolerated like every structural decision."""
+    from auctus_ray.pipelines.profile import T_GEO_POINT, T_GEO_POLYGON
+
+    polys = [
+        f"POLYGON (({30 + i} 10, {40 + i} 40, {20 + i} 40, {30 + i} 10))"
+        for i in range(99)
+    ] + ["oops"]
+    p = _profile(pa.table({"shape": pa.array(polys)}))
+    assert p["shape"]["structural_type"] == T_GEO_POLYGON
+
+    # multi-ring (hole) + no-space-after-POLYGON variants match too
+    rings = [
+        "POLYGON((35 10, 45 45, 15 40, 35 10), (20 30, 35 35, 30 20, 20 30))"
+    ] * 50
+    p = _profile(pa.table({"shape": pa.array(rings)}))
+    assert p["shape"]["structural_type"] == T_GEO_POLYGON
+
+    # negative coordinates fall through to TEXT (reference parity)
+    neg = ["POLYGON ((-30 10, 40 40, 20 40, -30 10))"] * 50
+    p = _profile(pa.table({"shape": pa.array(neg)}))
+    assert p["shape"]["structural_type"] == T_TEXT
+
+    # points still win over polygons in the decision order
+    pts = ["POINT (30 10)"] * 50
+    p = _profile(pa.table({"pt": pa.array(pts)}))
+    assert p["pt"]["structural_type"] == T_GEO_POINT
+
+    # polygon columns contribute the spatial dataset type
+    from auctus_ray.pipelines.profile import determine_dataset_type
+
+    assert determine_dataset_type(T_GEO_POLYGON, []) == "spatial"
+
+
 def test_year_special_case():
     """Reference 'year' golden case (test_profile.py:355-416): int-looking
     years become TEXT + DATE_TIME."""
