@@ -209,7 +209,8 @@ def column_is_address(ds, column: str, geocoder) -> tuple[bool, list]:
     return unclean <= MAX_UNCLEAN_ADDRESSES, locations
 
 
-def address_spatial_coverage(column: str, locations: list) -> dict | None:
+def address_spatial_coverage(column: str, locations: list,
+                             col_idx: int = 0) -> dict | None:
     """Spatial-coverage entry from resolved address points (reference
     core.py:754-775 'address' leg): geohash sketch + k-means envelope
     boxes over the (lat, lon) cloud."""
@@ -228,6 +229,7 @@ def address_spatial_coverage(column: str, locations: list) -> dict | None:
     return {
         "type": "address",
         "column_names": [column],
+        "column_indexes": [col_idx],
         "geohashes4": [
             {"hash": h, "number": n} for h, n in sk.get_hashes()
         ],

@@ -206,6 +206,10 @@ def _spatial_coverage(ds, pairs: list[tuple[str, str]],
             {
                 "type": "latlong",
                 "column_names": [lat_col, lon_col],
+                "column_indexes": [
+                    ds.schema().names.index(lat_col),
+                    ds.schema().names.index(lon_col),
+                ],
                 "geohashes4": [
                     {"hash": h, "number": n} for h, n in sketch.get_hashes()
                 ],
@@ -314,6 +318,7 @@ def _wkt_polygon_coverage(ds, cols: list[str],
             {
                 "type": "polygon",
                 "column_names": [col],
+                "column_indexes": [ds.schema().names.index(col)],
                 "geohashes4": [
                     {"hash": h, "number": n} for h, n in sketch.get_hashes()
                 ],
@@ -479,7 +484,9 @@ def profile_dataset_document(
                 if is_addr:
                     if T_ADDRESS not in sem:
                         sem.append(T_ADDRESS)
-                    cov = address_spatial_coverage(meta["name"], locs)
+                    cov = address_spatial_coverage(
+                        meta["name"], locs, names.index(meta["name"])
+                    )
                     if cov:
                         address_cov.append(cov)
         finally:

@@ -456,15 +456,16 @@ _STATS_SCHEMA = pa.schema(
 )
 
 
-def profile_stats_orders(sf_dir: str) -> pa.Table:
-    """Oracle-checkable slice of the orders profile: type decisions plus
-    numeric statistics per column. Rounding margins are sized to the
-    float-summation noise floor (mean to 4 decimals, stddev to 2 — the
-    profiler's sum/sumsq pass and DuckDB's Welford accumulate in
+def _profile_stats(sf_dir: str, table: str, cols: list[str],
+                   distinct_cols: set[str]) -> pa.Table:
+    """Oracle-checkable slice of one table's profile: type decisions
+    plus numeric statistics per column. Rounding margins are sized to
+    the float-summation noise floor (mean to 4 decimals, stddev to 2 —
+    the profiler's sum/sumsq pass and DuckDB's Welford accumulate in
     different orders, so tighter rounding would flake)."""
-    prof = {r["column"]: r for r in profile_table(sf_dir, "orders").to_pylist()}
+    prof = {r["column"]: r for r in profile_table(sf_dir, table).to_pylist()}
     rows = []
-    for col in _ORACLE_STAT_COLS:
+    for col in cols:
         p = prof[col]
         numeric = p["mean"] is not None
         rows.append(
@@ -475,7 +476,7 @@ def profile_stats_orders(sf_dir: str) -> pa.Table:
                 "n_rows": int(p["n_rows"]),
                 "n_distinct": (
                     int(p["num_distinct_values"])
-                    if col in _ORACLE_DISTINCT_COLS and p["distinct_exact"]
+                    if col in distinct_cols and p["distinct_exact"]
                     else None
                 ),
                 "mean_r4": _round_half_up(p["mean"], 4) if numeric else None,
@@ -487,26 +488,40 @@ def profile_stats_orders(sf_dir: str) -> pa.Table:
     return pa.Table.from_pylist(rows, schema=_STATS_SCHEMA)
 
 
-def _sql_profile_stats_orders() -> str:
-    # (structural, semantic) literals per column, from the reference's
-    # decision rules: *key -> Integer+identifier; totalprice -> Float;
-    # shippriority -> Integer; status/priority -> Text+Enumeration
-    # (<=10% distinct); orderdate -> Text+DateTime (strict date parse).
-    expected = {
-        "o_orderkey": (T_INTEGER, T_ID),
-        "o_custkey": (T_INTEGER, T_ID),
-        "o_totalprice": (T_FLOAT, ""),
-        "o_orderstatus": (T_TEXT, T_CATEGORICAL),
-        "o_orderpriority": (T_TEXT, T_CATEGORICAL),
-        "o_orderdate": (T_TEXT, T_DATE_TIME),
-    }
+def profile_stats_orders(sf_dir: str) -> pa.Table:
+    return _profile_stats(
+        sf_dir, "orders", _ORACLE_STAT_COLS, _ORACLE_DISTINCT_COLS
+    )
+
+
+# documents-table variant: same SQL-checkable surface over the
+# training-corpus table (doc_id/text/lang/source/n_chars) — the second
+# profiler oracle, covering the TEXT + Enumeration decision legs the
+# orders table lacks on free text
+_DOC_STAT_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+_DOC_DISTINCT_COLS = {"lang", "source"}
+
+
+def profile_stats_documents(sf_dir: str) -> pa.Table:
+    return _profile_stats(
+        sf_dir, "documents", _DOC_STAT_COLS, _DOC_DISTINCT_COLS
+    )
+
+
+def _sql_profile_stats(table: str, cols: list[str],
+                       expected: dict[str, tuple[str, str]],
+                       distinct_cols: set[str]) -> str:
+    """UNION ALL of one SELECT per column; (structural, semantic)
+    literals are INDEPENDENT expectations from the reference's decision
+    rules (profile_types.py:186-356), so a type-decision regression
+    mismatches the oracle."""
     parts = []
-    for col in _ORACLE_STAT_COLS:
+    for col in cols:
         st, sem = expected[col]
         numeric = st in (T_INTEGER, T_FLOAT)
         dist = (
             f"CAST(COUNT(DISTINCT {col}) AS BIGINT)"
-            if col in _ORACLE_DISTINCT_COLS
+            if col in distinct_cols
             else "CAST(NULL AS BIGINT)"
         )
         if numeric:
@@ -527,12 +542,43 @@ def _sql_profile_stats_orders() -> str:
             f"SELECT '{col}' AS column, '{st}' AS structural_type,\n"
             f"  '{sem}' AS semantic_types,\n"
             f"  COUNT(*) AS n_rows, {dist} AS n_distinct,\n"
-            f"  {stats}\nFROM orders"
+            f"  {stats}\nFROM {table}"
         )
     return "\nUNION ALL\n".join(parts)
 
 
-SQL_PROFILE_STATS_ORDERS = _sql_profile_stats_orders()
+# orders expectations: *key -> Integer+identifier; totalprice -> Float;
+# status/priority -> Text+Enumeration (<=10% distinct); orderdate ->
+# Text+DateTime (strict date parse)
+SQL_PROFILE_STATS_ORDERS = _sql_profile_stats(
+    "orders",
+    _ORACLE_STAT_COLS,
+    {
+        "o_orderkey": (T_INTEGER, T_ID),
+        "o_custkey": (T_INTEGER, T_ID),
+        "o_totalprice": (T_FLOAT, ""),
+        "o_orderstatus": (T_TEXT, T_CATEGORICAL),
+        "o_orderpriority": (T_TEXT, T_CATEGORICAL),
+        "o_orderdate": (T_TEXT, T_DATE_TIME),
+    },
+    _ORACLE_DISTINCT_COLS,
+)
+
+# documents expectations: doc_id -> Integer+identifier (name suffix);
+# text -> free TEXT (>=50% of rows have >=4 words); lang/source ->
+# Text+Enumeration (tiny distinct sets); n_chars -> plain Integer
+SQL_PROFILE_STATS_DOCUMENTS = _sql_profile_stats(
+    "documents",
+    _DOC_STAT_COLS,
+    {
+        "doc_id": (T_INTEGER, T_ID),
+        "text": (T_TEXT, T_TEXT),
+        "lang": (T_TEXT, T_CATEGORICAL),
+        "source": (T_TEXT, T_CATEGORICAL),
+        "n_chars": (T_INTEGER, ""),
+    },
+    _DOC_DISTINCT_COLS,
+)
 
 
 def histogram_quantity(sf_dir: str):
@@ -782,6 +828,7 @@ QUERIES = {
     "profile_orders": profile_orders,
     "profile_documents": profile_documents,
     "profile_stats_orders": profile_stats_orders,
+    "profile_stats_documents": profile_stats_documents,
     "histogram_quantity": histogram_quantity,
     "range_overlap_search": range_overlap_search,
     "orders_with_line_aggs": orders_with_line_aggs,
@@ -790,6 +837,7 @@ QUERIES = {
 
 SQL = {
     "profile_stats_orders": SQL_PROFILE_STATS_ORDERS,
+    "profile_stats_documents": SQL_PROFILE_STATS_DOCUMENTS,
     "histogram_quantity": SQL_HISTOGRAM_QUANTITY,
     "range_overlap_search": SQL_RANGE_OVERLAP_SEARCH,
     "orders_with_line_aggs": SQL_ORDERS_WITH_LINE_AGGS,

@@ -76,8 +76,13 @@ FROM documents GROUP BY text
 
 
 def near_dup_minhash(sf_dir: str):
-    """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.8.
-    Rows-only driver check; exact oracle in tests/test_functions.py."""
+    """MinHash+LSH near-dup pairs verified by exact Jaccard >= 0.8 —
+    SQL-checked against the same shingle oracle as near_dup_ngram_exact:
+    the verify stage emits EXACT 5-gram Jaccard, so the outputs agree
+    whenever LSH recall is total. At 64 perms / 16 bands a J>=0.8 pair
+    is missed with p <= (1-0.8^4)^16 ~ 2e-4 (far less for the planted
+    ~0.9 dups); equality holds at sf0.001/0.01/0.1. A recall miss would
+    surface as a hash mismatch — that is the point of the check."""
     from auctus_ray.util import parquet_bytes
 
     docs = _docs(sf_dir, ["doc_id", "text"])
@@ -472,6 +477,8 @@ QUERIES = {
 SQL = {
     "dedup_exact_groups": SQL_DEDUP_EXACT_GROUPS,
     "near_dup_ngram_exact": SQL_NEAR_DUP_NGRAM_EXACT,
+    # the LSH-verified pairs carry exact 5-gram Jaccard: same oracle
+    "near_dup_minhash": SQL_NEAR_DUP_NGRAM_EXACT,
     "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
     "ann_ivf_exact": SQL_ANN_COSINE_TOPK,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,

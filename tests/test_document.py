@@ -166,6 +166,60 @@ def test_profile_document_wkt_polygon_coverage(ray_session, tmp_path):
     json.dumps(doc)
 
 
+def test_profile_document_schema_conformance(ray_session, geo_table_path,
+                                             tmp_path):
+    """Every assembled profile document validates against the repo's
+    JSON-Schema contract (docs/schemas/profile_result_schema.json),
+    which mirrors the reference's dataset-metadata definition
+    (docs/schemas/query_result_schema.json) — the way the reference's
+    test_integ.py:23-60 schema-validates every API response. Covers
+    the lat/long, WKT-polygon and plain-numeric legs."""
+    import os
+
+    import jsonschema
+
+    from auctus_ray.pipelines.document import profile_dataset_document
+
+    schema = json.load(
+        open(
+            os.path.join(
+                os.path.dirname(__file__), "..", "docs", "schemas",
+                "profile_result_schema.json",
+            )
+        )
+    )
+    jsonschema.Draft7Validator.check_schema(schema)
+
+    docs = [profile_dataset_document(geo_table_path)]
+    # polygon fixture
+    polys = [
+        f"POLYGON (({30 + i % 7} 10, {40 + i % 7} 40, 20 40, {30 + i % 7} 10))"
+        for i in range(60)
+    ]
+    p = tmp_path / "zones.parquet"
+    pq.write_table(pa.table({"zone": pa.array(polys)}), str(p))
+    docs.append(profile_dataset_document(str(p), include_sample=False))
+    # plain numeric/categorical fixture
+    p2 = tmp_path / "plain.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "k": pa.array(np.arange(50), pa.int64()),
+                "cat": pa.array([["a", "b"][i % 2] for i in range(50)]),
+            }
+        ),
+        str(p2),
+    )
+    docs.append(profile_dataset_document(str(p2), include_sample=False))
+    for doc in docs:
+        jsonschema.validate(json.loads(json.dumps(doc)), schema)
+    # the validation is not vacuous: a broken doc fails
+    bad = dict(docs[0])
+    bad["columns"] = [{"name": "x"}]  # missing required type fields
+    with pytest.raises(jsonschema.ValidationError):
+        jsonschema.validate(bad, schema)
+
+
 def test_profile_document_driver_query(ray_session):
     from auctus_ray.pipelines.document import profile_dataset_doc
 
