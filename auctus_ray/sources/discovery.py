@@ -676,6 +676,138 @@ class LocalDirectoryDiscoverer(Discoverer):
         return found
 
 
+_RE_NON_ID_SAFE = None  # compiled lazily
+
+
+def encode_domain(url: str) -> str:
+    """Domain -> id-safe prefix (reference socrata_discovery.py:16-20)."""
+    global _RE_NON_ID_SAFE
+    if _RE_NON_ID_SAFE is None:
+        import re
+
+        _RE_NON_ID_SAFE = re.compile(r"[^a-z0-9-]+")
+    return _RE_NON_ID_SAFE.sub("-", url.lower())
+
+
+class SocrataDiscoverer(Discoverer):
+    """Network discovery plugin with the reference's Socrata semantics
+    (discovery/socrata/socrata_discovery.py:24-161), transport-injected
+    like the geocoder (this environment has no network; the sodapy
+    client and the CSV download are callables):
+
+      * ``listing_transport(domain_url) -> list[dataset dict]`` — the
+        ``sodapy.Socrata(domain).datasets()`` call;
+      * ``data_transport(direct_url) -> bytes`` — the rows.csv download
+        (optional: when present, new/changed datasets materialize into
+        shared storage so profile_pending can profile them).
+
+    Mirrored behaviors: only resource type 'dataset' records (:112-114);
+    unchanged datasets (updatedAt <= recorded socrata_updated) are
+    skipped (:125-138); dataset_id = '<encoded_domain>.<id>' (:106-107);
+    materialize carries socrata_id/socrata_domain/socrata_updated/
+    direct_url (:149-160); after each domain sweep, previously recorded
+    datasets of that domain that were NOT seen are deleted (:66-100);
+    per-domain and per-dataset errors are contained (:36-41, :52-62)."""
+
+    def __init__(self, identifier: str, catalog_dir: str,
+                 domains: list[dict], listing_transport=None,
+                 data_transport=None, seg_root: str | None = None):
+        super().__init__(identifier, catalog_dir)
+        self.domains = domains
+        self.listing_transport = listing_transport
+        self.data_transport = data_transport
+        self.seg_root = seg_root
+        self.errors: list[str] = []
+
+    def _listing(self, domain_url: str) -> list[dict]:
+        if self.listing_transport is None:
+            raise RuntimeError(
+                "no listing transport configured (no network in this "
+                "environment); inject listing_transport=callable(url)"
+            )
+        return self.listing_transport(domain_url)
+
+    def discover_datasets(self) -> list[str]:
+        recorded: list[str] = []
+        for domain in self.domains:
+            try:
+                recorded.extend(self.process_domain(domain))
+            except Exception as e:  # noqa: BLE001 — a failing domain
+                # must not stop the sweep (reference :36-41)
+                self.errors.append(f"{domain.get('url')}: {e}")
+        return recorded
+
+    def process_domain(self, domain: dict) -> list[str]:
+        url = domain["url"]
+        datasets = self._listing(url)
+        seen: set[str] = set()
+        recorded: list[str] = []
+        for dataset in datasets:
+            try:
+                valid, full_id = self.process_dataset(domain, dataset)
+            except Exception as e:  # noqa: BLE001 — per-dataset
+                # containment (reference :52-62)
+                self.errors.append(
+                    f"{dataset.get('resource', {}).get('id')}: {e}"
+                )
+                continue
+            if valid:
+                seen.add(dataset["resource"]["id"])
+                if full_id:
+                    recorded.append(full_id)
+        # deletion sweep: recorded datasets of THIS domain not in the
+        # fresh listing are gone from the source (reference :66-100)
+        for d in self.datasets():
+            mat = d.get("materialize", {})
+            if mat.get("socrata_domain") != url:
+                continue
+            if mat.get("socrata_id") not in seen:
+                self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
+        return recorded
+
+    def process_dataset(self, domain: dict,
+                        dataset: dict) -> tuple[bool, str | None]:
+        resource = dataset["resource"]
+        rid = resource["id"]
+        if resource.get("type") != "dataset":
+            return False, None
+        dataset_id = f"{encode_domain(domain['url'])}.{rid}"
+        full_id = f"{self.identifier}.{dataset_id}"
+        last = self.catalog.latest("discovered", full_id)
+        if last is not None and last["status"] == "done":
+            updated = (
+                last["metrics"].get("materialize", {})
+                .get("socrata_updated", "")
+            )
+            if updated and resource.get("updatedAt", "") <= updated:
+                return True, None  # unchanged: seen but not re-recorded
+        metadata = {"name": resource.get("name", rid),
+                    "source": domain["url"]}
+        if resource.get("description"):
+            metadata["description"] = resource["description"]
+        if "link" in dataset:
+            metadata["source_url"] = dataset["link"]
+        direct_url = (
+            f"https://{domain['url']}/api/views/{rid}/rows.csv"
+            "?accessType=DOWNLOAD"
+        )
+        if self.data_transport is not None:
+            payload = self.data_transport(direct_url)
+            with self.write_to_shared_storage(dataset_id) as fp:
+                fp.write(payload)
+        self.record_dataset(
+            {
+                "socrata_id": rid,
+                "socrata_domain": domain["url"],
+                "socrata_updated": resource.get("updatedAt", ""),
+                "direct_url": direct_url,
+            },
+            metadata,
+            dataset_id=dataset_id,
+        )
+        return True, full_id
+
+
 def join_search_catalog(
     catalog_dir: str,
     query_path: str,

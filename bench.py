@@ -196,6 +196,85 @@ def _distributed_query_bench(index_dir: str, repeats: int = 3) -> dict:
         ds.shutdown()
 
 
+def _catalog_search_bench() -> dict:
+    """Join + union catalog search over a synthetic 400-dataset sketch
+    table (20 drain appends of 20 datasets x 6 columns, Lazo n_perm=128)
+    — the distributed read_parquet -> map_batches(score) -> sort ->
+    limit(k) pipelines, timed end to end including the staleness
+    filter (40 datasets re-appended so the churn map is non-empty)."""
+    import numpy as np
+
+    from auctus_ray.functions.joinsearch import LazoSketch
+    from auctus_ray.sources.sketchtable import (
+        SketchTable,
+        join_scores,
+        union_scores,
+    )
+
+    root = f"/tmp/auctus_bench_sketchcat_{NUM_CPUS}"
+    shutil.rmtree(root, ignore_errors=True)
+    t = SketchTable(root)
+    rng = np.random.default_rng(89)
+    n_perm, n_ds, per_drain = 128, 400, 20
+    t0 = time.time()
+    for drain in range(n_ds // per_drain):
+        rows = {}
+        for j in range(per_drain):
+            i = drain * per_drain + j
+            cols = []
+            for c in range(6):
+                mins = rng.integers(0, 2**40, n_perm).astype(np.int64)
+                cols.append(
+                    {
+                        "column_name": f"col{c}_{i % 7}",
+                        "tclass": "str" if c < 3 else "int",
+                        "n_perm": n_perm,
+                        "card": int(rng.integers(50, 5000)),
+                        "mins": mins.tobytes() if c < 3 else b"",
+                    }
+                )
+                if c >= 3:
+                    cols[-1]["card"] = -1
+            rows[f"bench.ds{i:04d}"] = cols
+        t.append(rows)
+    # churn: re-append a tenth so the staleness filter is exercised
+    t.append(
+        {
+            f"bench.ds{i:04d}": [
+                {
+                    "column_name": "col0_x",
+                    "tclass": "str",
+                    "n_perm": n_perm,
+                    "card": 100,
+                    "mins": rng.integers(0, 2**40, n_perm)
+                    .astype(np.int64).tobytes(),
+                }
+            ]
+            for i in range(40)
+        }
+    )
+    append_s = time.time() - t0
+    q = LazoSketch(
+        n_perm, rng.integers(0, 2**40, n_perm).astype(np.int64), 1000
+    )
+    t0 = time.time()
+    jn = join_scores(t, q, k=300).num_rows
+    join_s = time.time() - t0
+    qcols = [(f"col{c}_3", "str" if c < 3 else "int") for c in range(6)]
+    t0 = time.time()
+    un = len(union_scores(t, qcols, k=50))
+    union_s = time.time() - t0
+    shutil.rmtree(root, ignore_errors=True)
+    return {
+        "n_datasets": n_ds,
+        "append_s": round(append_s, 3),
+        "join_search_s": round(join_s, 3),
+        "union_search_s": round(union_s, 3),
+        "join_rows": jn,
+        "union_rows": un,
+    }
+
+
 def run_full() -> dict:
     queries: dict[str, float] = {}
     extra: dict = {}
@@ -246,6 +325,11 @@ def run_full() -> dict:
     t0 = time.time()
     fulltext.bm25_topk_incremental(SF_DIR)
     extra["incremental"]["warm_query_s"] = round(time.time() - t0, 3)
+
+    # catalog augmentation search (informational): join + union search
+    # as distributed pipelines over the partitioned sketch table —
+    # 400 datasets x 6 columns appended across 20 drains
+    extra["catalog_search"] = _catalog_search_bench()
 
     return {
         "metric": "auctus_ray index build + BM25 query + pipeline wall time",

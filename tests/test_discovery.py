@@ -226,6 +226,108 @@ def test_reprocess_all_versioned_replace(ray_session, tmp_path, source_dir):
     assert d.profile_pending(seg_root=root) == []
 
 
+def _socrata_listing(rows):
+    """Socrata datasets() payload: [{'resource': {...}, 'link': ...}]."""
+    return [
+        {
+            "resource": {
+                "id": rid,
+                "name": name,
+                "type": typ,
+                "updatedAt": upd,
+                "description": desc,
+            },
+            "link": f"https://{dom}/d/{rid}",
+        }
+        for rid, name, typ, upd, desc, dom in rows
+    ]
+
+
+def test_socrata_discoverer_mocked_transport(ray_session, tmp_path):
+    """Reference Socrata plugin semantics through injected transports
+    (socrata_discovery.py:24-161): type gate, unchanged-skip by
+    updatedAt, materialize/metadata contract, CSV materialization into
+    shared storage (profile_pending then profiles it), and the
+    per-domain deletion sweep."""
+    from auctus_ray.sources.discovery import SocrataDiscoverer
+
+    dom = "data.example.org"
+    listing = {"rows": [
+        ("aaaa-0001", "Population", "dataset", "2024-01-01", "people", dom),
+        ("bbbb-0002", "A chart", "chart", "2024-01-01", "", dom),
+        ("cccc-0003", "Weather", "dataset", "2024-02-01", "", dom),
+    ]}
+    calls = {"listing": 0, "data": []}
+
+    def listing_transport(url):
+        assert url == dom
+        calls["listing"] += 1
+        return _socrata_listing(listing["rows"])
+
+    def data_transport(direct_url):
+        calls["data"].append(direct_url)
+        rid = direct_url.split("/views/")[1].split("/")[0]
+        return (
+            f"city,val\nspringfield,{rid}\nshelbyville,{rid}\n".encode()
+        )
+
+    cat = str(tmp_path / "cat")
+    d = SocrataDiscoverer(
+        "socrata", cat, [{"url": dom}],
+        listing_transport=listing_transport, data_transport=data_transport,
+    )
+    found = d.discover_datasets()
+    # type gate: the chart is skipped; ids follow the reference shape
+    assert found == [
+        "socrata.data-example-org.aaaa-0001",
+        "socrata.data-example-org.cccc-0003",
+    ]
+    assert not d.errors
+    # materialize contract (reference :149-160)
+    mats = {x["id"]: x["materialize"] for x in d.datasets()}
+    m = mats["socrata.data-example-org.aaaa-0001"]
+    assert m["socrata_id"] == "aaaa-0001"
+    assert m["socrata_domain"] == dom
+    assert m["socrata_updated"] == "2024-01-01"
+    assert m["direct_url"].endswith("/api/views/aaaa-0001/rows.csv?accessType=DOWNLOAD")
+    metas = {x["id"]: x["metadata"] for x in d.datasets()}
+    assert metas["socrata.data-example-org.aaaa-0001"]["description"] == "people"
+    assert metas["socrata.data-example-org.aaaa-0001"]["source_url"] == (
+        f"https://{dom}/d/aaaa-0001"
+    )
+
+    # the downloaded CSVs profile end-to-end from shared storage
+    done = d.profile_pending(include_sample=False)
+    assert sorted(done) == found
+
+    # unchanged listing: nothing re-records, nothing re-profiles
+    assert d.discover_datasets() == []
+    assert d.profile_pending(include_sample=False) == []
+
+    # an updatedAt bump re-records and re-profiles that dataset only
+    listing["rows"][0] = (
+        "aaaa-0001", "Population", "dataset", "2024-03-01", "people", dom,
+    )
+    assert d.discover_datasets() == ["socrata.data-example-org.aaaa-0001"]
+
+    # deletion sweep: dropping a dataset from the listing tombstones it
+    listing["rows"] = [listing["rows"][0]]
+    d.discover_datasets()
+    ids = {x["id"] for x in d.datasets()}
+    assert "socrata.data-example-org.cccc-0003" not in ids
+    assert "socrata.data-example-org.aaaa-0001" in ids
+
+    # a failing domain is contained, not fatal (reference :36-41)
+    d2 = SocrataDiscoverer(
+        "socrata", cat, [{"url": "down.example.org"}, {"url": dom}],
+        listing_transport=lambda u: (_ for _ in ()).throw(IOError("503"))
+        if u != dom else _socrata_listing(listing["rows"]),
+        data_transport=data_transport,
+    )
+    d2.discover_datasets()
+    assert d2.errors and "down.example.org" in d2.errors[0]
+
+
 def test_drain_crash_after_index_heals(ray_session, tmp_path, source_dir,
                                        monkeypatch):
     """Kill-and-resume for the discovery drain: crash AFTER the drain's
