@@ -26,6 +26,7 @@ from auctus_ray.functions.dedup import (
     verify_pairs_jaccard,
 )
 from auctus_ray.functions.textstats import (
+    STOPWORDS,
     LangId,
     QualityScorer,
     fingerprint_batch,
@@ -434,6 +435,47 @@ def lang_id(sf_dir: str):
     )
 
 
+def _sql_wordset(words) -> str:
+    return ",".join(f"'{w}'" for w in sorted(words))
+
+
+# SQL twin of LangId._predict_array, generated from the SAME constants
+# (STOPWORDS / LANG_PROBE_TEXTS) so the sets cannot drift: tokenize =
+# runs of [a-z0-9] over lowercased text (tokenize.py "simple"), per-
+# language stopword-hit counts, argmax with first-max-wins in sorted
+# language order (de < en < es < fr), zero hits -> 'und'.
+SQL_LANG_ID = f"""
+WITH probes(doc_id, text) AS (VALUES
+  (-1, '{LANG_PROBE_TEXTS["en"]}'),
+  (-2, '{LANG_PROBE_TEXTS["fr"]}'),
+  (-3, '{LANG_PROBE_TEXTS["es"]}'),
+  (-4, '{LANG_PROBE_TEXTS["de"]}')),
+docs AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT CAST(doc_id AS BIGINT), text FROM probes
+),
+hits AS (
+  SELECT doc_id,
+    len(list_filter(toks, x -> x IN ({_sql_wordset(STOPWORDS["de"])}))) AS h_de,
+    len(list_filter(toks, x -> x IN ({_sql_wordset(STOPWORDS["en"])}))) AS h_en,
+    len(list_filter(toks, x -> x IN ({_sql_wordset(STOPWORDS["es"])}))) AS h_es,
+    len(list_filter(toks, x -> x IN ({_sql_wordset(STOPWORDS["fr"])}))) AS h_fr
+  FROM (SELECT doc_id,
+               regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS toks
+        FROM docs)
+)
+SELECT doc_id,
+  CASE
+    WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+    WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+    WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+    WHEN h_es >= h_fr THEN 'es'
+    ELSE 'fr'
+  END AS lang_pred
+FROM hits
+"""
+
+
 # fixed probe texts whose sha256 is checkable by hand; pytest asserts
 # both the hash and the rolling fingerprint for the probe rows
 FP_PROBE_TEXTS = (
@@ -483,4 +525,5 @@ SQL = {
     "ann_ivf_exact": SQL_ANN_COSINE_TOPK,
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
+    "lang_id": SQL_LANG_ID,
 }

@@ -808,6 +808,119 @@ class SocrataDiscoverer(Discoverer):
         return True, full_id
 
 
+class ZenodoDiscoverer(Discoverer):
+    """Network discovery plugin with the reference's Zenodo semantics
+    (discovery/zenodo/zenodo_discovery.py:16-162), transport-injected
+    (no network in this environment):
+
+      * ``listing_transport(url) -> (records, next_url | None)`` — one
+        paginated ``/api/records/`` GET (the reference follows the
+        ``Link: next`` header, :46-61);
+      * ``data_transport(direct_url) -> bytes`` — optional file
+        download into shared storage.
+
+    Mirrored behaviors: one dataset per tabular FILE of a record,
+    ``dataset_id = '<record_id>.<file_id>'`` (:111); extension gate
+    ``EXTENSIONS`` (:17, :108); already-known files are skipped, not
+    re-recorded (:113-139); metadata name is ``'<title> - <filename>'``
+    with record-level license and description+keywords (:87-102,
+    :143-149); materialize carries zenodo_record_id / zenodo_file_id /
+    zenodo_record_updated / direct_url (:153-162); after the sweep,
+    recorded datasets whose record id was NOT seen are deleted
+    (:63-85).  Divergence (documented): a known file skips only ITSELF
+    — the reference's ``return`` at :124/:139 abandons the record's
+    remaining files, which drops sibling files added later."""
+
+    EXTENSIONS = (".xls", ".xlsx", ".csv", ".sav")
+
+    def __init__(self, identifier: str, catalog_dir: str,
+                 start_url: str = "https://zenodo.org/api/records/?page=1",
+                 listing_transport=None, data_transport=None,
+                 seg_root: str | None = None):
+        super().__init__(identifier, catalog_dir)
+        self.start_url = start_url
+        self.listing_transport = listing_transport
+        self.data_transport = data_transport
+        self.seg_root = seg_root
+        self.errors: list[str] = []
+
+    def discover_datasets(self) -> list[str]:
+        if self.listing_transport is None:
+            raise RuntimeError(
+                "no listing transport configured (no network in this "
+                "environment); inject listing_transport=callable(url)"
+            )
+        seen: set = set()
+        recorded: list[str] = []
+        url: str | None = self.start_url
+        while url:
+            records, url = self.listing_transport(url)
+            for record in records:
+                try:
+                    recorded.extend(self.process_record(record))
+                except Exception as e:  # noqa: BLE001 — per-record
+                    # containment (one bad record must not kill a page)
+                    self.errors.append(f"{record.get('id')}: {e}")
+                    continue
+                seen.add(record["id"])
+        # deletion sweep: recorded datasets whose zenodo record is gone
+        # from the listing (reference :63-85)
+        for d in self.datasets():
+            mat = d.get("materialize", {})
+            if "zenodo_record_id" not in mat:
+                continue
+            if mat["zenodo_record_id"] not in seen:
+                self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
+        return recorded
+
+    def process_record(self, record: dict) -> list[str]:
+        meta = record.get("metadata", {})
+        record_metadata = {
+            "name": record["title"],
+            "source": "zenodo.org",
+            "source_url": f"https://zenodo.org/record/{record['id']}",
+        }
+        if "license" in meta:
+            record_metadata["license"] = meta["license"]
+        description = meta.get("description") or ""
+        if meta.get("keywords"):
+            description += "\n\n" + ", ".join(meta["keywords"])
+        if description:
+            record_metadata["description"] = description
+
+        recorded: list[str] = []
+        for file in record.get("files", []):
+            if not file["filename"].lower().endswith(self.EXTENSIONS):
+                continue
+            dataset_id = f"{record['id']}.{file['id']}"
+            full_id = f"{self.identifier}.{dataset_id}"
+            last = self.catalog.latest("discovered", full_id)
+            if last is not None and last["status"] == "done":
+                continue  # already known (reference :113-139)
+            file_metadata = dict(
+                record_metadata,
+                name=f"{record_metadata['name']} - {file['filename']}",
+                size=file["filesize"],
+            )
+            direct_url = file["links"]["download"]
+            if self.data_transport is not None:
+                payload = self.data_transport(direct_url)
+                with self.write_to_shared_storage(dataset_id) as fp:
+                    fp.write(payload)
+            self.record_dataset(
+                {
+                    "zenodo_record_id": record["id"],
+                    "zenodo_file_id": file["id"],
+                    "zenodo_record_updated": record.get("modified", ""),
+                    "direct_url": direct_url,
+                },
+                file_metadata,
+                dataset_id=dataset_id,
+            )
+            recorded.append(full_id)
+        return recorded
+
+
 def join_search_catalog(
     catalog_dir: str,
     query_path: str,

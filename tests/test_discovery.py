@@ -328,6 +328,100 @@ def test_socrata_discoverer_mocked_transport(ray_session, tmp_path):
     assert d2.errors and "down.example.org" in d2.errors[0]
 
 
+def test_zenodo_discoverer_mocked_transport(ray_session, tmp_path):
+    """Reference Zenodo plugin semantics through injected transports
+    (zenodo_discovery.py:16-162): paginated listing, per-FILE datasets
+    with the extension gate, '<title> - <filename>' metadata +
+    license/keywords, skip-known, materialization into shared storage
+    (profile_pending then profiles it), deletion sweep by record id,
+    and per-record error containment."""
+    from auctus_ray.sources.discovery import ZenodoDiscoverer
+
+    def rec(rid, title, files, modified="2024-01-01", keywords=None):
+        return {
+            "id": rid,
+            "title": title,
+            "modified": modified,
+            "metadata": {
+                "description": f"about {title}",
+                "keywords": keywords or [],
+                "license": "cc-by",
+            },
+            "files": [
+                {
+                    "id": fid,
+                    "filename": fn,
+                    "filesize": 10,
+                    "links": {"download": f"https://zenodo.org/f/{rid}/{fid}"},
+                }
+                for fid, fn in files
+            ],
+        }
+
+    pages = {
+        "p1": ([rec(100, "Crops", [("f1", "yield.csv"), ("f2", "notes.PDF")],
+                    keywords=["agri", "food"]),
+                rec(200, "Rain", [("f3", "rain.xlsx")])], "p2"),
+        "p2": ([rec(300, "Bad", [("f4", "x.csv")])], None),
+    }
+    listing_calls = []
+
+    def listing_transport(url):
+        listing_calls.append(url)
+        return pages[url]
+
+    def data_transport(direct_url):
+        return b"a,b\n1,2\n3,4\n"
+
+    cat = str(tmp_path / "cat")
+    d = ZenodoDiscoverer(
+        "zenodo", cat, start_url="p1",
+        listing_transport=listing_transport, data_transport=data_transport,
+    )
+    found = d.discover_datasets()
+    # pagination followed; one dataset per TABULAR file (pdf gated out)
+    assert listing_calls == ["p1", "p2"]
+    assert found == ["zenodo.100.f1", "zenodo.200.f3", "zenodo.300.f4"]
+    metas = {x["id"]: x["metadata"] for x in d.datasets()}
+    m = metas["zenodo.100.f1"]
+    assert m["name"] == "Crops - yield.csv"
+    assert m["license"] == "cc-by"
+    assert m["source_url"] == "https://zenodo.org/record/100"
+    assert "agri, food" in m["description"]
+    assert m["size"] == 10
+    mats = {x["id"]: x["materialize"] for x in d.datasets()}
+    assert mats["zenodo.200.f3"]["zenodo_record_id"] == 200
+    assert mats["zenodo.200.f3"]["zenodo_file_id"] == "f3"
+    assert mats["zenodo.200.f3"]["direct_url"] == "https://zenodo.org/f/200/f3"
+
+    # the downloaded files profile end-to-end from shared storage
+    done = d.profile_pending(include_sample=False)
+    assert sorted(done) == found
+
+    # second sweep: everything known -> nothing re-records; a NEW file
+    # on a known record still records (our divergence from the
+    # reference's early return at :124/:139)
+    pages["p1"][0][0]["files"].append(
+        {"id": "f5", "filename": "extra.csv", "filesize": 10,
+         "links": {"download": "https://zenodo.org/f/100/f5"}}
+    )
+    assert d.discover_datasets() == ["zenodo.100.f5"]
+
+    # deletion sweep: a record gone from the listing tombstones all
+    # its file datasets
+    pages["p2"] = ([], None)
+    d.discover_datasets()
+    ids = {x["id"] for x in d.datasets()}
+    assert "zenodo.300.f4" not in ids
+    assert "zenodo.100.f1" in ids and "zenodo.200.f3" in ids
+
+    # a malformed record is contained, not fatal
+    pages["p2"] = ([{"id": 400}, rec(500, "OK", [("f6", "ok.csv")])], None)
+    d2_found = d.discover_datasets()
+    assert "zenodo.500.f6" in d2_found
+    assert d.errors and d.errors[0].startswith("400:")
+
+
 def test_drain_crash_after_index_heals(ray_session, tmp_path, source_dir,
                                        monkeypatch):
     """Kill-and-resume for the discovery drain: crash AFTER the drain's

@@ -64,7 +64,7 @@ def _sql_checked_names():
     "bm25_topk_and", "term_df_top100", "doc_length_stats",
     "dedup_exact_groups", "ann_cosine_topk", "text_token_stats", "text_quality",
     "augmentation_search", "profile_stats_orders", "bm25_topk_incremental",
-    "bm25_filtered_topk", "bm25_facets_lang",
+    "bm25_filtered_topk", "bm25_facets_lang", "lang_id",
 ])
 def test_query_matches_oracle(ray_session, con, name):
     qs, sqls = _entry_maps()
