@@ -52,6 +52,15 @@ class Discoverer:
     def discover_datasets(self) -> None:  # pragma: no cover - interface
         """Override: sweep the source, call record_dataset per dataset."""
 
+    def handle_query(self, query: dict, publish) -> None:
+        """Optional on-demand hook (reference docs/internals.rst:46-58,
+        NOAA noaa_discovery.py:163): react to a user query and publish
+        datasets found for it. ``publish(materialize, metadata,
+        dataset_id=None)`` records the dataset; it is then profiled if
+        necessary and considered for the query's results (see
+        ``search_with_on_demand``). Ahead-of-time discoverers leave
+        this as the default no-op."""
+
     # -- recording --------------------------------------------------------
     def record_dataset(
         self,
@@ -641,6 +650,52 @@ def search_datasets(
         "facets": {"source": src, "license": lic, "type": typ},
         "total": total,
     }
+
+
+def search_with_on_demand(
+    discoverers: list,
+    seg_root: str,
+    keywords: str,
+    k: int = 10,
+    **search_kwargs,
+):
+    """The coordinator's on-demand discovery leg (reference
+    docs/internals.rst:30-58: "react to user queries ... announce the
+    datasets found, on-demand ... They will be profiled if necessary
+    and recorded in the index, as well as considered for the results
+    of the user's query").
+
+    Forwards the query to every discoverer's ``handle_query``; each
+    ``publish(materialize, metadata, dataset_id=None)`` call records
+    the dataset on its discoverer, then any discoverer that published
+    drains ``profile_pending(seg_root=...)`` — content-fingerprinted,
+    so already-profiled datasets are "profiled if necessary" only —
+    and the regular keyword search runs over the now-updated index.
+    A failing discoverer is contained (the AMQP consumer never dies
+    with one plugin)."""
+    query = {"keywords": keywords, **search_kwargs}
+    errors: list[str] = []
+    for d in discoverers:
+        published: list[str] = []
+
+        def publish(materialize, metadata, dataset_id=None,
+                    _d=d, _p=published):
+            _p.append(
+                _d.record_dataset(materialize, metadata,
+                                  dataset_id=dataset_id)
+            )
+
+        try:
+            d.handle_query(query, publish)
+        except Exception as e:  # noqa: BLE001 — per-plugin containment
+            errors.append(f"{d.identifier}: {e}")
+            continue
+        if published:
+            d.profile_pending(seg_root=seg_root)
+    results = search_datasets(seg_root, keywords, k=k, **search_kwargs)
+    if errors and isinstance(results, dict):
+        results["on_demand_errors"] = errors
+    return results
 
 
 class LocalDirectoryDiscoverer(Discoverer):

@@ -328,6 +328,74 @@ def test_socrata_discoverer_mocked_transport(ray_session, tmp_path):
     assert d2.errors and "down.example.org" in d2.errors[0]
 
 
+def test_handle_query_on_demand_search(ray_session, tmp_path, source_dir):
+    """On-demand discovery (reference docs/internals.rst:30-58, NOAA
+    handle_query): a query-reactive plugin publishes datasets for the
+    user's query; they are profiled, indexed, and considered in that
+    same query's results. Re-querying does not re-profile (publish is
+    'profiled if necessary'); a failing plugin is contained."""
+    from auctus_ray.sources.discovery import (
+        Discoverer,
+        LocalDirectoryDiscoverer,
+        search_datasets,
+        search_with_on_demand,
+    )
+
+    class WeatherOnDemand(Discoverer):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, **kw)
+            self.queries_seen = []
+
+        def handle_query(self, query, publish):
+            self.queries_seen.append(query)
+            if "temperature" not in query["keywords"]:
+                return
+            with self.write_to_shared_storage("weather1") as fp:
+                fp.write(b"city,temperature\nspringfield,21\nshelbyville,19\n")
+            publish(
+                {"noaa_datatype": "TAVG"},
+                {"name": "City temperature"},
+                dataset_id="weather1",
+            )
+
+    class Broken(Discoverer):
+        def handle_query(self, query, publish):
+            raise IOError("upstream 503")
+
+    cat = str(tmp_path / "cat")
+    root = str(tmp_path / "segroot")
+    # ahead-of-time plugin seeds the index so the search has a corpus
+    aot = LocalDirectoryDiscoverer("localdir", str(tmp_path / "c2"), source_dir)
+    aot.discover_datasets()
+    aot.profile_pending(seg_root=root, include_sample=False)
+
+    ondemand = WeatherOnDemand("noaa", cat)
+    broken = Broken("badplug", str(tmp_path / "c3"))
+
+    # before: the index has nothing for the query
+    assert search_datasets(root, "temperature") == []
+    hits = search_with_on_demand(
+        [ondemand, broken, aot], root, "temperature"
+    )
+    assert [h["dataset_id"] for h in hits] == ["noaa.weather1"]
+    assert ondemand.queries_seen[0]["keywords"] == "temperature"
+    # the published dataset is recorded + profiled like any other
+    assert {x["id"] for x in ondemand.datasets()} == {"noaa.weather1"}
+
+    # profiled-if-necessary: same query again re-publishes (record is
+    # re-journaled) but the unchanged fingerprint skips re-profiling
+    hits = search_with_on_demand([ondemand], root, "temperature")
+    assert [h["dataset_id"] for h in hits] == ["noaa.weather1"]
+    assert ondemand.profile_pending(seg_root=root) == []
+
+    # a non-matching query publishes nothing and still searches fine
+    assert search_with_on_demand([ondemand], root, "population")
+    # facet shape carries contained plugin errors
+    res = search_with_on_demand([broken], root, "temperature", facets=True)
+    assert res["on_demand_errors"] == ["badplug: upstream 503"]
+    assert res["results"][0]["dataset_id"] == "noaa.weather1"
+
+
 def test_zenodo_discoverer_mocked_transport(ray_session, tmp_path):
     """Reference Zenodo plugin semantics through injected transports
     (zenodo_discovery.py:16-162): paginated listing, per-FILE datasets
