@@ -863,6 +863,160 @@ class SocrataDiscoverer(Discoverer):
         return True, full_id
 
 
+class CkanDiscoverer(Discoverer):
+    """Network discovery plugin with the reference's CKAN semantics
+    (discovery/ckan/ckan_discovery.py:16-193), transport-injected (no
+    network in this environment):
+
+      * ``listing_transport(url) -> list[package]`` — one
+        ``package_search`` GET; the sweep paginates by ``start`` until
+        a short page (:50-68);
+      * ``data_transport(direct_url) -> bytes`` — optional resource
+        download into shared storage.
+
+    Mirrored behaviors: per-domain config with optional
+    ``keyword_query`` (:43-48); one dataset per RESOURCE whose format
+    is in ``FILE_TYPES`` (:122-126); ``dataset_id =
+    '<package_id>.<resource_id>'`` (:126); unchanged resources
+    (``metadata_modified`` equal to the recorded
+    ``ckan_record_updated``) are skipped (:128-160); metadata name is
+    ``'<title> - <resource name>'`` with license_title / notes /
+    resource description + package notes (:105-177); materialize
+    carries ckan_domain / ckan_package_id / ckan_resource_id /
+    ckan_record_updated / direct_url, where direct_url falls back
+    download_url -> url and raises KeyError when both are missing
+    (:178-193); after each domain sweep, recorded datasets of that
+    domain whose package was NOT seen are deleted (:70-103); a failing
+    domain is contained (:31-37). Divergence (documented): a known
+    resource skips only ITSELF — the reference's ``return`` at
+    :142/:160 abandons the package's remaining resources."""
+
+    FILE_TYPES = ("CSV", "XLS", "XLSX")
+    PAGE_SIZE = 100
+
+    def __init__(self, identifier: str, catalog_dir: str,
+                 domains: list[dict], listing_transport=None,
+                 data_transport=None, seg_root: str | None = None):
+        super().__init__(identifier, catalog_dir)
+        for domain in domains:
+            if not isinstance(domain.get("url"), str):
+                raise ValueError("each domain needs a str 'url'")
+            extra = set(domain) - {"url", "keyword_query"}
+            if extra:
+                raise ValueError(f"unknown domain keys: {sorted(extra)}")
+        self.domains = domains
+        self.listing_transport = listing_transport
+        self.data_transport = data_transport
+        self.seg_root = seg_root
+        self.errors: list[str] = []
+
+    def discover_datasets(self) -> list[str]:
+        if self.listing_transport is None:
+            raise RuntimeError(
+                "no listing transport configured (no network in this "
+                "environment); inject listing_transport=callable(url)"
+            )
+        recorded: list[str] = []
+        for domain in self.domains:
+            try:
+                recorded.extend(self.get_datasets(domain))
+            except Exception as e:  # noqa: BLE001 — per-domain
+                # containment (reference :31-37)
+                self.errors.append(f"{domain.get('url')}: {e}")
+        return recorded
+
+    def get_datasets(self, domain: dict) -> list[str]:
+        from urllib.parse import urlencode
+
+        kw = {"fq": "res_format:({0})".format(" OR ".join(self.FILE_TYPES)),
+              "rows": self.PAGE_SIZE}
+        if "keyword_query" in domain:
+            kw["q"] = domain["keyword_query"]
+        seen: set = set()
+        recorded: list[str] = []
+        start = 0
+        while True:
+            url = "https://{0}/api/3/action/package_search?{1}".format(
+                domain["url"], urlencode(dict(kw, start=start))
+            )
+            results = self.listing_transport(url)
+            for package in results:
+                recorded.extend(self.process_package(domain, package))
+                seen.add(package["id"])
+            if len(results) < self.PAGE_SIZE:
+                break
+            start += len(results)
+        # deletion sweep: recorded datasets of THIS domain whose
+        # package is gone from the listing (reference :70-103)
+        for d in self.datasets():
+            mat = d.get("materialize", {})
+            if mat.get("ckan_domain") != domain["url"]:
+                continue
+            if mat.get("ckan_package_id") not in seen:
+                self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
+        return recorded
+
+    def process_package(self, domain: dict, package: dict) -> list[str]:
+        package_metadata = {
+            "name": package["title"],
+            "source": domain["url"],
+            "source_url": "https://{0}/dataset/{1}".format(
+                domain["url"], package["name"]
+            ),
+        }
+        if "license_title" in package:
+            package_metadata["license"] = package["license_title"]
+        if package.get("notes"):
+            package_metadata["description"] = package["notes"]
+
+        recorded: list[str] = []
+        for resource in package["resources"]:
+            if resource["format"] not in self.FILE_TYPES:
+                continue
+            dataset_id = f"{package['id']}.{resource['id']}"
+            full_id = f"{self.identifier}.{dataset_id}"
+            modified = resource["metadata_modified"]
+            last = self.catalog.latest("discovered", full_id)
+            if last is not None and last["status"] == "done":
+                updated = (
+                    last["metrics"].get("materialize", {})
+                    .get("ckan_record_updated")
+                )
+                if updated == modified:
+                    continue  # unchanged (reference :128-160)
+            file_metadata = dict(
+                package_metadata,
+                name=f"{package_metadata['name']} - {resource['name']}",
+                size=resource["size"],
+            )
+            if resource.get("description"):
+                file_metadata["description"] = resource["description"]
+                if "description" in package_metadata:
+                    file_metadata["description"] += (
+                        "\n\n" + package_metadata["description"]
+                    )
+            direct_url = resource["download_url"] or resource.get("url")
+            if not direct_url:
+                raise KeyError("download_url or url")
+            if self.data_transport is not None:
+                payload = self.data_transport(direct_url)
+                with self.write_to_shared_storage(dataset_id) as fp:
+                    fp.write(payload)
+            self.record_dataset(
+                {
+                    "ckan_domain": domain["url"],
+                    "ckan_package_id": package["id"],
+                    "ckan_resource_id": resource["id"],
+                    "ckan_record_updated": modified,
+                    "direct_url": direct_url,
+                },
+                file_metadata,
+                dataset_id=dataset_id,
+            )
+            recorded.append(full_id)
+        return recorded
+
+
 class ZenodoDiscoverer(Discoverer):
     """Network discovery plugin with the reference's Zenodo semantics
     (discovery/zenodo/zenodo_discovery.py:16-162), transport-injected

@@ -490,6 +490,113 @@ def test_zenodo_discoverer_mocked_transport(ray_session, tmp_path):
     assert d.errors and d.errors[0].startswith("400:")
 
 
+def test_ckan_discoverer_mocked_transport(ray_session, tmp_path):
+    """Reference CKAN plugin semantics through injected transports
+    (ckan_discovery.py:16-193): package_search pagination by start
+    until a short page, per-RESOURCE datasets with the format gate,
+    '<title> - <resource>' metadata with license/notes/resource
+    description, unchanged-skip by metadata_modified, download_url ->
+    url fallback, per-domain deletion sweep by package id, and
+    per-domain error containment."""
+    from auctus_ray.sources.discovery import CkanDiscoverer
+
+    dom = "open.example.org"
+
+    def res(rid, name, fmt, modified="2024-01-01", desc="", dl=None, url=None):
+        return {"id": rid, "name": name, "format": fmt,
+                "metadata_modified": modified, "size": 10,
+                "description": desc, "download_url": dl, "url": url}
+
+    pkgs = [
+        {"id": "p1", "name": "crops", "title": "Crops",
+         "license_title": "cc-by", "notes": "crop stats",
+         "resources": [
+             res("r1", "yield.csv", "CSV", desc="per county",
+                 dl=f"https://{dom}/r1.csv"),
+             res("r2", "map.pdf", "PDF", dl=f"https://{dom}/r2.pdf"),
+         ]},
+        {"id": "p2", "name": "rain", "title": "Rain", "notes": "",
+         "resources": [
+             res("r3", "rain.xlsx", "XLSX", url=f"https://{dom}/r3.xlsx"),
+         ]},
+    ]
+    state = {"pkgs": pkgs}
+    urls = []
+
+    def listing_transport(url):
+        urls.append(url)
+        from urllib.parse import parse_qs, urlparse
+        q = parse_qs(urlparse(url).query)
+        start = int(q.get("start", ["0"])[0])
+        assert "res_format:(CSV OR XLS OR XLSX)" in q["fq"][0]
+        return state["pkgs"][start:start + 100]
+
+    def data_transport(direct_url):
+        return b"a,b\n1,2\n"
+
+    cat = str(tmp_path / "cat")
+    d = CkanDiscoverer(
+        "ckan", cat, [{"url": dom, "keyword_query": "climate"}],
+        listing_transport=listing_transport, data_transport=data_transport,
+    )
+    found = d.discover_datasets()
+    # format gate: the PDF resource is skipped; ids are package.resource
+    assert found == ["ckan.p1.r1", "ckan.p2.r3"]
+    assert not d.errors
+    assert "q=climate" in urls[0]
+    metas = {x["id"]: x["metadata"] for x in d.datasets()}
+    m = metas["ckan.p1.r1"]
+    assert m["name"] == "Crops - yield.csv"
+    assert m["license"] == "cc-by"
+    assert m["source_url"] == f"https://{dom}/dataset/crops"
+    # resource description + package notes concatenated
+    assert m["description"] == "per county\n\ncrop stats"
+    mats = {x["id"]: x["materialize"] for x in d.datasets()}
+    assert mats["ckan.p1.r1"]["ckan_package_id"] == "p1"
+    assert mats["ckan.p1.r1"]["direct_url"] == f"https://{dom}/r1.csv"
+    # download_url -> url fallback
+    assert mats["ckan.p2.r3"]["direct_url"] == f"https://{dom}/r3.xlsx"
+
+    # downloaded resources profile end-to-end from shared storage
+    assert sorted(d.profile_pending(include_sample=False)) == found
+
+    # unchanged-skip: same listing records nothing
+    assert d.discover_datasets() == []
+    # a metadata_modified bump re-records that resource only
+    pkgs[0]["resources"][0]["metadata_modified"] = "2024-06-01"
+    assert d.discover_datasets() == ["ckan.p1.r1"]
+
+    # deletion sweep: a package gone from the listing tombstones its
+    # resources
+    state["pkgs"] = [pkgs[0]]
+    d.discover_datasets()
+    ids = {x["id"] for x in d.datasets()}
+    assert "ckan.p2.r3" not in ids and "ckan.p1.r1" in ids
+
+    # a missing direct_url is a per-domain contained error
+    state["pkgs"] = [
+        {"id": "p9", "name": "bad", "title": "Bad",
+         "resources": [res("r9", "x.csv", "CSV")]},
+    ]
+    d.discover_datasets()
+    assert d.errors and dom in d.errors[0]
+
+    # pagination: 150 single-resource packages -> two pages
+    state["pkgs"] = [
+        {"id": f"q{i}", "name": f"q{i}", "title": f"Q{i}",
+         "resources": [res(f"s{i}", f"{i}.csv", "CSV",
+                           dl=f"https://{dom}/{i}.csv")]}
+        for i in range(150)
+    ]
+    urls.clear()
+    d2 = CkanDiscoverer(
+        "ckan2", str(tmp_path / "cat2"), [{"url": dom}],
+        listing_transport=listing_transport,
+    )
+    assert len(d2.discover_datasets()) == 150
+    assert len(urls) == 2 and "start=100" in urls[1]
+
+
 def test_drain_crash_after_index_heals(ray_session, tmp_path, source_dir,
                                        monkeypatch):
     """Kill-and-resume for the discovery drain: crash AFTER the drain's
