@@ -206,6 +206,19 @@ def shingle_hash_sets(texts: pa.Array, k: int = 5):
     return sh_u, np.concatenate([[0], np.cumsum(cnts)])
 
 
+def shingle_hash_positions(texts: pa.Array, k: int = 5):
+    """Per-POSITION (non-unique) shingle hashes for each doc — the raw
+    `_shingle_hashes` output re-exported for operators that count gram
+    occurrences (e.g. benchmark decontamination) rather than compare
+    sets. Returns (flat uint64 hashes, int64 doc offsets)."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = tokenize_array(texts, "simple")
+    th = _token_hashes(toks.flatten())
+    toff = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    return _shingle_hashes(th, toff - toff[0], k)
+
+
 def shingles(text: str, k: int = 5) -> set[int]:
     """Token k-shingle hash set for ONE doc — same definition as the
     vectorized pipeline (polynomial over blake2b token hashes, >>1)."""

@@ -500,6 +500,170 @@ def doc_fingerprints(sf_dir: str):
     return ds.map_batches(fingerprint_batch, batch_format="pyarrow")
 
 
+# ---------------------------------------------------------------- curation
+
+# fixed probe texts (the lang_id / doc_fingerprints pattern): the PII
+# probes carry an email + phone and an SSN so the redaction oracle is
+# non-vacuous even though the synthetic corpus is digit-free; pytest
+# additionally asserts the exact redacted forms.
+PII_PROBE_TEXTS = (
+    "contact jane doe at jane.doe+test@example.org or call +1 (555) 123-4567 now",
+    "ssn 123-45-6789 should be gone but the plain text stays intact here",
+)
+
+
+def pii_redact(sf_dir: str):
+    """PII redaction over the corpus + two planted probe docs: ordered
+    RE2 presets (SSN -> EMAIL -> PHONE), each applied to the previous
+    pattern's output — exact-parity SQL oracle via DuckDB's RE2
+    regexp_replace(..., 'g')."""
+    from auctus_ray.functions.curation import redact
+
+    probes = pa.table(
+        {
+            "doc_id": pa.array([-1, -2], pa.int64()),
+            "text": pa.array(list(PII_PROBE_TEXTS), pa.string()),
+        }
+    )
+    ds = _docs(sf_dir, ["doc_id", "text"]).union(ray.data.from_arrow(probes))
+    return redact(ds).select_columns(["doc_id", "clean"])
+
+
+def _sql_pii_redact() -> str:
+    from auctus_ray.functions.curation import PII_PATTERNS
+
+    expr = "text"
+    for pat, repl in PII_PATTERNS:  # same constants, same order
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL SELECT -1, '{PII_PROBE_TEXTS[0]}'
+  UNION ALL SELECT -2, '{PII_PROBE_TEXTS[1]}'
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, {expr} AS clean FROM corpus
+"""
+
+
+def train_split_stats(sf_dir: str):
+    """Deterministic 80/10/10 train/val/test split by Knuth
+    multiplicative hash of doc_id (functions/curation.py) — per-split
+    doc and char totals. The bucket arithmetic is plain modular math,
+    so DuckDB reproduces it exactly in UBIGINT."""
+    from ray.data.aggregate import Sum
+
+    from auctus_ray.functions.curation import hash_split
+
+    ds = hash_split(_docs(sf_dir, ["doc_id", "n_chars"]))
+    return ds.groupby("split").aggregate(
+        Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars")
+    )
+
+
+SQL_TRAIN_SPLIT_STATS = """
+WITH b AS (
+  SELECT ((doc_id % 4294967296)::UBIGINT * 2654435761::UBIGINT)
+           % 4294967296 % 100 AS bkt,
+         n_chars
+  FROM documents
+)
+SELECT CASE WHEN bkt < 80 THEN 'train'
+            WHEN bkt < 90 THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM b GROUP BY 1
+"""
+
+
+# decontamination probes: the benchmark probe contributes three
+# 8-grams; the hit probe embeds the first of them verbatim; the clean
+# probe shares no 8-token window with either the probe benchmark or
+# the corpus benchmark docs (its vocabulary is disjoint enough that no
+# full window can match).
+DECON_K = 8
+DECON_PROBE_BENCH = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+DECON_PROBE_HIT = (
+    "prefix words alpha beta gamma delta epsilon zeta eta theta trailing words"
+)
+DECON_PROBE_CLEAN = "no shared octet lives in this probe sentence at all"
+
+
+def decontaminate_docs(sf_dir: str):
+    """Benchmark decontamination: corpus docs (doc_id >= 10, plus the
+    hit/clean probes) that share any token 8-gram with the benchmark
+    suite (docs 0-9 plus the probe benchmark doc); returns
+    (doc_id, n_hits) with n_hits = matching gram positions. Gram
+    identity is the dedup polynomial shingle hash; the oracle computes
+    the identical string 8-grams in DuckDB."""
+    from auctus_ray.functions.curation import (
+        benchmark_gram_hashes,
+        contamination_counts,
+    )
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    bench_probe = pa.table(
+        {
+            "doc_id": pa.array([-100], pa.int64()),
+            "text": pa.array([DECON_PROBE_BENCH], pa.string()),
+        }
+    )
+    bench = benchmark_gram_hashes(
+        docs.filter(expr="doc_id < 10").union(ray.data.from_arrow(bench_probe)),
+        k=DECON_K,
+    )
+    corpus_probes = pa.table(
+        {
+            "doc_id": pa.array([-1, -2], pa.int64()),
+            "text": pa.array([DECON_PROBE_HIT, DECON_PROBE_CLEAN], pa.string()),
+        }
+    )
+    corpus = docs.filter(expr="doc_id >= 10").union(
+        ray.data.from_arrow(corpus_probes)
+    )
+    return contamination_counts(corpus, bench, k=DECON_K)
+
+
+SQL_DECONTAMINATE_DOCS = f"""
+WITH corpus AS (
+  SELECT doc_id, text FROM documents WHERE doc_id >= 10
+  UNION ALL SELECT -1, '{DECON_PROBE_HIT}'
+  UNION ALL SELECT -2, '{DECON_PROBE_CLEAN}'
+),
+benchd AS (
+  SELECT text FROM documents WHERE doc_id < 10
+  UNION ALL SELECT '{DECON_PROBE_BENCH}'
+),
+ctoks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM corpus
+),
+btoks AS (
+  SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM benchd
+),
+cgrams AS (
+  SELECT doc_id, array_to_string(t[i:i+{DECON_K - 1}], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - {DECON_K - 1}, 0) + 1)) AS i
+        FROM ctoks)
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ')
+  FROM ctoks WHERE len(t) BETWEEN 1 AND {DECON_K - 1}
+),
+bgrams AS (
+  SELECT array_to_string(t[i:i+{DECON_K - 1}], ' ') AS g
+  FROM (SELECT t,
+               unnest(range(1, greatest(len(t) - {DECON_K - 1}, 0) + 1)) AS i
+        FROM btoks)
+  UNION ALL
+  SELECT array_to_string(t, ' ')
+  FROM btoks WHERE len(t) BETWEEN 1 AND {DECON_K - 1}
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, COUNT(*) AS n_hits
+FROM cgrams WHERE g IN (SELECT g FROM bgrams)
+GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "dedup_exact_groups": dedup_exact_groups,
     "near_dup_minhash": near_dup_minhash,
@@ -514,6 +678,9 @@ QUERIES = {
     "text_quality": text_quality,
     "lang_id": lang_id,
     "doc_fingerprints": doc_fingerprints,
+    "pii_redact": pii_redact,
+    "train_split_stats": train_split_stats,
+    "decontaminate_docs": decontaminate_docs,
 }
 
 SQL = {
@@ -526,4 +693,7 @@ SQL = {
     "text_token_stats": SQL_TEXT_TOKEN_STATS,
     "text_quality": SQL_TEXT_QUALITY,
     "lang_id": SQL_LANG_ID,
+    "pii_redact": _sql_pii_redact(),
+    "train_split_stats": SQL_TRAIN_SPLIT_STATS,
+    "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
 }
