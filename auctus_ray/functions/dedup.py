@@ -675,8 +675,6 @@ def verify_pairs_jaccard(pairs_ds, docs_ds, threshold: float = 0.8,
             b_ = batch["id_b"].to_numpy(zero_copy_only=False)
             ma, pos_a = sorted_membership(ids_s, a)
             mb, pos_b = sorted_membership(ids_s, b_)
-            pos_a = np.minimum(pos_a, max(len(ids_s) - 1, 0))
-            pos_b = np.minimum(pos_b, max(len(ids_s) - 1, 0))
             flat_a, len_a = _gather_segments(vals, offs, pos_a, ma)
             flat_b, len_b = _gather_segments(vals, offs, pos_b, mb)
             ja = _jaccard_pairs_vec(flat_a, len_a, flat_b, len_b)

@@ -101,6 +101,10 @@ class NominatimClient:
             ):
                 items = list(batch.items())
                 mid = len(batch) // 2
+                # the caller's dict must empty too — a stale batch would
+                # re-query (and double-append) everything at the final
+                # flush and stop the ==BATCH_SIZE flush from ever firing
+                batch.clear()
                 return self._resolve_batch(
                     dict(items[:mid]), locations
                 ) + self._resolve_batch(dict(items[mid:]), locations)

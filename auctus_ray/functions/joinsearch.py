@@ -197,7 +197,13 @@ def exact_containment_scores(
     )
     qd, nq, _qbytes, fits = broadcast_plan(qd, broadcast_bytes)
     if nq == 0:
-        return _rank_and_cap([], max_candidates)
+        # empty/all-null query column: every known candidate scores 0.0
+        # (the shape the per-candidate path historically returned), not
+        # an empty table
+        rows = (
+            [(d, c, 0.0) for (d, c) in catalog] if catalog is not None else []
+        )
+        return _rank_and_cap(rows, max_candidates)
     if not fits:
 
         def dedup_local(batch: pa.Table) -> pa.Table:

@@ -261,8 +261,19 @@ def _wkt_polygon_coverage(ds, cols: list[str],
             ).to_pylist()
             pairs = _WKT_NUM.findall("|".join(vals))
             if pairs:
+                # tolerant parse: "[0-9.]+" admits tokens like "1.2.3";
+                # NaN fails the range mask below, so a malformed vertex
+                # is dropped instead of crashing the whole profile
+                def _f(tok: str) -> float:
+                    try:
+                        return float(tok)
+                    except ValueError:
+                        return float("nan")
+
                 xy = np.array(
-                    [p.split(" ") for p in pairs], dtype=np.float64
+                    [[_f(a), _f(b)] for a, b in
+                     (p.split(" ") for p in pairs)],
+                    dtype=np.float64,
                 )
                 lon, lat = xy[:, 0], xy[:, 1]  # WKT vertex order: x y
                 m = (

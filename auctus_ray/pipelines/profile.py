@@ -859,13 +859,12 @@ def determine_dataset_type(structural: str, semantic_types) -> str | None:
     / GeoShape / latitude / longitude / ADMIN / address (the last only
     when a Nominatim geocoder is configured) for the spatial sets."""
     from auctus_ray.functions.admin import T_ADMIN
+    from auctus_ray.functions.geocode import T_ADDRESS
 
     if structural in (T_GEO_POINT, T_GEO_POLYGON):
         return DATASET_SPATIAL
     if any(
-        t in (
-            T_LATITUDE, T_LONGITUDE, T_ADMIN, "http://schema.org/address",
-        )
+        t in (T_LATITUDE, T_LONGITUDE, T_ADMIN, T_ADDRESS)
         for t in semantic_types
     ):
         return DATASET_SPATIAL

@@ -189,17 +189,29 @@ class Discoverer:
             out.append(d)
         return out
 
-    def backfill_sketches(self) -> list[str]:
+    def backfill_sketches(self, chunk_datasets: int = 2000) -> list[str]:
         """Write column sketches for live datasets profiled BEFORE the
         sketch catalog existed (catalog search reads the sketch table
         only, so un-sketched datasets would be silently invisible to
         join/union/augmentation search). Much cheaper than
         reprocess_all: no re-profiling, one materialized read per
-        missing dataset; all backfilled rows land as ONE table append.
+        missing dataset. Appends land in chunks of ``chunk_datasets``
+        (each chunk marked 'sketched' before the next starts) so a
+        large-catalog migration holds O(chunk) sketch rows on the
+        driver and resumes where it stopped, never O(catalog).
         Returns the backfilled ids."""
-        done = []
+        done: list[str] = []
         rows_by_dataset: dict[str, list[dict]] = {}
         fps: dict[str, str] = {}
+
+        def flush() -> None:
+            if rows_by_dataset:
+                self.sketch_table.append(rows_by_dataset)
+                for fid, fp in fps.items():
+                    self.catalog.mark("sketched", fid, fp, "done")
+                rows_by_dataset.clear()
+                fps.clear()
+
         for d in self.datasets():
             if self.catalog.is_done("sketched", d["id"], d["fingerprint"]):
                 continue
@@ -217,10 +229,9 @@ class Discoverer:
                 continue
             fps[d["id"]] = d["fingerprint"]
             done.append(d["id"])
-        if rows_by_dataset:
-            self.sketch_table.append(rows_by_dataset)
-            for fid, fp in fps.items():
-                self.catalog.mark("sketched", fid, fp, "done")
+            if len(rows_by_dataset) >= chunk_datasets:
+                flush()
+        flush()
         return done
 
     def reprocess_all(self) -> int:
@@ -657,6 +668,7 @@ def search_with_on_demand(
     seg_root: str,
     keywords: str,
     k: int = 10,
+    errors_out: list | None = None,
     **search_kwargs,
 ):
     """The coordinator's on-demand discovery leg (reference
@@ -672,7 +684,10 @@ def search_with_on_demand(
     so already-profiled datasets are "profiled if necessary" only —
     and the regular keyword search runs over the now-updated index.
     A failing discoverer is contained (the AMQP consumer never dies
-    with one plugin)."""
+    with one plugin); contained errors land in ``errors_out`` (pass a
+    list) and, on the facets=True dict response, in
+    ``results["on_demand_errors"]`` — the plain-list response cannot
+    carry them."""
     query = {"keywords": keywords, **search_kwargs}
     errors: list[str] = []
     for d in discoverers:
@@ -693,6 +708,8 @@ def search_with_on_demand(
         if published:
             d.profile_pending(seg_root=seg_root)
     results = search_datasets(seg_root, keywords, k=k, **search_kwargs)
+    if errors_out is not None:
+        errors_out.extend(errors)
     if errors and isinstance(results, dict):
         results["on_demand_errors"] = errors
     return results
@@ -801,10 +818,13 @@ class SocrataDiscoverer(Discoverer):
             try:
                 valid, full_id = self.process_dataset(domain, dataset)
             except Exception as e:  # noqa: BLE001 — per-dataset
-                # containment (reference :52-62)
-                self.errors.append(
-                    f"{dataset.get('resource', {}).get('id')}: {e}"
-                )
+                # containment (reference :52-62); the id is still SEEN:
+                # an errored entry is present at the source, so the
+                # deletion sweep below must not tombstone its live data
+                rid = dataset.get("resource", {}).get("id")
+                if rid:
+                    seen.add(rid)
+                self.errors.append(f"{rid}: {e}")
                 continue
             if valid:
                 seen.add(dataset["resource"]["id"])
@@ -941,8 +961,15 @@ class CkanDiscoverer(Discoverer):
             )
             results = self.listing_transport(url)
             for package in results:
-                recorded.extend(self.process_package(domain, package))
-                seen.add(package["id"])
+                # per-package containment; the id is SEEN either way so
+                # the deletion sweep below never tombstones live data
+                # over a transient per-package error
+                if package.get("id") is not None:
+                    seen.add(package["id"])
+                try:
+                    recorded.extend(self.process_package(domain, package))
+                except Exception as e:  # noqa: BLE001
+                    self.errors.append(f"{package.get('id')}: {e}")
             if len(results) < self.PAGE_SIZE:
                 break
             start += len(results)
@@ -995,7 +1022,7 @@ class CkanDiscoverer(Discoverer):
                     file_metadata["description"] += (
                         "\n\n" + package_metadata["description"]
                     )
-            direct_url = resource["download_url"] or resource.get("url")
+            direct_url = resource.get("download_url") or resource.get("url")
             if not direct_url:
                 raise KeyError("download_url or url")
             if self.data_transport is not None:
@@ -1068,7 +1095,11 @@ class ZenodoDiscoverer(Discoverer):
                 try:
                     recorded.extend(self.process_record(record))
                 except Exception as e:  # noqa: BLE001 — per-record
-                    # containment (one bad record must not kill a page)
+                    # containment (one bad record must not kill a page);
+                    # still SEEN: the record exists at the source, so the
+                    # sweep must not delete its live datasets
+                    if record.get("id") is not None:
+                        seen.add(record["id"])
                     self.errors.append(f"{record.get('id')}: {e}")
                     continue
                 seen.add(record["id"])

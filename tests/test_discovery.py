@@ -573,13 +573,14 @@ def test_ckan_discoverer_mocked_transport(ray_session, tmp_path):
     ids = {x["id"] for x in d.datasets()}
     assert "ckan.p2.r3" not in ids and "ckan.p1.r1" in ids
 
-    # a missing direct_url is a per-domain contained error
+    # a missing direct_url is a per-PACKAGE contained error (finer than
+    # per-domain: sibling packages and the sweep continue)
     state["pkgs"] = [
         {"id": "p9", "name": "bad", "title": "Bad",
          "resources": [res("r9", "x.csv", "CSV")]},
     ]
     d.discover_datasets()
-    assert d.errors and dom in d.errors[0]
+    assert d.errors and d.errors[0].startswith("p9:")
 
     # pagination: 150 single-resource packages -> two pages
     state["pkgs"] = [
@@ -1116,3 +1117,134 @@ def test_backfill_sketches_and_error_parking(ray_session, tmp_path):
     assert {x["id"] for x in d.pending()} == {
         "localdir.bad", "localdir.full", "localdir.part",
     }
+
+
+def test_sweeps_spare_errored_listing_entries(ray_session, tmp_path):
+    """A listing entry that ERRORS during processing is still present at
+    the source, so the deletion sweep must not tombstone its live data
+    (regression: Socrata/Zenodo/CKAN all marked errored entries unseen
+    and deleted them)."""
+    from auctus_ray.sources.discovery import (
+        CkanDiscoverer,
+        SocrataDiscoverer,
+        ZenodoDiscoverer,
+    )
+
+    # --- Socrata: record fine, then the updated entry's download fails
+    dom = "data.example.org"
+    rows = [("aaaa-0001", "Pop", "dataset", "2024-01-01", "", dom)]
+    ok = {"fail": False}
+
+    def data_transport(direct_url):
+        if ok["fail"]:
+            raise IOError("transient 500")
+        return b"a,b\n1,2\n"
+
+    d = SocrataDiscoverer(
+        "socrata", str(tmp_path / "s"), [{"url": dom}],
+        listing_transport=lambda u: _socrata_listing(rows),
+        data_transport=data_transport,
+    )
+    assert d.discover_datasets() == ["socrata.data-example-org.aaaa-0001"]
+    rows[0] = ("aaaa-0001", "Pop", "dataset", "2024-02-01", "", dom)
+    ok["fail"] = True
+    d.discover_datasets()
+    assert d.errors and "aaaa-0001" in d.errors[0]
+    assert {x["id"] for x in d.datasets()} == {
+        "socrata.data-example-org.aaaa-0001"
+    }
+
+    # --- Zenodo: a malformed NEW sibling file errors the record; the
+    # record's previously recorded dataset survives the sweep
+    recs = [{
+        "id": 100, "title": "Crops", "modified": "2024-01-01",
+        "metadata": {},
+        "files": [{"id": "f1", "filename": "a.csv", "filesize": 3,
+                   "links": {"download": "u1"}}],
+    }]
+    z = ZenodoDiscoverer(
+        "zenodo", str(tmp_path / "z"), start_url="p1",
+        listing_transport=lambda u: (recs, None),
+        data_transport=lambda u: b"a,b\n1,2\n",
+    )
+    assert z.discover_datasets() == ["zenodo.100.f1"]
+    recs[0]["files"].append(
+        {"id": "f9", "filename": "b.csv", "links": {"download": "u9"}}
+    )  # no 'filesize' -> KeyError mid-record
+    z.discover_datasets()
+    assert z.errors and "100" in z.errors[0]
+    assert {x["id"] for x in z.datasets()} == {"zenodo.100.f1"}
+
+    # --- CKAN: a malformed resource errors the package; its recorded
+    # dataset survives the sweep, and the error is contained per-package
+    # (pagination and other packages continue)
+    cdom = "open.example.org"
+    pkgs = [
+        {"id": "p1", "name": "crops", "title": "Crops",
+         "resources": [{"id": "r1", "name": "y.csv", "format": "CSV",
+                        "metadata_modified": "2024-01-01", "size": 1,
+                        "description": "", "url": "u1"}]},
+        {"id": "p2", "name": "rain", "title": "Rain",
+         "resources": [{"id": "r2", "name": "r.xlsx", "format": "XLSX",
+                        "metadata_modified": "2024-01-01", "size": 1,
+                        "description": "", "url": "u2"}]},
+    ]
+    c = CkanDiscoverer(
+        "ckan", str(tmp_path / "c"), [{"url": cdom}],
+        listing_transport=lambda u: pkgs if "start=0" in u else [],
+        data_transport=lambda u: b"a,b\n1,2\n",
+    )
+    assert len(c.discover_datasets()) == 2
+    pkgs[0]["resources"][0] = {"id": "r1"}  # malformed: no format key
+    recorded = c.discover_datasets()
+    assert recorded == []  # p2 unchanged-skips, p1 errors
+    assert c.errors and "p1" in c.errors[-1]
+    assert {x["id"] for x in c.datasets()} == {"ckan.p1.r1", "ckan.p2.r2"}
+
+
+def test_ckan_missing_download_url_key_falls_back(ray_session, tmp_path):
+    """A CKAN resource dict with NO download_url key (optional in CKAN)
+    must fall back to url, not KeyError the domain."""
+    from auctus_ray.sources.discovery import CkanDiscoverer
+
+    pkgs = [{"id": "p1", "name": "x", "title": "X",
+             "resources": [{"id": "r1", "name": "x.csv", "format": "CSV",
+                            "metadata_modified": "2024-01-01", "size": 1,
+                            "description": "", "url": "https://u/x.csv"}]}]
+    c = CkanDiscoverer(
+        "ckan", str(tmp_path / "c2"), [{"url": "d.org"}],
+        listing_transport=lambda u: pkgs if "start=0" in u else [],
+        data_transport=lambda u: b"a,b\n1,2\n",
+    )
+    assert c.discover_datasets() == ["ckan.p1.r1"]
+    assert not c.errors
+    mats = {x["id"]: x["materialize"] for x in c.datasets()}
+    assert mats["ckan.p1.r1"]["direct_url"] == "https://u/x.csv"
+
+
+def test_on_demand_errors_out_on_list_response(ray_session, tmp_path,
+                                               source_dir):
+    """Contained plugin errors must be observable on the plain-list
+    (facets=False) response via errors_out (the dict shape already
+    carries on_demand_errors; the list shape silently dropped them)."""
+    from auctus_ray.sources.discovery import (
+        Discoverer,
+        LocalDirectoryDiscoverer,
+        search_with_on_demand,
+    )
+
+    class Broken(Discoverer):
+        def handle_query(self, query, publish):
+            raise RuntimeError("plugin exploded")
+
+    root = str(tmp_path / "seg")
+    aot = LocalDirectoryDiscoverer("localdir", str(tmp_path / "c"), source_dir)
+    aot.discover_datasets()
+    aot.profile_pending(seg_root=root, include_sample=False)
+    errs: list = []
+    res = search_with_on_demand(
+        [Broken("broken", str(tmp_path / "bcat"))], root, "anything",
+        errors_out=errs,
+    )
+    assert isinstance(res, list)
+    assert errs and "plugin exploded" in errs[0]

@@ -401,3 +401,30 @@ def test_enhance_metadata(geo_table_path):
     assert "coverage" not in doc["columns"][
         doc["temporal_coverage"][0]["column_indexes"][0]
     ] or doc["columns"] is not cols
+
+
+def test_polygon_coverage_tolerates_malformed_vertex(ray_session, tmp_path):
+    """Regression: a cell matching the polygon vote regex but holding a
+    non-float token (e.g. '1.2.3') must drop that vertex, not crash the
+    whole dataset profile inside map_batches."""
+    from auctus_ray.pipelines.document import profile_dataset_document
+    from auctus_ray.pipelines.profile import T_GEO_POLYGON
+
+    good = [
+        "POLYGON ((30.0 10.0, 31.0 10.0, 31.0 11.0, 30.0 11.0, 30.0 10.0))"
+    ] * 120
+    # matches the vote regex ([0-9 .,]+ admits a second dot) but the
+    # first vertex token is not a float; the second vertex is fine
+    bad = "POLYGON ((1.2.3 4.0, 32.0 12.0))"
+    p = tmp_path / "badshape.parquet"
+    pq.write_table(
+        pa.table({"zone": pa.array(good + [bad], pa.string())}), str(p)
+    )
+    doc = profile_dataset_document(str(p), include_sample=False)
+    cols = {c["name"]: c for c in doc["columns"]}
+    assert cols["zone"]["structural_type"] == T_GEO_POLYGON
+    sc = [e for e in doc["spatial_coverage"] if e["type"] == "polygon"]
+    assert len(sc) == 1
+    # 5 vertices x 120 good cells + the bad cell's one valid vertex;
+    # the malformed vertex is dropped, not fatal
+    assert sc[0]["number"] == 5 * 120 + 1

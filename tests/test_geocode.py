@@ -181,3 +181,21 @@ def test_profile_document_mostly_unresolvable_not_address(ray_session,
     cols = {c["name"]: c for c in doc["columns"]}
     assert T_ADDRESS not in cols["loc"]["semantic_types"]
     assert "spatial" not in doc["types"]
+
+
+def test_midstream_split_clears_batch_no_double_append():
+    """Regression: a 500-split at the ==20 mid-stream flush must empty
+    the caller's batch — a stale batch re-queried every value at the
+    final flush (double-appending locations) and the ==BATCH_SIZE
+    flush never fired again."""
+    table = {f"addr {i}": (1.0 + i, 2.0 + i) for i in range(25)}
+    log: list = []
+    c = NominatimClient(
+        "http://nominatim/", fake_transport(table, fail_first=1, log=log)
+    )
+    locations, non_empty = c.resolve_all([f"addr {i}" for i in range(25)])
+    # flush of 20 fails once -> two halves of 10; final flush is the
+    # remaining 5 only (no re-query of the first 20)
+    assert [len(q) for q in log] == [20, 10, 10, 5]
+    assert len(locations) == 25 and non_empty == 25
+    assert len(set(map(tuple, locations))) == 25  # no duplicates

@@ -188,3 +188,29 @@ def test_containment_join_path_matches_broadcast(ray_session):
         catalog=cat, broadcast_bytes=0,
     ).to_pandas()
     assert bcast.equals(joined)
+
+
+def test_exact_containment_empty_query_zero_fills(ray_session, columns_ds):
+    """Regression: an empty/all-null query column must return every
+    known catalog candidate at containment 0.0 (the per-candidate
+    path's historical shape), not an empty table."""
+    import ray.data
+
+    from auctus_ray.functions.joinsearch import exact_containment_scores
+
+    _, cands = columns_ds
+    allv = ray.data.from_arrow(
+        pa.table(
+            {
+                "dataset_id": pa.array(["d"], pa.string()),
+                "column_name": pa.array(["full"], pa.string()),
+                "value": pa.array(["x"], pa.string()),
+            }
+        )
+    )
+    empty_q = ray.data.from_arrow(
+        pa.table({"value": pa.array([], pa.string())})
+    )
+    out = exact_containment_scores(empty_q, allv, catalog=sorted(cands))
+    assert out.num_rows == len(cands)
+    assert set(out["containment"].to_pylist()) == {0.0}
