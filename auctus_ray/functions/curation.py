@@ -111,6 +111,48 @@ def redact(ds, column: str = "text", patterns=PII_PATTERNS, out_column: str = "c
     )
 
 
+# ---------------------------------------------------- repetition quality
+
+
+def repetition_stats(
+    ds, k: int = 3, id_column: str = "doc_id", text_column: str = "text"
+):
+    """Within-document repetition (the Gopher-style duplicate-n-gram
+    quality signal): per doc, total token k-grams, distinct k-grams,
+    and rep_ratio = 1 - distinct/total (rounded to 6 dp for oracle
+    parity). Docs with no tokens emit no row (mirrors the SQL group-by
+    shape). Pure map-side: the per-doc unique count is one lexsort over
+    the batch's (doc, gram-hash) pairs — no shuffle, no Python loop."""
+
+    def stats(batch: pa.Table) -> pa.Table:
+        sh, soff = shingle_hash_positions(batch.column(text_column), k)
+        n = np.diff(soff)
+        doc_of = np.repeat(np.arange(n.size, dtype=np.int64), n)
+        if sh.size:
+            order = np.lexsort((sh, doc_of))
+            sh_s, doc_s = sh[order], doc_of[order]
+            new = np.concatenate(
+                [[True], (sh_s[1:] != sh_s[:-1]) | (doc_s[1:] != doc_s[:-1])]
+            )
+            nd = np.bincount(doc_s[new], minlength=n.size).astype(np.int64)
+        else:
+            nd = np.zeros(n.size, np.int64)
+        m = n > 0
+        rep = 1.0 - nd[m] / n[m]
+        rep6 = np.floor(rep * 1e6 + 0.5) / 1e6
+        ids = batch.column(id_column).to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_column: pa.array(ids[m]),
+                "n_grams": pa.array(n[m].astype(np.int64)),
+                "n_distinct": pa.array(nd[m]),
+                "rep_ratio": pa.array(rep6, pa.float64()),
+            }
+        )
+
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 # ------------------------------------------------ benchmark decontamination
 
 

@@ -576,6 +576,41 @@ FROM b GROUP BY 1
 """
 
 
+def doc_repetition(sf_dir: str):
+    """Within-document duplicate-3-gram stats (Gopher-style repetition
+    quality signal, functions/curation.py:repetition_stats) — DuckDB
+    oracle computes the identical string 3-grams with COUNT vs
+    COUNT(DISTINCT) per doc."""
+    from auctus_ray.functions.curation import repetition_stats
+
+    return repetition_stats(_docs(sf_dir, ["doc_id", "text"]), k=3)
+
+
+SQL_DOC_REPETITION = """
+WITH toks AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+  FROM (SELECT doc_id, t,
+               unnest(range(1, greatest(len(t) - 2, 0) + 1)) AS i
+        FROM toks)
+  UNION ALL
+  SELECT doc_id, array_to_string(t, ' ')
+  FROM toks WHERE len(t) BETWEEN 1 AND 2
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_grams, COUNT(DISTINCT g) AS n_distinct
+  FROM grams GROUP BY doc_id
+)
+SELECT doc_id, n_grams, n_distinct,
+       floor((1.0 - n_distinct::DOUBLE / n_grams) * 1e6 + 0.5) / 1e6
+         AS rep_ratio
+FROM agg
+"""
+
+
 # decontamination probes: the benchmark probe contributes three
 # 8-grams; the hit probe embeds the first of them verbatim; the clean
 # probe shares no 8-token window with either the probe benchmark or
@@ -681,6 +716,7 @@ QUERIES = {
     "pii_redact": pii_redact,
     "train_split_stats": train_split_stats,
     "decontaminate_docs": decontaminate_docs,
+    "doc_repetition": doc_repetition,
 }
 
 SQL = {
@@ -696,4 +732,5 @@ SQL = {
     "pii_redact": _sql_pii_redact(),
     "train_split_stats": SQL_TRAIN_SPLIT_STATS,
     "decontaminate_docs": SQL_DECONTAMINATE_DOCS,
+    "doc_repetition": SQL_DOC_REPETITION,
 }

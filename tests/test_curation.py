@@ -161,3 +161,27 @@ def test_pii_probe_constants():
     ).column("clean").to_pylist()
     assert out[0] == "contact jane doe at [EMAIL] or call [PHONE] now"
     assert out[1] == "ssn [SSN] should be gone but the plain text stays intact here"
+
+
+def test_repetition_stats_planted(ray_session):
+    import ray.data
+
+    from auctus_ray.functions.curation import repetition_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b a b",  # 3-grams: aba bab aba bab -> 4/2
+                    "one two three four",  # all distinct -> 2/2... (2 grams)
+                    "x y",  # short collapse: one gram
+                    "",  # no tokens: no row
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = repetition_stats(ray.data.from_arrow(t), k=3).take_all()
+    got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_ratio"]) for r in out}
+    assert got == {1: (4, 2, 0.5), 2: (2, 2, 0.0), 3: (1, 1, 0.0)}
