@@ -331,6 +331,24 @@ def run_full() -> dict:
     # 400 datasets x 6 columns appended across 20 drains
     extra["catalog_search"] = _catalog_search_bench()
 
+    # curation suite (informational): map-side corpus-curation passes
+    # over the documents table — PII redaction, benchmark
+    # decontamination (docs 0-9 as the suite), repetition stats, split
+    cur: dict[str, float] = {}
+    t0 = time.time()
+    training.pii_redact(SF_DIR).count()
+    cur["pii_redact_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    training.decontaminate_docs(SF_DIR).count()
+    cur["decontaminate_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    training.doc_repetition(SF_DIR).count()
+    cur["repetition_s"] = round(time.time() - t0, 3)
+    t0 = time.time()
+    training.train_split_stats(SF_DIR).to_pandas()
+    cur["hash_split_s"] = round(time.time() - t0, 3)
+    extra["curation"] = cur
+
     return {
         "metric": "auctus_ray index build + BM25 query + pipeline wall time",
         "value": round(sum(queries.values()), 3),
