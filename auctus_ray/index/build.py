@@ -473,6 +473,18 @@ def build_index(
     ]
     tokenized_dir = os.path.join(index_dir, "tokenized")
     os.makedirs(tokenized_dir, exist_ok=True)
+    # rebuilding into an existing index_dir with a smaller/regrouped
+    # input set must not leave stale tokenized group dirs behind: the
+    # bucket_stats and encode stages glob tokenized/*/bucket=*
+    # unconditionally and would count phantom docs (or crash on
+    # duplicate corpus row keys). Also sweeps partial *.tmp dirs from a
+    # hard crash whose group no longer exists.
+    import shutil as _shutil
+
+    current_groups = {f"group-{gi:04d}" for gi in range(len(groups))}
+    for p in glob.glob(os.path.join(tokenized_dir, "*")):
+        if os.path.basename(p) not in current_groups:
+            _shutil.rmtree(p, ignore_errors=True)
     tok_fps = []
     for gi, gfiles in enumerate(groups):
         part = f"group-{gi:04d}"

@@ -76,18 +76,12 @@ def _varint_encode_chunk_any(v: np.ndarray, ngroups: np.ndarray) -> bytes:
 
 
 def _varint_encode_chunk(v: np.ndarray, ngroups: np.ndarray) -> bytes:
-    width = int(ngroups.max())
+    # 32-bit dispatch (shift matrices are 2x smaller), then the one
+    # shared bit-matrix implementation — keeping a second copy of that
+    # tricky code in sync was a drift hazard
     if int(v.max()) < 2**32:
         v = v.astype(np.uint32)
-        js = np.arange(width, dtype=np.uint32) * np.uint32(7)
-        mat = ((v[:, None] >> js[None, :]) & np.uint32(0x7F)).astype(np.uint8)
-    else:
-        js = np.arange(width, dtype=np.uint64) * np.uint64(7)
-        mat = ((v[:, None] >> js[None, :]) & np.uint64(0x7F)).astype(np.uint8)
-    col = np.arange(width, dtype=np.int8)[None, :]
-    keep = col < ngroups[:, None]
-    mat |= ((col < (ngroups[:, None] - 1)) * np.uint8(0x80))
-    return mat[keep].tobytes()
+    return _varint_encode_chunk_any(v, ngroups)
 
 
 def varint_decode(buf: bytes, count: int) -> np.ndarray:

@@ -41,7 +41,6 @@ class OracleIndex:
         self.n_docs = len(contents)
         # postings[term] -> dict doc_id -> tf
         postings: dict[str, dict[int, int]] = {}
-        self.dl = np.zeros(self.n_docs + 0, dtype=np.int64)
         self._dl_by_doc: dict[int, int] = {}
         for did, text in zip(doc_ids.tolist(), contents):
             toks = tokenize_text(text or "", analyzer)
@@ -120,7 +119,15 @@ class OracleIndex:
         amap = self._attr_by_doc.get(facet_by, {})
         from collections import Counter
 
-        counts = dict(Counter(amap.get(int(d)) for d in doc_arr))
+        # null attrs bucket as '__missing__', matching the engine
+        # (search.py facet counting); key parity is the whole point of
+        # an oracle facet
+        counts = dict(
+            Counter(
+                v if (v := amap.get(int(d))) is not None else "__missing__"
+                for d in doc_arr
+            )
+        )
         return doc_arr[order], scores[order], counts
 
     def topk_table(self, query_set: pa.Table) -> pa.Table:

@@ -264,6 +264,26 @@ def load_synonyms(path: str) -> dict[str, list[str]]:
     return out
 
 
+def _postings_entry_nbytes(e: dict | None) -> int:
+    """Approximate heap size of one (shard, term) cache entry — block
+    arrays + blobs (memoized on the entry: they never change) plus the
+    dense span arrays when attached."""
+    if e is None:
+        return 64
+    n = e.get("_nbytes_static")
+    if n is None:
+        n = (
+            e["first"].nbytes + e["last"].nbytes + e["n"].nbytes
+            + e["max_tfnorm"].nbytes
+            + sum(len(b) for b in e["blobs"]) + 64
+        )
+        e["_nbytes_static"] = n
+    d = e.get("_dense")
+    if d is not None:
+        n += d[1].nbytes + d[2].nbytes
+    return n
+
+
 class Searcher:
     """Single-process searcher over a built index directory.
 
@@ -274,7 +294,8 @@ class Searcher:
     """
 
     def __init__(self, index_dir: str,
-                 synonyms: dict[str, list[str]] | str | None = None):
+                 synonyms: dict[str, list[str]] | str | None = None,
+                 postings_cache_bytes: int = 256 << 20):
         # search-time-only synonym expansion, mirroring the reference's
         # default_search analyzer (synonym_graph applied at query time
         # only, elasticsearch.yml:16-31). Simplification: term-level OR
@@ -322,7 +343,15 @@ class Searcher:
             os.path.join(index_dir, "term_stats"), format="parquet"
         )
         self._df_cache: dict[str, int] = {}
-        self._postings_cache: dict[tuple[str, str], list | None] = {}
+        # LRU with a byte budget: a long-lived serving actor otherwise
+        # accumulates per-(shard, term) blocks PLUS their dense spans
+        # (O(shard) float64 each) without bound and eventually OOMs
+        from collections import OrderedDict
+
+        self._postings_cache: "OrderedDict[tuple[str, str], dict | None]" = (
+            OrderedDict()
+        )
+        self.postings_cache_bytes = postings_cache_bytes
 
     # ---------------- term metadata ----------------
 
@@ -358,6 +387,7 @@ class Searcher:
         for t in terms:
             key = (shard_file, t)
             if key in self._postings_cache:
+                self._postings_cache.move_to_end(key)
                 if self._postings_cache[key] is not None:
                     out[t] = self._postings_cache[key]
             else:
@@ -385,7 +415,21 @@ class Searcher:
                 }
                 self._postings_cache[(shard_file, t)] = entry
                 out[t] = entry
+            self._evict_postings_cache()
         return out
+
+    def _evict_postings_cache(self) -> None:
+        """Evict least-recently-used postings entries until the cache
+        (blocks + attached dense spans) fits the byte budget. Entries
+        returned by the CURRENT query survive: eviction only drops the
+        dict reference, and the heaviest queries touch far fewer bytes
+        than the budget."""
+        total = sum(
+            _postings_entry_nbytes(e) for e in self._postings_cache.values()
+        )
+        while total > self.postings_cache_bytes and len(self._postings_cache) > 1:
+            _, e = self._postings_cache.popitem(last=False)
+            total -= _postings_entry_nbytes(e)
 
     def term_docs(self, term: str) -> set[int]:
         """All docIDs containing term (decodes the term's postings)."""
@@ -588,6 +632,7 @@ class Searcher:
         filters: dict[str, list] | None = None,
         offset: int = 0,
         facet_by: str | list | None = None,
+        pre_analyzed: bool = False,
     ):
         """Top-k (doc_ids, scores), score desc then docID asc, float64.
 
@@ -602,8 +647,16 @@ class Searcher:
         """
         if offset + k > 10000:
             raise ValueError("offset + k must be <= 10000")
-        base_terms = set(tokenize_text(query, self.analyzer))
-        if self.synonyms:
+        if pre_analyzed:
+            # whitespace-separated INDEX terms (e.g. dictionary
+            # expansions from PrefixExpander): re-analysis would re-stem
+            # them — Porter is not idempotent ('univers' -> 'univ') —
+            # and silently zero out the query. ES likewise never
+            # analyzes rewritten multi-term expansions.
+            base_terms = set(query.split())
+        else:
+            base_terms = set(tokenize_text(query, self.analyzer))
+        if self.synonyms and not pre_analyzed:
             for t in list(base_terms):
                 for syn in self.synonyms.get(t, ()):
                     base_terms.update(tokenize_text(syn, self.analyzer))
@@ -632,7 +685,10 @@ class Searcher:
         facet_multi = isinstance(facet_by, (list, tuple))
         counts: dict = {a: {} for a in facet_attrs} if facet_multi else {}
 
-        kk = k + offset
+        # k=0 is the natural facet-/count-only query: evaluate with an
+        # internal top-1 (the scan/WAND kernels assume a non-empty heap
+        # budget) and slice back to zero hits below
+        kk = max(k + offset, 1)
         heap: list = []
         for sf in self.shard_files:
             postings = self._shard_postings(sf, terms)
@@ -697,19 +753,6 @@ class Searcher:
         if facet_by is None:
             return doc_ids, scores
         return doc_ids, scores, counts
-
-    @staticmethod
-    def _scan_shard(plists: list[_PostingList], k: int, heap: list) -> None:
-        """Exhaustive DAAT scoring (no pruning) — verification baseline."""
-        plists = sorted(plists, key=lambda p: p.term)
-        scores: dict[int, float] = {}
-        for p in plists:  # term-sorted: per-doc sums accumulate in term order
-            while not p.exhausted:
-                d = p.cur_doc
-                scores[d] = scores.get(d, 0.0) + p.cur_contrib()
-                p.next()
-        for d, s in scores.items():
-            _topk_push(heap, k, s, d)
 
     @staticmethod
     def _scan_shard_vectorized(
@@ -1001,7 +1044,6 @@ class MultiFieldSearcher:
         }
 
     def search(self, query: str, k: int = 10, operator: str = "or"):
-        first_searcher = next(iter(self.fields.values()))[0]
         empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
         field_docs: list[np.ndarray] = []
         field_scores: list[np.ndarray] = []
@@ -1310,4 +1352,7 @@ class PrefixExpander:
                 terms.extend(tokenize_text(w, self.searcher.analyzer))
         if not terms:
             return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.float64))
-        return self.searcher.search(" ".join(sorted(set(terms))), k=k, operator="or")
+        return self.searcher.search(
+            " ".join(sorted(set(terms))), k=k, operator="or",
+            pre_analyzed=True,
+        )

@@ -282,3 +282,27 @@ def test_resumable_partitioned_write(ray_session, tmp_path):
     assert r3 == {"a": "skipped", "b": "done"} and len(calls) == 3
     got = pq.read_table(str(out / "part=b" / "data.parquet"))["doubled"].to_pylist()
     assert got == [40, 42, 44, 46, 48, 198, 196, 194, 192, 190]
+
+
+def test_rebuild_with_shrunk_input_drops_stale_groups(ray_session,
+                                                      tiny_corpus, tmp_path):
+    """Regression: rebuilding into an existing index_dir with fewer
+    input files left the removed files' tokenized group dirs behind —
+    bucket_stats/encode glob them and counted phantom docs (or crashed
+    on duplicate row keys when files_per_group changed)."""
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import Searcher
+
+    d, paths = tiny_corpus
+    idx = str(tmp_path / "idx")
+    r2 = build_index(paths, idx, n_shards=4, files_per_group=1)
+    n_all = r2.n_docs
+    # shrink the input set: only the first file remains
+    r1 = build_index(paths[:1], idx, n_shards=4, files_per_group=1)
+    assert r1.n_docs == pq.read_table(paths[0]).num_rows < n_all
+    s = Searcher(idx)
+    assert s.n_docs == r1.n_docs
+    # regroup (files_per_group changes the group layout): no duplicate
+    # corpus row keys, doc count unchanged
+    r2b = build_index(paths, idx, n_shards=4, files_per_group=2)
+    assert r2b.n_docs == n_all

@@ -558,3 +558,106 @@ def test_most_fields_per_field_analyzers(ray_session, tmp_path):
     ids = assign_doc_ids_local(t)
     # row 0 matches via the code-analyzed path, row 1 via the stemmed content
     assert {int(ids[0]), int(ids[1])} <= set(d.tolist())
+
+
+def test_k0_facet_only_query(searcher):
+    """Regression: k=0 (facet-/count-only) crashed the scan kernel
+    (empty-slice min) and WAND (heap[0] on an empty heap)."""
+    d, s, counts0 = searcher.search(
+        "the license", k=0, operator="or", facet_by="lang"
+    )
+    assert d.size == 0 and s.size == 0
+    _, _, counts10 = searcher.search(
+        "the license", k=10, operator="or", facet_by="lang"
+    )
+    assert counts0 == counts10 and counts0
+    for alg in ("scan", "wand"):
+        d, s = searcher.search(
+            "the license", k=0, operator="and", algorithm=alg
+        )
+        assert d.size == 0 and s.size == 0
+
+
+def test_oracle_facet_missing_bucket(oracle_small):
+    """Null attribute values bucket as '__missing__' in the oracle,
+    matching the engine's facet key (regression: the oracle used None)."""
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.oracle import OracleIndex
+
+    # rebuild a small oracle with one null lang
+    tbl = oracle_small  # fixture is the oracle itself; build fresh corpus
+    corpus = pa.table(
+        {
+            "repo": pa.array(["r1", "r1"], pa.string()),
+            "path": pa.array(["a.py", "b.py"], pa.string()),
+            "commit": pa.array(["c1", "c1"], pa.string()),
+            "content": pa.array(["alpha beta", "alpha gamma"], pa.string()),
+            "lang": pa.array(["py", None], pa.string()),
+        }
+    )
+    o = OracleIndex(corpus)
+    _, _, counts = o.search("alpha", k=10, operator="or", facet_by="lang")
+    assert counts == {"py": 1, "__missing__": 1}
+
+
+def test_prefix_wildcard_on_stemmed_index(ray_session, tmp_path):
+    """Regression: expanded dictionary terms are already index terms;
+    re-analyzing them re-stems (Porter is not idempotent: 'univers' ->
+    'univ') and zeroed out wildcard queries on stemmed indexes."""
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.build import build_index
+    from auctus_ray.index.search import PrefixExpander, Searcher
+
+    corpus = pa.table(
+        {
+            "repo": pa.array(["r"] * 4, pa.string()),
+            "path": pa.array([f"f{i}.txt" for i in range(4)], pa.string()),
+            "commit": pa.array(["c"] * 4, pa.string()),
+            "lang": pa.array(["txt"] * 4, pa.string()),
+            "content": pa.array(
+                [
+                    "the university of somewhere has agreed terms",
+                    "another university agreed as well",
+                    "nothing relevant here at all",
+                    "universal truths are agreeable",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    src = tmp_path / "src.parquet"
+    pq.write_table(corpus, str(src))
+    idx = str(tmp_path / "idx")
+    build_index([str(src)], idx, n_shards=2, analyzer="code_stem")
+    pe = PrefixExpander(Searcher(idx))
+    d, s = pe.search("univer*", k=10)
+    assert d.size == 3  # both 'university' docs + 'universal'
+    d2, s2 = pe.search("agre*", k=10)
+    assert d2.size == 3
+
+
+def test_postings_cache_lru_bound(built_index):
+    """The per-(shard, term) postings/dense cache evicts at the byte
+    budget instead of growing without bound in long-lived actors —
+    results stay identical after eviction."""
+    tight = Searcher(built_index.index_dir, postings_cache_bytes=1 << 14)
+    ref = Searcher(built_index.index_dir)
+    queries = ["the license", "parser error", "return value", "search index"]
+    from auctus_ray.index.search import _postings_entry_nbytes
+
+    for q in queries * 2:
+        d1, s1 = tight.search(q, k=10, operator="or")
+        d2, s2 = ref.search(q, k=10, operator="or")
+        assert (d1 == d2).all() and (s1 == s2).all()
+        total = sum(
+            _postings_entry_nbytes(e)
+            for e in tight._postings_cache.values()
+        )
+        # bound holds up to one entry of slack (eviction keeps >= 1)
+        assert total <= (1 << 14) + max(
+            (_postings_entry_nbytes(e) for e in tight._postings_cache.values()),
+            default=0,
+        )
+    assert len(ref._postings_cache) > len(tight._postings_cache)
