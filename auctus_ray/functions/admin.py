@@ -285,7 +285,12 @@ class AdminAreaTagger:
             if cands:
                 levels[i] = cands[0].level
                 codes[i] = cands[0].code
-        idx = enc.indices.to_numpy(zero_copy_only=False)
+        # null cells have null dictionary indices (float NaN after
+        # to_numpy) — map them to a sentinel vocab slot that resolves to
+        # "unresolved" instead of crashing the integer fancy-index
+        idx = enc.indices.fill_null(-1).to_numpy(zero_copy_only=False)
+        levels = np.concatenate([levels, [-1]])  # idx -1 -> unresolved
+        codes = np.concatenate([codes, [None]])
         lv = levels[idx]
         cd = codes[idx]
         return batch.append_column(

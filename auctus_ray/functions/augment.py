@@ -270,9 +270,15 @@ def pivot_wide_to_long(ds, carried_cols: list[str], value_cols: list[str],
         else:
             casted = [batch[vc].cast(pa.float64()) for vc in value_cols]
             stacked = np.empty(n * k, dtype=np.float64)
+            null_mask = np.zeros(n * k, dtype=bool)
             for j, v in enumerate(casted):
                 stacked[j::k] = v.to_numpy(zero_copy_only=False)
-            cols[value_name] = pa.array(stacked)
+                # missing cells stay NULL in the long output (to_numpy
+                # silently turns them into NaN floats, which downstream
+                # is_null filters would miss); the string path already
+                # preserves them
+                null_mask[j::k] = v.is_null().to_numpy(zero_copy_only=False)
+            cols[value_name] = pa.array(stacked, mask=null_mask)
         return pa.table(cols)
 
     return ds.map_batches(unpivot, batch_format="pyarrow")

@@ -137,9 +137,10 @@ def repetition_stats(
             nd = np.bincount(doc_s[new], minlength=n.size).astype(np.int64)
         else:
             nd = np.zeros(n.size, np.int64)
+        from auctus_ray.util import round6
+
         m = n > 0
-        rep = 1.0 - nd[m] / n[m]
-        rep6 = np.floor(rep * 1e6 + 0.5) / 1e6
+        rep6 = round6(1.0 - nd[m] / n[m])
         ids = batch.column(id_column).to_numpy(zero_copy_only=False)
         return pa.table(
             {

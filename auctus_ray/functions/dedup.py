@@ -815,10 +815,17 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
 
 
 def simhash_near_dup_pairs(ds, max_hamming: int = 3,
-                           id_col: str = "doc_id", text_col: str = "text"):
+                           id_col: str = "doc_id", text_col: str = "text",
+                           bucket_cap: int = 2000):
     """SimHash pairs within hamming distance, via 4-segment blocking
     (pigeonhole: any pair within hamming<=3 shares one exact 16-bit
-    segment), then exact popcount verify inside each bucket."""
+    segment), then exact popcount verify inside each bucket.
+
+    ``bucket_cap`` bounds the quadratic per-bucket verify (the LSH
+    operator's discipline): a skewed segment bucket — e.g. near-empty
+    docs all simhashing to 0 — keeps only its first `bucket_cap` ids
+    (deterministic ascending), trading tail recall for bounded work;
+    the cut is visible as the capped bucket's id range."""
     sigs = ds.map_batches(
         SimHasher,
         fn_constructor_kwargs={"id_col": id_col, "text_col": text_col},
@@ -850,7 +857,7 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         ids = group[id_col].to_numpy(zero_copy_only=False)
         h = group["simhash"].to_numpy(zero_copy_only=False).view(np.uint64)
         order = np.argsort(ids)
-        ids, h = ids[order], h[order]
+        ids, h = ids[order][:bucket_cap], h[order][:bucket_cap]
         n = len(ids)
         out_a, out_b, out_d = [], [], []
         for i in range(n - 1):
@@ -881,8 +888,13 @@ def simhash_near_dup_pairs(ds, max_hamming: int = 3,
         .groupby(["seg", "seg_key"])
         .map_groups(bucket_pairs, batch_format="pyarrow")
     )
-    return pairs.groupby(["id_a", "id_b"]).map_groups(
-        lambda g: g.slice(0, 1), batch_format="pyarrow"
+    # cross-segment dedup (a pair can collide in up to 4 segments) as a
+    # vectorized aggregate, not per-pair map_groups; hamming is identical
+    # across copies so Min is deterministic
+    from ray.data.aggregate import Min
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
     )
 
 
@@ -907,7 +919,25 @@ def embedding_near_dup_pairs(ds, threshold: float = 0.95, n_planes: int | None =
         adaptive_n_planes,
     )
 
-    first = ds.take_batch(1, batch_format="pyarrow")
+    def _empty_pairs():
+        import ray.data
+
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    try:
+        first = ds.take_batch(1, batch_format="pyarrow")
+    except ValueError:  # empty Dataset: a legitimate pipeline state —
+        return _empty_pairs()  # match the other dedup operators' shape
+    if first.num_rows == 0 or not first[vec_col][0].is_valid:
+        return _empty_pairs()
     dim = len(first[vec_col][0].as_py())
     if n_planes is None:
         n_planes = adaptive_n_planes(n_rows if n_rows is not None else ds.count())

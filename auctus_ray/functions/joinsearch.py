@@ -141,7 +141,9 @@ def lazo_containment(q: LazoSketch, c: LazoSketch) -> float:
 def _rank_and_cap(rows: list[tuple[str, str, float]], max_candidates: int) -> pa.Table:
     rows.sort(key=lambda r: (-r[2], r[0], r[1]))
     rows = rows[:max_candidates]
-    r6 = [np.floor(s * 1e6 + 0.5) / 1e6 for _, _, s in rows]
+    from auctus_ray.util import round6
+
+    r6 = [float(x) for x in round6([s for _, _, s in rows])]
     return pa.table(
         {
             "dataset_id": pa.array([r[0] for r in rows], pa.string()),

@@ -77,8 +77,14 @@ def asof_join(left_ds, right_ds, key: str, ts_col: str,
         }
         lts = lt[ts_col].to_numpy(zero_copy_only=False).astype(np.int64)
         if n == 0:
-            names = lcols + [ts_col + right_suffix] + [c + right_suffix for c in right_cols]
-            return pa.table({c: pa.array([], pa.int64()) for c in names})
+            # empty output typed from the LEFT schema (an all-int64
+            # empty block would conflict with string/float left columns
+            # at schema unification)
+            out = {c: pa.nulls(0, ltypes[c]) for c in lcols}
+            out[ts_col + right_suffix] = pa.nulls(0, pa.int64())
+            for c in right_cols:
+                out[c + right_suffix] = pa.nulls(0, pa.int64())
+            return pa.table(out)
         if rts.size == 0:
             out = dict(lcols_out)
             out[ts_col + right_suffix] = pa.nulls(n, pa.int64())
@@ -129,8 +135,10 @@ def hopping_window_agg(ds, ts_col: str, value_col: str,
         ).ravel()
         v = pc.cast(batch[value_col], pa.float64()).to_numpy(zero_copy_only=False)
         # half-AWAY rounding, matching DuckDB ROUND() in the oracle
-        # (np.rint is half-to-even and diverges on exact .5 cents)
-        cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+        # (np.rint is half-to-even; floor(x+0.5) alone is half-UP and
+        # diverges on NEGATIVE exact half cents — copysign fixes both)
+        vc = v * 100.0
+        cents = np.copysign(np.floor(np.abs(vc) + 0.5), vc).astype(np.int64)
         return pa.table(
             {
                 "window_start_us": pa.array(starts),

@@ -28,8 +28,7 @@ from auctus_ray.tokenize import tokenize_array
 _CACHE_ROOT = "/tmp/auctus_ray_cache"
 
 
-def _round_half_away6(x: np.ndarray) -> np.ndarray:
-    return np.floor(x * 1e6 + 0.5) / 1e6
+from auctus_ray.util import round6 as _round_half_away6  # one shared definition
 
 
 # Corpus-schema projection of the documents table, applied PER BATCH

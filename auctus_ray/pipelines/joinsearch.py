@@ -16,6 +16,7 @@ import ray.data
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from auctus_ray.util import round6 as _round6
 from auctus_ray.functions.joinsearch import (
     distinct_str_values,
     exact_containment_scores,
@@ -187,7 +188,7 @@ def join_search_spatial(sf_dir: str):
         return pa.table(
             {
                 "dataset_id": batch["dataset_id"],
-                "score": pa.array(np.floor(sc * 1e6 + 0.5) / 1e6),
+                "score": pa.array(_round6(sc)),
             }
         )
 

@@ -283,7 +283,12 @@ def finalize_profile(partials: "list[dict]",
                 years = sum(
                     1 for v in distinct if v.isdigit() and 1 <= int(v) <= 9999
                 )
-                if years and years >= MAX_UNCLEAN * len(distinct):
+                # >= 98% must parse as years (reference
+                # profile_types.py:311-322: len(dates) >= threshold with
+                # threshold = (1-MAX_UNCLEAN)*n) — NOT 2%
+                if years and years >= max(
+                    1, (1.0 - MAX_UNCLEAN) * len(distinct)
+                ):
                     structural = T_TEXT
                     semantic.append(T_DATE_TIME)
         if structural == T_FLOAT:
@@ -649,7 +654,8 @@ def range_overlap_search(sf_dir: str, q_lo: str = "1995-01-01", q_hi: str = "199
         overlap = np.minimum(hi, qsec_hi) - np.maximum(lo, qsec_lo) + 1.0
         sc = overlap / qcov
         keep = sc > 0
-        sc6 = np.floor(sc[keep] * 1e6 + 0.5) / 1e6
+        from auctus_ray.util import round6
+        sc6 = round6(sc[keep])
         return pa.table(
             {
                 "o_custkey": pa.array(

@@ -28,8 +28,14 @@ def _read(sf_dir: str, table: str, columns=None):
 
 
 def _cents(arr) -> pa.Array:
-    """double dollars -> exact int64 cents (round-half-away, both engines)."""
-    return pc.cast(pc.round(pc.multiply(arr, 100.0)), pa.int64())
+    """double dollars -> exact int64 cents. round_mode matters: Arrow's
+    default is half-to-even but DuckDB ROUND is half-away-from-zero, so
+    an exact half cent (0.125 * 100) would diverge by 1 under the
+    default and fail the value-hash oracle."""
+    return pc.cast(
+        pc.round(pc.multiply(arr, 100.0), round_mode="half_towards_infinity"),
+        pa.int64(),
+    )
 
 
 # ---------------------------------------------------------------- Q: pricing summary
@@ -509,7 +515,11 @@ def events_tumbling_window(sf_dir: str):
                 "event_type": batch["event_type"],
                 "window_start": hour,
                 "value_milli": pc.cast(
-                    pc.round(pc.multiply(batch["value"], 1000.0)), pa.int64()
+                    pc.round(
+                        pc.multiply(batch["value"], 1000.0),
+                        round_mode="half_towards_infinity",  # = SQL ROUND
+                    ),
+                    pa.int64(),
                 ),
             }
         )

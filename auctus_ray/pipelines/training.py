@@ -17,6 +17,7 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from auctus_ray.functions.ann import brute_force_topk, lsh_topk
+from auctus_ray.util import round6 as _round6
 from auctus_ray.functions.dedup import (
     content_hash_batch,
     embedding_near_dup_pairs,
@@ -99,7 +100,7 @@ def near_dup_minhash(sf_dir: str):
         import pyarrow.compute as pc
 
         j = batch["jaccard"].to_numpy(zero_copy_only=False)
-        j6 = np.floor(j * 1e6 + 0.5) / 1e6
+        j6 = _round6(j)
         return batch.set_column(
             batch.schema.get_field_index("jaccard"), "jaccard", pa.array(j6)
         )
@@ -127,7 +128,7 @@ def near_dup_ngram_exact(sf_dir: str):
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                "jaccard": pa.array(np.floor(j * 1e6 + 0.5) / 1e6, pa.float64()),
+                "jaccard": pa.array(_round6(j), pa.float64()),
             }
         )
 
@@ -227,7 +228,7 @@ def ann_cosine_topk(sf_dir: str):
 
     def round6(batch: pa.Table) -> pa.Table:
         c = batch["cosine"].to_numpy(zero_copy_only=False)
-        c6 = np.floor(c * 1e6 + 0.5) / 1e6
+        c6 = _round6(c)
         return pa.table(
             {
                 "query_id": batch["query_id"],
@@ -299,7 +300,7 @@ def near_dup_embeddings(sf_dir: str):
             {
                 "id_a": batch["id_a"],
                 "id_b": batch["id_b"],
-                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+                "cosine": pa.array(_round6(c), pa.float64()),
             }
         )
 
@@ -323,7 +324,7 @@ def ann_ivf_topk(sf_dir: str):
             {
                 "query_id": batch["query_id"],
                 "vec_id": batch["vec_id"],
-                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+                "cosine": pa.array(_round6(c), pa.float64()),
             }
         )
 
@@ -348,7 +349,7 @@ def ann_ivf_exact(sf_dir: str):
             {
                 "query_id": batch["query_id"],
                 "vec_id": batch["vec_id"],
-                "cosine": pa.array(np.floor(c * 1e6 + 0.5) / 1e6, pa.float64()),
+                "cosine": pa.array(_round6(c), pa.float64()),
             }
         )
 

@@ -192,6 +192,16 @@ def sorted_membership(haystack, needles):
     return mask, pos_c
 
 
+def round6(x):
+    """Round NON-NEGATIVE scores half-up at 6 decimals — the oracle-
+    parity discipline every score/jaccard/cosine column uses (identical
+    to SQL's half-away ROUND for x >= 0). One definition: the copies of
+    this idiom drifted before (windows.py's negative-cents bug)."""
+    import numpy as np
+
+    return np.floor(np.asarray(x, np.float64) * 1e6 + 0.5) / 1e6
+
+
 def merge_facet_counts(dst: dict, src: dict) -> None:
     """Accumulate facet counts in place. Handles both shapes the
     searchers produce: flat {value: count} (single facet_by attr) and
