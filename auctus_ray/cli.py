@@ -235,8 +235,7 @@ def cmd_profile_doc(args) -> int:
 
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     from auctus_ray.pipelines.document import profile_dataset_document
 
     doc = profile_dataset_document(args.input, include_sample=not args.no_sample)
@@ -248,8 +247,7 @@ def cmd_joinsearch(args) -> int:
     """Print the containment-ranked join candidates for the catalog."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     from auctus_ray.pipelines.joinsearch import join_search_textual
 
     t = join_search_textual(args.sf_dir)
@@ -267,8 +265,7 @@ def cmd_unionsearch(args) -> int:
     fuzzy column matching + greedy assignment + dataset scoring)."""
     import ray
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     from auctus_ray.pipelines.unionsearch import union_search
 
     t = union_search(
@@ -296,8 +293,7 @@ def cmd_ingest(args) -> int:
     if args.out:
         import ray
 
-        if not ray.is_initialized():
-            ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        _ray_up(None)
         ds, _ = ingest_to_parquet(args.input, args.out, plan=plan)
         print(f"wrote {ds.count()} rows to {args.out}")
     return 0
@@ -312,8 +308,7 @@ def cmd_export_d3m(args) -> int:
     from auctus_ray.sources.d3m import write_d3m_dataset
     from auctus_ray.sources.ingest import read_table_auto
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     ds = read_table_auto(args.input)
     write_d3m_dataset(
         ds, args.out, args.dataset_id,
@@ -332,8 +327,7 @@ def cmd_discover(args) -> int:
 
     from auctus_ray.sources.discovery import LocalDirectoryDiscoverer
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     d = LocalDirectoryDiscoverer(args.identifier, args.catalog, args.root)
     if args.reprocess:
         n = d.reprocess_all()
@@ -383,8 +377,7 @@ def cmd_catalog_joinsearch(args) -> int:
 
     from auctus_ray.sources.discovery import join_search_catalog
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     out = join_search_catalog(
         args.catalog, args.input, args.column, k=args.k,
         exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
@@ -400,8 +393,7 @@ def cmd_catalog_unionsearch(args) -> int:
 
     from auctus_ray.sources.discovery import union_search_catalog
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     out = union_search_catalog(
         args.catalog, args.input, k=args.k,
         exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
@@ -417,8 +409,7 @@ def cmd_catalog_augsearch(args) -> int:
 
     from auctus_ray.sources.discovery import augmentation_search_catalog
 
-    if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    _ray_up(None)
     out = augmentation_search_catalog(
         args.catalog, args.input, column=args.column, k=args.k,
         exclude=set(args.exclude.split(",")) if args.exclude else frozenset(),
@@ -722,10 +713,16 @@ def main(argv=None) -> int:
     try:
         return args.fn(args)
     finally:
-        import ray
+        import sys as _sys
 
-        if ray.is_initialized():
-            ray.shutdown()
+        # only shut Ray down if something actually imported it — the
+        # non-Ray commands (gen/stats/cache-clean/sniff) skip the
+        # multi-second import entirely
+        if "ray" in _sys.modules:
+            import ray
+
+            if ray.is_initialized():
+                ray.shutdown()
 
 
 if __name__ == "__main__":

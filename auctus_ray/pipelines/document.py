@@ -376,6 +376,7 @@ def profile_dataset_document(
     coverage: bool = True,
     nominatim: str | None = None,
     nominatim_transport=None,
+    ds=None,
 ) -> dict:
     """Full reference-shaped profile document for one table. Any
     sniffable format (Parquet, CSV/TSV with garbage headers, XLSX)
@@ -391,7 +392,10 @@ def profile_dataset_document(
     725-857)."""
     from auctus_ray.sources.ingest import read_table_auto
 
-    ds = read_table_auto(path)
+    if ds is None:
+        # callers that also sketch columns pass a shared materialized
+        # read so the source is ingested once per drain, not twice
+        ds = read_table_auto(path)
     partials = (
         ds.map_batches(profile_partials, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()

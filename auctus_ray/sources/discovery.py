@@ -86,7 +86,19 @@ class Discoverer:
         path = materialize.get("path")
         if not (path and os.path.exists(path)):
             path = self._shared_storage_path(full_id)
-        fp = file_fingerprint([path]) if path and os.path.exists(path) else "meta"
+        content_fp = (
+            file_fingerprint([path]) if path and os.path.exists(path) else "meta"
+        )
+        # metadata participates in the fingerprint: a rename/description
+        # edit with identical bytes (Socrata updatedAt bump) must
+        # re-queue so the INDEXED metadata doc is replaced — content
+        # alone left dataset-search serving the old title forever
+        import hashlib as _hashlib
+
+        md = _hashlib.sha256(
+            json.dumps(metadata, sort_keys=True).encode()
+        ).hexdigest()[:12]
+        fp = f"{content_fp}-{md}"
         self.catalog.mark(
             "discovered",
             full_id,
@@ -255,7 +267,8 @@ class Discoverer:
             self.catalog_dir, "profiles", encode_dataset_id(full_id) + ".json"
         )
 
-    def _column_sketch_rows(self, path: str, n_perm: int = 128) -> list[dict]:
+    def _column_sketch_rows(self, path: str, n_perm: int = 128,
+                            ds=None) -> list[dict]:
         """Lazo sketch rows for every column of one dataset — the role
         of the reference's profiler->Lazo-server push (each textual
         column's sketch, core.py:475-521; join search later queries the
@@ -273,8 +286,9 @@ class Discoverer:
 
         # ONE read for all columns: per-column sketch pipelines execute
         # off the materialized blocks instead of re-scanning the source
-        # once per string column
-        ds = read_table_auto(path).materialize()
+        # once per string column (or off the drain's shared read)
+        if ds is None:
+            ds = read_table_auto(path).materialize()
         schema = ds.schema()
         rows = []
         for name, typ in zip(schema.names, schema.types):
@@ -340,9 +354,21 @@ class Discoverer:
                 )
                 continue
             try:
-                doc = profile_dataset_document(path, **profile_kwargs)
+                shared_ds = None
                 if column_sketches:
-                    sketch_rows[d["id"]] = self._column_sketch_rows(path)
+                    # one materialized ingest feeds BOTH the profile and
+                    # the column sketches — the drain read the source
+                    # twice per dataset before
+                    from auctus_ray.sources.ingest import read_table_auto
+
+                    shared_ds = read_table_auto(path).materialize()
+                doc = profile_dataset_document(
+                    path, ds=shared_ds, **profile_kwargs
+                )
+                if column_sketches:
+                    sketch_rows[d["id"]] = self._column_sketch_rows(
+                        path, ds=shared_ds
+                    )
                     sketch_fps[d["id"]] = d["fingerprint"]
             except Exception as e:  # noqa: BLE001 — a poison file (bad
                 # decode, unsupported subset) or a failed sketch pass
@@ -702,11 +728,13 @@ def search_with_on_demand(
 
         try:
             d.handle_query(query, publish)
+            if published:
+                # inside the same containment: one plugin's drain
+                # failure must not kill the whole search either
+                d.profile_pending(seg_root=seg_root)
         except Exception as e:  # noqa: BLE001 — per-plugin containment
             errors.append(f"{d.identifier}: {e}")
             continue
-        if published:
-            d.profile_pending(seg_root=seg_root)
     results = search_datasets(seg_root, keywords, k=k, **search_kwargs)
     if errors_out is not None:
         errors_out.extend(errors)
@@ -831,12 +859,23 @@ class SocrataDiscoverer(Discoverer):
                 if full_id:
                     recorded.append(full_id)
         # deletion sweep: recorded datasets of THIS domain not in the
-        # fresh listing are gone from the source (reference :66-100)
-        for d in self.datasets():
-            mat = d.get("materialize", {})
-            if mat.get("socrata_domain") != url:
-                continue
-            if mat.get("socrata_id") not in seen:
+        # fresh listing are gone from the source (reference :66-100).
+        # SAFETY (deliberate divergence): an entirely EMPTY listing for
+        # a domain that has recorded datasets is treated as a transient
+        # listing failure, not a mass delete — a throttled endpoint
+        # returning [] must not tombstone the whole domain.
+        mine = [
+            d for d in self.datasets()
+            if d.get("materialize", {}).get("socrata_domain") == url
+        ]
+        if not seen and mine:
+            self.errors.append(
+                f"{url}: empty listing with {len(mine)} recorded datasets"
+                " — deletion sweep skipped"
+            )
+            return recorded
+        for d in mine:
+            if d.get("materialize", {}).get("socrata_id") not in seen:
                 self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
         return recorded
 
@@ -974,12 +1013,21 @@ class CkanDiscoverer(Discoverer):
                 break
             start += len(results)
         # deletion sweep: recorded datasets of THIS domain whose
-        # package is gone from the listing (reference :70-103)
-        for d in self.datasets():
-            mat = d.get("materialize", {})
-            if mat.get("ckan_domain") != domain["url"]:
-                continue
-            if mat.get("ckan_package_id") not in seen:
+        # package is gone from the listing (reference :70-103).
+        # SAFETY: an entirely empty listing with recorded datasets is
+        # treated as a transient failure, never a mass delete.
+        mine = [
+            d for d in self.datasets()
+            if d.get("materialize", {}).get("ckan_domain") == domain["url"]
+        ]
+        if not seen and mine:
+            self.errors.append(
+                f"{domain['url']}: empty listing with {len(mine)} recorded"
+                " datasets — deletion sweep skipped"
+            )
+            return recorded
+        for d in mine:
+            if d.get("materialize", {}).get("ckan_package_id") not in seen:
                 self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
         return recorded
 
@@ -1104,12 +1152,21 @@ class ZenodoDiscoverer(Discoverer):
                     continue
                 seen.add(record["id"])
         # deletion sweep: recorded datasets whose zenodo record is gone
-        # from the listing (reference :63-85)
-        for d in self.datasets():
-            mat = d.get("materialize", {})
-            if "zenodo_record_id" not in mat:
-                continue
-            if mat["zenodo_record_id"] not in seen:
+        # from the listing (reference :63-85). SAFETY: an entirely
+        # empty listing with recorded datasets is treated as a
+        # transient failure, never a mass delete.
+        mine = [
+            d for d in self.datasets()
+            if "zenodo_record_id" in d.get("materialize", {})
+        ]
+        if not seen and mine:
+            self.errors.append(
+                f"{self.start_url}: empty listing with {len(mine)} recorded"
+                " datasets — deletion sweep skipped"
+            )
+            return recorded
+        for d in mine:
+            if d["materialize"]["zenodo_record_id"] not in seen:
                 self.delete_dataset(full_id=d["id"], seg_root=self.seg_root)
         return recorded
 

@@ -28,6 +28,7 @@ functions/multimodal.py.
 from __future__ import annotations
 
 import csv
+import datetime
 import io
 import itertools
 import os
@@ -223,7 +224,12 @@ def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
             run_start = i
             run_cols = len(row)
             run_len = 1
-    return run_start
+    # budget/file exhausted before HEADER_CONSISTENT_ROWS confirmations:
+    # trust a final run that reaches EOF with >= 2 consistent rows
+    # (short files: garbage + header + one data row), but never a
+    # length-1 tail — on a ragged-width file (alternating column
+    # counts) that would silently skip up to 9 real rows
+    return run_start if run_len >= 2 else 0
 
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -284,6 +290,49 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
             root = ET.fromstring(z.read("xl/sharedStrings.xml"))
             for si in root.findall(f"{_XLSX_NS}si"):
                 shared.append("".join(t.text or "" for t in si.iter(f"{_XLSX_NS}t")))
+        # date detection: style index -> "renders as a date" via the
+        # SAME numFmt classification the .xls decoder uses (built-in
+        # date ids + y/m/d/h/s scan of custom codes); without this a
+        # date cell would leak its raw Excel serial ('44197') into the
+        # CSV and profile as a numeric column
+        from auctus_ray.sources.xls import (
+            _BUILTIN_DATE_FMTS,
+            _is_date_format_string,
+        )
+
+        date_xf: list[bool] = []
+        if "xl/styles.xml" in z.namelist():
+            sroot = ET.fromstring(z.read("xl/styles.xml"))
+            custom = {}
+            for nf in sroot.iter(f"{_XLSX_NS}numFmt"):
+                custom[int(nf.get("numFmtId", "0"))] = nf.get("formatCode", "")
+            cellxfs = sroot.find(f"{_XLSX_NS}cellXfs")
+            if cellxfs is not None:
+                for xf in cellxfs.findall(f"{_XLSX_NS}xf"):
+                    fmt = int(xf.get("numFmtId", "0"))
+                    date_xf.append(
+                        fmt in _BUILTIN_DATE_FMTS
+                        or (fmt in custom and _is_date_format_string(custom[fmt]))
+                    )
+        date1904 = False
+        if "xl/workbook.xml" in z.namelist():
+            wroot = ET.fromstring(z.read("xl/workbook.xml"))
+            pr = wroot.find(f"{_XLSX_NS}workbookPr")
+            if pr is not None and pr.get("date1904", "0").lower() in ("1", "true"):
+                date1904 = True
+        base_date = (
+            datetime.datetime(1904, 1, 1)
+            if date1904
+            else datetime.datetime(1899, 12, 30)
+        )
+
+        def render_serial(val: str) -> str:
+            try:
+                serial = float(val)
+            except ValueError:
+                return val
+            return (base_date + datetime.timedelta(days=serial)).isoformat()
+
         sheet = _xlsx_first_sheet(z)
         rows: list[list[str]] = []
         with z.open(sheet) as sf:
@@ -309,6 +358,14 @@ def xlsx_to_csv(path: str, out_path: str) -> None:
                         val = v.text or "" if v is not None else ""
                         if ctype == "s" and val != "":
                             val = shared[int(val)]
+                        elif ctype == "n" and val != "":
+                            s_attr = c.get("s")
+                            if (
+                                s_attr is not None
+                                and int(s_attr) < len(date_xf)
+                                and date_xf[int(s_attr)]
+                            ):
+                                val = render_serial(val)
                     cells[col] = val
                 # trim trailing EMPTY cells: a value-less styled cell
                 # (<c r="Z3" s="1"/>) must not inflate the sheet width

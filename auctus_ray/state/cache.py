@@ -81,13 +81,19 @@ def clear_caches(
     if temp_size + sum(e[1] for e in entries) <= high_bytes:
         return []
 
-    entries.sort(key=lambda e: -e[2])  # newest first
-    keep: set[str] = set()
-    total = temp_size
+    # true mtime-LRU (reference cache_cleaner: delete OLDEST until under
+    # low) — a greedy "skip anything that doesn't fit" scan would evict
+    # the newest oversized entry while keeping older small ones
+    entries.sort(key=lambda e: e[2])  # oldest first
+    keep: set[str] = {p for p, _, _ in entries}
+    total = temp_size + sum(e[1] for e in entries)
+    # drop oldest while over the low mark (reference cache_cleaner
+    # semantics; in-use entries are protected via should_keep, not age)
     for path, size, _ in entries:
-        if total + size <= low_bytes:
-            keep.add(path)
-            total += size
+        if total <= low_bytes:
+            break
+        keep.discard(path)
+        total -= size
 
     deleted = []
     for path, _, _ in entries:

@@ -91,10 +91,20 @@ class SessionStore:
     def attach_result(self, session_id: str, url: str,
                       result_type: str = "join") -> None:
         """Attach an augmentation result (augment.py:221-234: RPUSH to
-        'session:<id>')."""
-        s = self._read(session_id)
-        s["results"].append({"url": url, "type": result_type})
-        self._write(s)
+        'session:<id>'). The read-modify-write is serialized with a
+        per-session flock — the reference's RPUSH is atomic, and two
+        concurrent augmentations must both land."""
+        import fcntl
+
+        lock_path = self._path(session_id) + ".lock"
+        with open(lock_path, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                s = self._read(session_id)
+                s["results"].append({"url": url, "type": result_type})
+                self._write(s)
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def get_session(self, session_id: str) -> dict:
         """{results: [{url: <api_url + rel>, type}]} (sessions.py:98-116)."""

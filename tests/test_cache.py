@@ -94,3 +94,57 @@ def test_session_store_lifecycle(tmp_path):
         {"url": "https://api/download/abc", "type": "join"},
         {"url": "https://api/download/def", "type": "union"},
     ]
+
+
+def test_clear_caches_true_lru_with_oversized_newest(tmp_path):
+    """Regression: the keep-scan skipped a newest entry bigger than
+    low_bytes while retaining older small ones — the reference
+    cache_cleaner deletes OLDEST until under the low mark, so the
+    newest entry survives even when it alone exceeds low_bytes."""
+    import os
+    import time
+
+    from auctus_ray.state.cache import clear_caches
+
+    d = tmp_path / "cache"
+    d.mkdir()
+
+    def entry(name, size, age):
+        p = d / f"{name}.cache"
+        p.write_bytes(b"x" * size)
+        t = time.time() - age
+        os.utime(p, (t, t))
+        return str(p)
+
+    c = entry("old_c", 4000, 300)
+    b = entry("old_b", 5000, 200)
+    a = entry("new_a", 15000, 0)  # newest and biggest
+    deleted = clear_caches([str(d)], high_bytes=20000, low_bytes=16000)
+    # oldest deleted first until <= low: c (24k -> 20k), b (-> 15k);
+    # the newest entry survives — the old greedy keep-scan would have
+    # evicted it (15k > 16k budget after keeping b+c) while keeping
+    # the stale ones
+    assert set(deleted) == {c, b}
+    assert os.path.exists(a)
+
+
+def test_attach_result_concurrent_appends(tmp_path):
+    """attach_result serializes read-modify-write (per-session flock):
+    concurrent attaches must all land."""
+    import threading
+
+    from auctus_ray.state.sessions import SessionStore
+
+    st = SessionStore(str(tmp_path / "s"))
+    sid = st.new_session()["session_id"]
+    threads = [
+        threading.Thread(
+            target=st.attach_result, args=(sid, f"/download/{i}", "join")
+        )
+        for i in range(16)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(st.get_session(sid)["results"]) == 16

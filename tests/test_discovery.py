@@ -1248,3 +1248,59 @@ def test_on_demand_errors_out_on_list_response(ray_session, tmp_path,
     )
     assert isinstance(res, list)
     assert errs and "plugin exploded" in errs[0]
+
+
+def test_empty_listing_never_mass_deletes(ray_session, tmp_path):
+    """Regression: a throttled endpoint surfacing an EMPTY listing must
+    not tombstone the domain's recorded datasets — the sweep is skipped
+    and an error recorded instead."""
+    from auctus_ray.sources.discovery import SocrataDiscoverer
+
+    dom = "data.example.org"
+    rows = [("aaaa-0001", "Pop", "dataset", "2024-01-01", "", dom)]
+    state = {"rows": rows}
+    d = SocrataDiscoverer(
+        "socrata", str(tmp_path / "s"), [{"url": dom}],
+        listing_transport=lambda u: _socrata_listing(state["rows"]),
+        data_transport=lambda u: b"a,b\n1,2\n",
+    )
+    assert d.discover_datasets() == ["socrata.data-example-org.aaaa-0001"]
+    state["rows"] = []  # transient failure shape: empty listing
+    d.discover_datasets()
+    assert {x["id"] for x in d.datasets()} == {
+        "socrata.data-example-org.aaaa-0001"
+    }
+    assert d.errors and "deletion sweep skipped" in d.errors[-1]
+
+
+def test_metadata_only_update_requeues(ray_session, tmp_path, source_dir):
+    """Regression: a rename with identical bytes never re-profiled, so
+    dataset-search served the stale title forever. The discovery
+    fingerprint now covers metadata, so the doc re-indexes."""
+    from auctus_ray.sources.discovery import Discoverer, search_datasets
+
+    class Meta(Discoverer):
+        def __init__(self, *a, name="Old Title", **kw):
+            super().__init__(*a, **kw)
+            self.name = name
+
+        def discover_datasets(self):
+            with self.write_to_shared_storage("d1") as fp:
+                fp.write(b"city,v\nparis,1\nlyon,2\n")
+            return [
+                self.record_dataset({}, {"name": self.name}, dataset_id="d1")
+            ]
+
+    root = str(tmp_path / "seg")
+    m = Meta("meta", str(tmp_path / "cat"))
+    m.discover_datasets()
+    assert m.profile_pending(seg_root=root, include_sample=False)
+    assert search_datasets(root, "old title")
+    # metadata-only change: same bytes, new name -> re-queued, re-indexed
+    m.name = "Fresh Name"
+    m.discover_datasets()
+    assert [d["id"] for d in m.pending()] == ["meta.d1"]
+    assert m.profile_pending(seg_root=root, include_sample=False)
+    hits = search_datasets(root, "fresh name")
+    assert [h["dataset_id"] for h in hits] == ["meta.d1"]
+    assert not search_datasets(root, "old title")

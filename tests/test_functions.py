@@ -886,6 +886,13 @@ def test_ingest_sniffer_and_auto_read(ray_session, tmp_path):
 
     assert count_rows_to_skip(io.StringIO("a,b\n1,2\n3,4\n5,6\n7,8\n")) == 0
     assert count_rows_to_skip(io.StringIO("title\na,b\n1,2\n3,4\n5,6\n")) == 1
+    # short file: the stable run reaches EOF before the confirmation
+    # budget — still trusted (>= 2 consistent rows)
+    assert count_rows_to_skip(io.StringIO("title\na,b\n1,2\n")) == 1
+    # ragged alternating widths never stabilize: skip NOTHING instead
+    # of the last unconfirmed run start (which would drop real rows)
+    ragged = "".join(("x\n" if i % 2 else "y,z\n") for i in range(12))
+    assert count_rows_to_skip(io.StringIO(ragged)) == 0
 
     # garbage line BEFORE a non-comma table (defeats the raw
     # csv.Sniffer; our retry-with-dropped-lines finds both steps)
@@ -1414,3 +1421,54 @@ def test_profile_pending_poison_file(ray_session, tmp_path):
     assert done == ["localdir.good"]
     rec = d.catalog.latest("profiled", "localdir.bad")
     assert rec is not None and rec["status"] == "error"
+
+
+def test_xlsx_date_cells(ray_session, tmp_path):
+    """Numeric cells styled with a date numFmt decode to ISO-8601, not
+    raw Excel serials (regression: '44197' leaked into the CSV and
+    profiled as a number). Built-in id 14 and a custom y/m/d code both
+    classify; an unstyled number stays numeric."""
+    import zipfile
+
+    from auctus_ray.sources.ingest import xlsx_to_csv
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    wb = (
+        f'<workbook {ns} xmlns:r="http://schemas.openxmlformats.org/'
+        'officeDocument/2006/relationships"><sheets>'
+        '<sheet name="D" sheetId="1" r:id="rId1"/></sheets></workbook>'
+    )
+    rels = (
+        '<Relationships xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/relationships"><Relationship Id="rId1" Type="x" '
+        'Target="worksheets/s.xml"/></Relationships>'
+    )
+    styles = (
+        f"<styleSheet {ns}>"
+        '<numFmts count="1"><numFmt numFmtId="164" formatCode="yyyy\\-mm\\-dd"/></numFmts>'
+        "<cellXfs count=\"3\">"
+        '<xf numFmtId="0"/><xf numFmtId="14"/><xf numFmtId="164"/>'
+        "</cellXfs></styleSheet>"
+    )
+    sheet = (
+        f"<worksheet {ns}><sheetData>"
+        '<row r="1"><c r="A1" t="inlineStr"><is><t>when</t></is></c>'
+        '<c r="B1" t="inlineStr"><is><t>custom</t></is></c>'
+        '<c r="C1" t="inlineStr"><is><t>amount</t></is></c></row>'
+        '<row r="2"><c r="A2" s="1"><v>44197</v></c>'
+        '<c r="B2" s="2"><v>44198.5</v></c>'
+        '<c r="C2" s="0"><v>44197</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    p = tmp_path / "dates.xlsx"
+    with zipfile.ZipFile(str(p), "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/_rels/workbook.xml.rels", rels)
+        z.writestr("xl/styles.xml", styles)
+        z.writestr("xl/worksheets/s.xml", sheet)
+    out = tmp_path / "dates.csv"
+    xlsx_to_csv(str(p), str(out))
+    lines = out.read_text().strip().splitlines()
+    assert lines[0] == "when,custom,amount"
+    # 1900 mode: serial 44197 = 2021-01-01; 44198.5 = 2021-01-02 12:00
+    assert lines[1] == "2021-01-01T00:00:00,2021-01-02T12:00:00,44197"
