@@ -72,6 +72,26 @@ def _resolve_paths(input_paths: list[str] | str) -> list[str]:
     return list(input_paths)
 
 
+def _deleted_ids_for(index_dir: str, dels: dict[str, list]):
+    """Resolve tombstone values -> sorted engine docIDs for ONE segment
+    (docmap scan, filter-pushdown isin). One definition shared by the
+    driver (SegmentedSearcher._apply_deletes) and the distributed
+    workers (_SegGroupWorker) — two hand-rolled copies had already
+    started to drift. Returns None when nothing matches."""
+    if not dels:
+        return None
+    dm = pads.dataset(os.path.join(index_dir, "docmap"), format="parquet")
+    ids: list[np.ndarray] = []
+    for col, vals in dels.items():
+        if col not in dm.schema.names or not vals:
+            continue
+        t = dm.to_table(columns=["doc_id"], filter=pc.field(col).isin(vals))
+        ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
+    if not ids:
+        return None
+    return np.unique(np.concatenate(ids)).astype(np.int64)
+
+
 def _atomic_json(path: str, obj) -> None:
     tmp = path + ".tmp"
     with open(tmp, "w", encoding="utf-8") as f:
@@ -279,6 +299,39 @@ def add_segment(
     )
     name = f"seg-{fp[:12]}"
     seg_dir = os.path.join(root, SEG_DIR, name)
+    if _register:
+        entries = load_segments(root)
+        for e in entries:
+            if e["name"] == name and os.path.exists(
+                os.path.join(seg_dir, "global_stats.parquet")
+            ):
+                # identical content already registered and intact:
+                # idempotent no-op (previously the small path re-read
+                # and re-wrote every file of the live segment)
+                return _entry_result(seg_dir, e)
+            if name in (e.get("absorbed") or ()):
+                # identical content was folded into a merged segment by
+                # a prior compact: re-registering it would DUPLICATE
+                # every surviving doc (and resurrect none of the
+                # explicitly tombstone-purged ones) — no-op, pointing at
+                # the merged segment. Explicit reinsert-after-delete
+                # goes through undelete_docs or versioned doc keys (the
+                # discovery drain's flow), never a redundant add.
+                return _entry_result(
+                    os.path.join(root, SEG_DIR, e["name"]), e
+                )
+        if entries:
+            ref = entries[0]
+            if (analyzer, column_map or None, content_col) != (
+                ref["analyzer"], ref["column_map"], ref["content_col"]
+            ):
+                # mixed-analyzer roots produce silently-wrong merged
+                # scores (each segment would tokenize the query its own
+                # way); compact() already refuses them — refuse here too
+                raise ValueError(
+                    "segment disagrees with the root's registered "
+                    f"analyzer/column_map (root: {ref['analyzer']!r})"
+                )
     total_bytes = sum(os.path.getsize(p) for p in paths)
     if total_bytes < SMALL_SEGMENT_BYTES and not build_kwargs:
         from auctus_ray.index.build import N_DOCID_BUCKETS
@@ -304,6 +357,21 @@ def add_segment(
             )
             _atomic_json(os.path.join(root, SEGMENTS_FILE), entries)
     return res
+
+
+def _entry_result(seg_dir: str, entry: dict) -> BuildResult:
+    """Summary BuildResult for an already-registered (or absorbed)
+    segment — the idempotent-add short-circuit's return value."""
+    n_docs = int(entry["n_docs"])
+    return BuildResult(
+        index_dir=seg_dir,
+        n_docs=n_docs,
+        n_tokens=int(entry["n_tokens"]),
+        avgdl=(entry["n_tokens"] / n_docs) if n_docs else 0.0,
+        n_terms=-1,  # not re-derived on the no-op path
+        n_shards=0,
+        metrics={"noop_existing_segment": True},
+    )
 
 
 def _segment_entry(name, paths, analyzer, column_map, content_col, attrs, res):
@@ -372,6 +440,8 @@ def compact(
         sel = entries
     else:
         want = set(only)
+        if not want:
+            raise ValueError("'only' selects no segments")
         sel = [e for e in entries if e["name"] in want]
         if len(sel) != len(want):
             raise ValueError("unknown segment name in 'only'")
@@ -436,6 +506,16 @@ def compact(
             column_map, content_col, attrs, res,
         )
     ]
+    # remember which content fingerprints this merge swallowed (chained
+    # through prior merges): a later add_segment of the SAME content
+    # must no-op instead of registering a duplicate full segment next
+    # to the merged copy
+    absorbed = (
+        set(merged_entry[0].get("absorbed") or [])
+        | sel_names
+        | {a for e in sel for a in (e.get("absorbed") or [])}
+    ) - {merged_name}
+    merged_entry[0]["absorbed"] = sorted(absorbed)
     kept = [
         e for e in entries
         if e["name"] not in sel_names and e["name"] != merged_name
@@ -529,22 +609,7 @@ class SegmentedSearcher:
     def _apply_deletes(self) -> None:
         dels = load_deletes(self.root)
         for s in self.searchers:
-            if not dels:
-                s.deleted_ids = None
-                continue
-            dm = pads.dataset(os.path.join(s.index_dir, "docmap"), format="parquet")
-            ids: list[np.ndarray] = []
-            for col, vals in dels.items():
-                if col not in dm.schema.names or not vals:
-                    continue
-                t = dm.to_table(
-                    columns=["doc_id"], filter=pc.field(col).isin(vals)
-                )
-                ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
-            if ids:
-                s.deleted_ids = np.unique(np.concatenate(ids)).astype(np.int64)
-            else:
-                s.deleted_ids = None
+            s.deleted_ids = _deleted_ids_for(s.index_dir, dels)
 
     # ---------------- merged statistics ----------------
 
@@ -590,6 +655,9 @@ class SegmentedSearcher:
         """Same contract as Searcher.search; docIDs are global."""
         if offset + k > 10000:
             raise ValueError("offset + k must be <= 10000")
+        # a falsy-but-non-None facet_by ('' or []) would make the inner
+        # Searcher return 2-tuples while the merge below indexes out[2]
+        facet_by = facet_by or None
         self._prime(self._query_terms(query))
         kk = k + offset
         all_ids: list[np.ndarray] = []
@@ -694,22 +762,7 @@ class _SegGroupWorker:
             s.avgdl = avgdl
             s.n_docs = n_docs
             s._df_cache = {}
-            if dels:
-                dm = pads.dataset(
-                    os.path.join(seg_dir, "docmap"), format="parquet"
-                )
-                ids: list[np.ndarray] = []
-                for col, vals in dels.items():
-                    if col in dm.schema.names and vals:
-                        t = dm.to_table(
-                            columns=["doc_id"],
-                            filter=pc.field(col).isin(vals),
-                        )
-                        ids.append(t["doc_id"].to_numpy(zero_copy_only=False))
-                if ids:
-                    s.deleted_ids = np.unique(np.concatenate(ids)).astype(
-                        np.int64
-                    )
+            s.deleted_ids = _deleted_ids_for(seg_dir, dels)
             self.units.append((s, base))
 
     def search(
@@ -790,6 +843,7 @@ class DistributedSegmentedSearcher:
 
         if offset + k > 10000:
             raise ValueError("offset + k must be <= 10000")
+        facet_by = facet_by or None  # same normalization as the local path
         terms = self.local._query_terms(query)
         primed = self.local.dfs(terms)
         kw = {"filters": filters, "facet_by": facet_by}

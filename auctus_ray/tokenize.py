@@ -33,11 +33,6 @@ _RE_ALPHA_DIGIT = r"([A-Za-z])([0-9])"
 _RE_DIGIT_ALPHA = r"([0-9])([A-Za-z])"
 _SPLIT_PATTERN = r"[^a-z0-9]+"
 
-_PY_CAMEL = re.compile(_RE_CAMEL)
-_PY_ALPHA_DIGIT = re.compile(_RE_ALPHA_DIGIT)
-_PY_DIGIT_ALPHA = re.compile(_RE_DIGIT_ALPHA)
-_PY_TOKEN = re.compile(r"[a-z0-9]+")
-
 ANALYZERS = ("code", "simple", "code_stem", "text_en")
 # "code_stem" = code chain + Porter stemming; "text_en" = html_strip +
 # lowercase + [a-z0-9]+ + Porter stemming — the reference's full ES
@@ -79,6 +74,8 @@ def stem_list_array(list_arr: pa.Array) -> pa.Array:
     tokens, then map back — amortizes the per-token Python cost."""
     from auctus_ray.functions.stemmer import porter_stem
 
+    if isinstance(list_arr, pa.ChunkedArray):
+        list_arr = list_arr.combine_chunks()
     flat = list_arr.flatten()
     if len(flat) == 0:
         return list_arr
@@ -87,7 +84,10 @@ def stem_list_array(list_arr: pa.Array) -> pa.Array:
         [porter_stem(t) for t in enc.dictionary.to_pylist()], pa.string()
     )
     new_flat = stemmed_dict.take(enc.indices)
-    return pa.ListArray.from_arrays(list_arr.offsets, new_flat)
+    # flatten() re-bases values to 0; a SLICED input's offsets don't
+    # start at 0, so rebase them too (the _drop_empty_tokens discipline)
+    offsets = pc.subtract(list_arr.offsets, list_arr.offsets[0])
+    return pa.ListArray.from_arrays(offsets.cast(pa.int32()), new_flat)
 
 
 def _drop_empty_tokens(list_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
@@ -107,26 +107,17 @@ def _drop_empty_tokens(list_arr: pa.Array | pa.ChunkedArray) -> pa.Array:
 
 
 def tokenize_text(text: str, analyzer: str = "code") -> list[str]:
-    """Pure-Python single-string tokenizer — same semantics as tokenize_array.
+    """Single-string tokenizer — same semantics as tokenize_array BY
+    CONSTRUCTION: it delegates to the vectorized path on a 1-element
+    array. A hand-written Python twin drifted on Unicode
+    special-casing (str.lower() maps U+0130 to 'i'+combining-dot while
+    Arrow's utf8_lower maps it to 'i'), splitting query tokenization
+    away from index tokenization on such codepoints.
 
-    Used by the query layer and the brute-force oracle so engine and oracle
-    share one tokenization definition (SURVEY.md §7.2).
+    Used by the query layer and the brute-force oracle so engine and
+    oracle share one tokenization definition (SURVEY.md §7.2).
     """
     if text is None:
         return []
-    if analyzer in ("code", "code_stem"):
-        text = _PY_CAMEL.sub(r"\1 \2", text)
-        text = _PY_ALPHA_DIGIT.sub(r"\1 \2", text)
-        text = _PY_DIGIT_ALPHA.sub(r"\1 \2", text)
-    elif analyzer == "text_en":
-        from auctus_ray.functions.scalars import strip_html
-
-        text = strip_html(text)
-    elif analyzer != "simple":
-        raise ValueError(f"unknown analyzer {analyzer!r}")
-    toks = _PY_TOKEN.findall(text.lower())
-    if analyzer in ("code_stem", "text_en"):
-        from auctus_ray.functions.stemmer import porter_stem
-
-        toks = [porter_stem(t) for t in toks]
-    return toks
+    out = tokenize_array(pa.array([text], pa.string()), analyzer)
+    return out[0].as_py() if len(out) else []

@@ -536,3 +536,111 @@ def test_compact_src_dirs_garbage_collected(
     entries = load_segments(root)
     assert len(entries) == 1
     assert all(p.startswith(srcs[0] + os.sep) for p in entries[0]["inputs"])
+
+
+def test_tokenize_text_matches_array_unicode(ray_session):
+    """tokenize_text now delegates to the vectorized path — Unicode
+    special-casing (U+0130) no longer splits query tokenization away
+    from index tokenization."""
+    import pyarrow as pa
+
+    from auctus_ray.tokenize import tokenize_array, tokenize_text
+
+    for text in ("İstanbul fooBar", "STRASSE straße", "ĀĒĪ v2Api"):
+        for an in ("code", "simple", "code_stem", "text_en"):
+            assert (
+                tokenize_text(text, an)
+                == tokenize_array(pa.array([text]), an)[0].as_py()
+            ), (text, an)
+
+
+def test_stem_list_array_sliced(ray_session):
+    import pyarrow as pa
+
+    from auctus_ray.tokenize import stem_list_array, tokenize_array
+
+    arr = tokenize_array(
+        pa.array(["running dogs", "jumped quickly", "universities agreed"]),
+        "code",
+    )
+    assert stem_list_array(arr.slice(1)).to_pylist() == [
+        ["jump", "quickli"], ["univers", "agre"],
+    ]
+
+
+def test_readd_after_compact_never_duplicates(ray_session, tmp_path):
+    """Regression: delete -> compact -> re-add of the SAME content
+    registered a duplicate full segment next to the merged (filtered)
+    copy — duplicate hits and inflated df/n_docs. The merged entry now
+    remembers what it absorbed and the re-add no-ops."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from auctus_ray.index.segments import (
+        SegmentedSearcher,
+        add_segment,
+        compact,
+        delete_docs,
+        load_segments,
+    )
+
+    src = tmp_path / "src.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array(["r"] * 4),
+                "path": pa.array([f"d{i}" for i in range(4)]),
+                "commit": pa.array(["c"] * 4),
+                "lang": pa.array(["t"] * 4),
+                "content": pa.array(
+                    ["alpha beta", "alpha gamma", "beta gamma", "alpha delta"]
+                ),
+            }
+        ),
+        str(src),
+    )
+    root = str(tmp_path / "root")
+    add_segment(root, [str(src)], n_shards=2)
+    delete_docs(root, ["d1"], column="path")
+    compact(root, n_shards=2)
+    # re-add identical content: must NO-OP (no new segment, no dupes,
+    # no resurrection of the purged doc)
+    res = add_segment(root, [str(src)], n_shards=2)
+    assert res.metrics.get("noop_existing_segment")
+    assert len(load_segments(root)) == 1
+    ids, scores = SegmentedSearcher(root).search("alpha", k=10, operator="or")
+    assert len(ids) == len(set(ids.tolist())) == 2  # d0, d3 (d1 purged)
+
+
+def test_mixed_analyzer_root_rejected(ray_session, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from auctus_ray.index.segments import add_segment, compact
+
+    src = tmp_path / "s.parquet"
+    pq.write_table(
+        pa.table(
+            {
+                "repo": pa.array(["r"]), "path": pa.array(["p"]),
+                "commit": pa.array(["c"]), "lang": pa.array(["t"]),
+                "content": pa.array(["fooBar baz"]),
+            }
+        ),
+        str(src),
+    )
+    root = str(tmp_path / "root")
+    add_segment(root, [str(src)], n_shards=2, analyzer="code")
+    with _pytest.raises(ValueError, match="analyzer"):
+        add_segment(root, [str(src)], n_shards=2, analyzer="simple")
+    with _pytest.raises(ValueError, match="selects no segments"):
+        compact(root, only=[])
+
+
+def test_falsy_facet_by_returns_empty_facets(ray_session, seg_root):
+    from auctus_ray.index.segments import SegmentedSearcher
+
+    s = SegmentedSearcher(seg_root)
+    out = s.search("!!!", k=5, operator="or", facet_by=[])
+    assert len(out) == 2 and out[0].size == 0  # normalized to no-facet
