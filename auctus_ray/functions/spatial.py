@@ -107,6 +107,9 @@ class GeohashSketch:
         self.precision = precision
         self.levels: list[dict[str, int]] = [dict() for _ in range(precision)]
         self.total = 0
+        # deepest level this sketch (or any merge participant) is
+        # allowed to SELECT — see truncate_at_overflow
+        self.level_cap = precision
 
     def add_points(self, lats: np.ndarray, longs: np.ndarray) -> None:
         hashes = hash_locations(lats, longs, self.base, self.precision)
@@ -124,13 +127,30 @@ class GeohashSketch:
             for k, v in other.levels[lvl].items():
                 m[k] = m.get(k, 0) + v
         self.total += other.total
+        self.level_cap = min(self.level_cap, other.level_cap)
         return self
 
+    def truncate_at_overflow(self) -> int:
+        """Drop level maps at/above this sketch's own first-overflow
+        level and return that cap — partials then ship ~cap*number
+        entries instead of all `precision` maps (multi-MB rows for
+        dense batches). EXACT under merge: prefix distinct counts are
+        monotone in depth, so any level >= one participant's overflow
+        level overflows in the merged sketch too and could never be
+        selected; merge() takes the min cap so selection never reads a
+        level some participant truncated."""
+        cap = self.effective_precision()
+        for lvl in range(cap, self.precision):
+            self.levels[lvl] = {}
+        self.level_cap = min(self.level_cap, cap)
+        return cap
+
     def effective_precision(self) -> int:
-        for lvl in range(self.precision):
+        cap = min(self.level_cap, self.precision)
+        for lvl in range(cap):
             if len(self.levels[lvl]) > self.number:
                 return lvl  # this level overflowed; use the one above
-        return self.precision
+        return cap
 
     def get_hashes(self) -> list[tuple[str, int]]:
         p = self.effective_precision()
@@ -176,45 +196,31 @@ class GridNearestIndex:
             self.buckets[(int(cxs[s0]), int(cys[s0]))] = order[s0:e0]
 
     @staticmethod
-    def _nn_dists(uniq: np.ndarray) -> np.ndarray:
-        """Per-point nearest-neighbor distance. Grid with ring expansion
-        (vectorized per ring radius); O(n^2) fallback only for tiny sets."""
+    def _nn_dists(uniq: np.ndarray, sample: int = 2048,
+                  seed: int = 89) -> np.ndarray:
+        """Nearest-neighbor distances for the median snap radius. Small
+        sets run the exact all-pairs matrix; larger ones compute a
+        SEEDED SAMPLE's exact NN distance against the full set in
+        bounded chunks — the reference's own rule is a 100-point sample
+        (median_smallest_distance, lib_profiler/spatial.py), and the
+        former grid walk degraded to O(n^2) Python whenever one outlier
+        coordinate inflated the extent-derived cell size (a single
+        null-island row put the whole corpus in one bucket)."""
         n = uniq.shape[0]
-        if n <= 2048:
+        if n <= sample:
             d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
             np.fill_diagonal(d2, np.inf)
             return np.sqrt(d2.min(axis=1))
-        # heuristic cell from extent: ~1 point per cell on average
-        extent = max(np.ptp(uniq[:, 0]), np.ptp(uniq[:, 1])) or 1.0
-        cell = extent / max(1.0, np.sqrt(n))
-        cx = np.floor(uniq[:, 0] / cell).astype(np.int64)
-        cy = np.floor(uniq[:, 1] / cell).astype(np.int64)
-        buckets: dict[tuple[int, int], list[int]] = {}
-        for i, key in enumerate(zip(cx.tolist(), cy.tolist())):
-            buckets.setdefault(key, []).append(i)
-        best = np.full(n, np.inf)
-        for i in range(n):
-            r = 1
-            while True:
-                cand: list[int] = []
-                for dx in range(-r, r + 1):
-                    for dy in range(-r, r + 1):
-                        cand.extend(buckets.get((int(cx[i]) + dx, int(cy[i]) + dy), ()))
-                cand = [c for c in cand if c != i]
-                if cand:
-                    d = np.sqrt(
-                        ((uniq[cand] - uniq[i]) ** 2).sum(axis=1)
-                    ).min()
-                    # a neighbor may still hide in the next ring if the
-                    # found one is farther than the ring's guaranteed cover
-                    if d <= r * cell or r > 64:
-                        best[i] = d
-                        break
-                    best[i] = d
-                r += 1
-                if r > 64 and not np.isfinite(best[i]):
-                    break
-        return best[np.isfinite(best)]
+        rng = np.random.Generator(np.random.PCG64(seed))
+        pts = uniq[rng.choice(n, sample, replace=False)]
+        best = np.full(sample, np.inf)
+        step = 4096  # sample x step doubles ~ 67 MB per chunk
+        for s0 in range(0, n, step):
+            chunk = uniq[s0 : s0 + step]
+            d2 = ((pts[:, None, :] - chunk[None, :, :]) ** 2).sum(axis=2)
+            d2[d2 == 0.0] = np.inf  # rows are unique: the only zero is self
+            best = np.minimum(best, d2.min(axis=1))
+        return np.sqrt(best[np.isfinite(best)])
 
     def query(self, qlats: np.ndarray, qlongs: np.ndarray):
         """(indices into left, matched mask) — vectorized per occupied
@@ -249,7 +255,9 @@ class GridNearestIndex:
             a = d2.argmin(axis=1)
             idx[rows] = cidx[a]
             dist[rows] = np.sqrt(d2[np.arange(rows.size), a])
-        return idx, dist <= self.max_dist
+        # STRICT bound: the reference discards dist >= max_dist
+        # (augmentation.py:367 res[dist >= max_dist] = nan)
+        return idx, dist < self.max_dist
 
 
 def nearest_join(
@@ -277,7 +285,8 @@ def nearest_join(
         qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
         idx = qd2.argmin(axis=1)
         dist = np.sqrt(qd2[np.arange(len(q)), idx])
-        return idx, dist <= max_dist
+        # STRICT bound, matching the reference's dist >= max_dist drop
+        return idx, dist < max_dist
     return GridNearestIndex(left_lats, left_longs).query(query_lats, query_longs)
 
 

@@ -60,6 +60,28 @@ def _cvc(word: str) -> bool:
     )
 
 
+# suffix tables hoisted to module level: porter_stem runs once per
+# UNIQUE token per batch (stem_list_array), so per-call list literals
+# and the step-4 re-sort were pure constant-factor waste in a hot path
+_STEP2 = (
+    ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+    ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
+    ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
+    ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
+    ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
+    ("iviti", "ive"), ("biliti", "ble"),
+)
+_STEP3 = (
+    ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+    ("ical", "ic"), ("ful", ""), ("ness", ""),
+)
+_STEP4 = tuple(sorted(
+    ("al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
+     "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize"),
+    key=len, reverse=True,
+))
+
+
 def porter_stem(word: str) -> str:
     if len(word) <= 2:
         return word
@@ -101,37 +123,21 @@ def porter_stem(word: str) -> str:
         w = w[:-1] + "i"
 
     # step 2
-    step2 = [
-        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
-        ("anci", "ance"), ("izer", "ize"), ("abli", "able"), ("alli", "al"),
-        ("entli", "ent"), ("eli", "e"), ("ousli", "ous"), ("ization", "ize"),
-        ("ation", "ate"), ("ator", "ate"), ("alism", "al"), ("iveness", "ive"),
-        ("fulness", "ful"), ("ousness", "ous"), ("aliti", "al"),
-        ("iviti", "ive"), ("biliti", "ble"),
-    ]
-    for suf, rep in step2:
+    for suf, rep in _STEP2:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + rep
             break
 
     # step 3
-    step3 = [
-        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
-        ("ical", "ic"), ("ful", ""), ("ness", ""),
-    ]
-    for suf, rep in step3:
+    for suf, rep in _STEP3:
         if w.endswith(suf):
             if _measure(w[: -len(suf)]) > 0:
                 w = w[: -len(suf)] + rep
             break
 
-    # step 4
-    step4 = [
-        "al", "ance", "ence", "er", "ic", "able", "ible", "ant", "ement",
-        "ment", "ent", "ou", "ism", "ate", "iti", "ous", "ive", "ize",
-    ]
-    for suf in sorted(step4, key=len, reverse=True):
+    # step 4 (pre-sorted longest-first at module load)
+    for suf in _STEP4:
         if w.endswith(suf):
             stem = w[: -len(suf)]
             if _measure(stem) > 1:

@@ -142,13 +142,95 @@ def _numeric_plots(ds, numeric_cols: list[str], ranges: dict[str, tuple[float, f
     return plots
 
 
+def _geo_coverage_entry(ds, extract, cov_type: str,
+                        column_names: list[str],
+                        sample_cap: int = 20000, seed: int = 89):
+    """Shared coverage driver for lat/long pairs AND polygon columns
+    (the two were ~45 duplicated lines): stream per-batch TRUNCATED
+    geohash-sketch partials (GeohashSketch.truncate_at_overflow bounds
+    the exchanged payload to ~cap*number entries) + seeded coordinate
+    subsamples, merge on the driver, k-means the envelope boxes.
+    `extract(batch) -> (lat, lon)` is the only per-type step. Returns
+    the coverage dict or None when no valid coordinates exist."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lat, lon = extract(batch)
+        sk = GeohashSketch(number=MAX_GEOHASHES)
+        sk.add_points(lat, lon)
+        cap = sk.truncate_at_overflow()
+        rng = np.random.Generator(np.random.PCG64(seed))
+        if lat.size > 512:
+            idx = rng.choice(lat.size, 512, replace=False)
+            lat, lon = lat[idx], lon[idx]
+        return pa.Table.from_pylist(
+            [
+                {
+                    "levels": json.dumps(sk.levels[:cap]),
+                    "cap": cap,
+                    "total": sk.total,
+                    "lat_s": json.dumps([float(v) for v in lat]),
+                    "lon_s": json.dumps([float(v) for v in lon]),
+                }
+            ]
+        )
+
+    sketch = GeohashSketch(number=MAX_GEOHASHES)
+    lat_all: list[float] = []
+    lon_all: list[float] = []
+    for batch in ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for levels, cap, total, lat_s, lon_s in zip(
+            batch["levels"].to_pylist(),
+            batch["cap"].to_pylist(),
+            batch["total"].to_pylist(),
+            batch["lat_s"].to_pylist(),
+            batch["lon_s"].to_pylist(),
+        ):
+            other = GeohashSketch(number=MAX_GEOHASHES)
+            lv = [
+                {k: int(v) for k, v in lvl.items()}
+                for lvl in json.loads(levels)
+            ]
+            other.levels = lv + [
+                dict() for _ in range(other.precision - len(lv))
+            ]
+            other.level_cap = int(cap)
+            other.total = int(total)
+            sketch.merge(other)
+            if len(lat_all) < sample_cap:
+                lat_all.extend(json.loads(lat_s))
+                lon_all.extend(json.loads(lon_s))
+    if sketch.total == 0:
+        return None
+    boxes = spatial_ranges_kmeans(np.array(lat_all), np.array(lon_all))
+    return {
+        "type": cov_type,
+        "column_names": column_names,
+        "column_indexes": [ds.schema().names.index(c) for c in column_names],
+        "geohashes4": [
+            {"hash": h, "number": n} for h, n in sketch.get_hashes()
+        ],
+        "ranges": [
+            {
+                "range": {
+                    "type": "envelope",
+                    "coordinates": [[lo_lon, hi_lat], [hi_lon, lo_lat]],
+                }
+            }
+            for lo_lat, hi_lat, lo_lon, hi_lon in boxes
+        ],
+        "number": sketch.total,
+    }
+
+
 def _spatial_coverage(ds, pairs: list[tuple[str, str]],
                       sample_cap: int = 20000, seed: int = 89) -> list[dict]:
     """Per lat/long pair: mergeable geohash sketch (exact counts) + a
-    seeded reservoir-ish coordinate sample for the k-means boxes."""
+    seeded coordinate sample for the k-means boxes."""
     out = []
     for lat_col, lon_col in pairs:
-        def partial(batch: pa.Table, lat_col=lat_col, lon_col=lon_col) -> pa.Table:
+        def extract(batch: pa.Table, lat_col=lat_col, lon_col=lon_col):
             lat = _numeric_values(batch[lat_col], keep_shape=True)
             lon = _numeric_values(batch[lon_col], keep_shape=True)
             m = (
@@ -156,75 +238,14 @@ def _spatial_coverage(ds, pairs: list[tuple[str, str]],
                 & (-90.0 < lat) & (lat < 90.0)
                 & (-180.0 < lon) & (lon < 180.0)
             )
-            lat, lon = lat[m], lon[m]
-            sk = GeohashSketch(number=MAX_GEOHASHES)
-            sk.add_points(lat, lon)
-            # deterministic per-batch coordinate subsample for the ranges
-            rng = np.random.Generator(np.random.PCG64(seed))
-            if lat.size > 512:
-                idx = rng.choice(lat.size, 512, replace=False)
-                lat_s, lon_s = lat[idx], lon[idx]
-            else:
-                lat_s, lon_s = lat, lon
-            return pa.Table.from_pylist(
-                [
-                    {
-                        "levels": json.dumps(sk.levels),
-                        "total": sk.total,
-                        "lat_s": json.dumps([float(v) for v in lat_s]),
-                        "lon_s": json.dumps([float(v) for v in lon_s]),
-                    }
-                ]
-            )
+            return lat[m], lon[m]
 
-        sketch = GeohashSketch(number=MAX_GEOHASHES)
-        lat_all: list[float] = []
-        lon_all: list[float] = []
-        for batch in ds.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow"):
-            for levels, total, lat_s, lon_s in zip(
-                batch["levels"].to_pylist(),
-                batch["total"].to_pylist(),
-                batch["lat_s"].to_pylist(),
-                batch["lon_s"].to_pylist(),
-            ):
-                other = GeohashSketch(number=MAX_GEOHASHES)
-                other.levels = [
-                    {k: int(v) for k, v in lvl.items()}
-                    for lvl in json.loads(levels)
-                ]
-                other.total = int(total)
-                sketch.merge(other)
-                if len(lat_all) < sample_cap:
-                    lat_all.extend(json.loads(lat_s))
-                    lon_all.extend(json.loads(lon_s))
-        if sketch.total == 0:
-            continue
-        boxes = spatial_ranges_kmeans(np.array(lat_all), np.array(lon_all))
-        out.append(
-            {
-                "type": "latlong",
-                "column_names": [lat_col, lon_col],
-                "column_indexes": [
-                    ds.schema().names.index(lat_col),
-                    ds.schema().names.index(lon_col),
-                ],
-                "geohashes4": [
-                    {"hash": h, "number": n} for h, n in sketch.get_hashes()
-                ],
-                "ranges": [
-                    {
-                        "range": {
-                            "type": "envelope",
-                            "coordinates": [[lo_lon, hi_lat], [hi_lon, lo_lat]],
-                        }
-                    }
-                    for lo_lat, hi_lat, lo_lon, hi_lon in boxes
-                ],
-                "number": sketch.total,
-            }
+        entry = _geo_coverage_entry(
+            ds, extract, "latlong", [lat_col, lon_col],
+            sample_cap=sample_cap, seed=seed,
         )
+        if entry is not None:
+            out.append(entry)
     return out
 
 
@@ -234,13 +255,11 @@ _WKT_NUM = None  # compiled lazily (module import stays light)
 def _wkt_polygon_coverage(ds, cols: list[str],
                           sample_cap: int = 20000, seed: int = 89) -> list[dict]:
     """Spatial coverage for GEO_POLYGON columns: per batch, extract all
-    ring vertices (one C-level findall over the batch's joined cells —
-    the vote regex guarantees digit/space/dot content), geohash-sketch
-    them and subsample coordinates for the k-means envelope boxes, the
-    same mergeable shape _spatial_coverage uses for lat/long pairs.
-    The reference types polygons (profile_types.py:203-204) but only
-    sketches points; envelope ranges over the vertex cloud give the
-    coverage filter the same intersects semantics."""
+    ring vertices (one C-level findall over the batch's joined cells),
+    then the shared sketch/sample/k-means driver. The reference types
+    polygons (profile_types.py:203-204) but only sketches points;
+    envelope ranges over the vertex cloud give the coverage filter the
+    same intersects semantics."""
     import re as _re
 
     global _WKT_NUM
@@ -251,7 +270,7 @@ def _wkt_polygon_coverage(ds, cols: list[str],
     pat = _VOTES["wkt_polygon"]
     out = []
     for col in cols:
-        def partial(batch: pa.Table, col=col) -> pa.Table:
+        def extract(batch: pa.Table, col=col):
             arr = batch[col]
             if not pa.types.is_string(arr.type):
                 arr = pc.cast(arr, pa.string())
@@ -260,91 +279,37 @@ def _wkt_polygon_coverage(ds, cols: list[str],
                 pc.match_substring_regex(arr, pat)
             ).to_pylist()
             pairs = _WKT_NUM.findall("|".join(vals))
-            if pairs:
-                # tolerant parse: "[0-9.]+" admits tokens like "1.2.3";
-                # NaN fails the range mask below, so a malformed vertex
-                # is dropped instead of crashing the whole profile
-                def _f(tok: str) -> float:
-                    try:
-                        return float(tok)
-                    except ValueError:
-                        return float("nan")
+            if not pairs:
+                z = np.empty(0, np.float64)
+                return z, z
 
-                xy = np.array(
-                    [[_f(a), _f(b)] for a, b in
-                     (p.split(" ") for p in pairs)],
-                    dtype=np.float64,
-                )
-                lon, lat = xy[:, 0], xy[:, 1]  # WKT vertex order: x y
-                m = (
-                    (-90.0 < lat) & (lat < 90.0)
-                    & (-180.0 < lon) & (lon < 180.0)
-                )
-                lat, lon = lat[m], lon[m]
-            else:
-                lat = lon = np.empty(0, np.float64)
-            sk = GeohashSketch(number=MAX_GEOHASHES)
-            sk.add_points(lat, lon)
-            rng = np.random.Generator(np.random.PCG64(seed))
-            if lat.size > 512:
-                idx = rng.choice(lat.size, 512, replace=False)
-                lat, lon = lat[idx], lon[idx]
-            return pa.Table.from_pylist(
-                [
-                    {
-                        "levels": json.dumps(sk.levels),
-                        "total": sk.total,
-                        "lat_s": json.dumps([float(v) for v in lat]),
-                        "lon_s": json.dumps([float(v) for v in lon]),
-                    }
-                ]
+            # tolerant parse: "[0-9.]+" admits tokens like "1.2.3";
+            # NaN fails the range mask below, so a malformed vertex
+            # is dropped instead of crashing the whole profile
+            def _f(tok: str) -> float:
+                try:
+                    return float(tok)
+                except ValueError:
+                    return float("nan")
+
+            xy = np.array(
+                [[_f(a), _f(b)] for a, b in
+                 (p.split(" ") for p in pairs)],
+                dtype=np.float64,
             )
+            lon, lat = xy[:, 0], xy[:, 1]  # WKT vertex order: x y
+            m = (
+                (-90.0 < lat) & (lat < 90.0)
+                & (-180.0 < lon) & (lon < 180.0)
+            )
+            return lat[m], lon[m]
 
-        sketch = GeohashSketch(number=MAX_GEOHASHES)
-        lat_all: list[float] = []
-        lon_all: list[float] = []
-        for batch in ds.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).iter_batches(batch_format="pyarrow"):
-            for levels, total, lat_s, lon_s in zip(
-                batch["levels"].to_pylist(),
-                batch["total"].to_pylist(),
-                batch["lat_s"].to_pylist(),
-                batch["lon_s"].to_pylist(),
-            ):
-                other = GeohashSketch(number=MAX_GEOHASHES)
-                other.levels = [
-                    {k: int(v) for k, v in lvl.items()}
-                    for lvl in json.loads(levels)
-                ]
-                other.total = int(total)
-                sketch.merge(other)
-                if len(lat_all) < sample_cap:
-                    lat_all.extend(json.loads(lat_s))
-                    lon_all.extend(json.loads(lon_s))
-        if sketch.total == 0:
-            continue
-        boxes = spatial_ranges_kmeans(np.array(lat_all), np.array(lon_all))
-        out.append(
-            {
-                "type": "polygon",
-                "column_names": [col],
-                "column_indexes": [ds.schema().names.index(col)],
-                "geohashes4": [
-                    {"hash": h, "number": n} for h, n in sketch.get_hashes()
-                ],
-                "ranges": [
-                    {
-                        "range": {
-                            "type": "envelope",
-                            "coordinates": [[lo_lon, hi_lat], [hi_lon, lo_lat]],
-                        }
-                    }
-                    for lo_lat, hi_lat, lo_lon, hi_lon in boxes
-                ],
-                "number": sketch.total,
-            }
+        entry = _geo_coverage_entry(
+            ds, extract, "polygon", [col],
+            sample_cap=sample_cap, seed=seed,
         )
+        if entry is not None:
+            out.append(entry)
     return out
 
 
@@ -393,9 +358,12 @@ def profile_dataset_document(
     from auctus_ray.sources.ingest import read_table_auto
 
     if ds is None:
-        # callers that also sketch columns pass a shared materialized
-        # read so the source is ingested once per drain, not twice
-        ds = read_table_auto(path)
+        # materialize: the document assembles from SEVERAL bounded
+        # passes (partials, plots, one per spatial pair / polygon
+        # column, sample) — over a lazy read each pass would re-ingest
+        # and re-parse the source from scratch. The drain passes its
+        # own shared materialized read in.
+        ds = read_table_auto(path).materialize()
     partials = (
         ds.map_batches(profile_partials, batch_format="pyarrow", zero_copy_batch=True)
         .to_pandas()

@@ -74,20 +74,27 @@ def _translate_docids(index_dir: str, eng_ids: np.ndarray) -> np.ndarray:
     return np.array([int(lut[int(d)]) for d in eng_ids], dtype=np.int64)
 
 
-def _bm25_query(sf_dir: str, query: str, k: int, operator: str) -> pa.Table:
+def _hits_table(orig_ids: np.ndarray, scores: np.ndarray) -> pa.Table:
+    """(rank, doc_id, score) result shape — ONE definition for every
+    BM25 driver query (the rounding/rank discipline lived in four
+    copies before)."""
+    return pa.table(
+        {
+            "rank": pa.array(np.arange(1, len(orig_ids) + 1, dtype=np.int64)),
+            "doc_id": pa.array(orig_ids),
+            "score": pa.array(_round_half_away6(scores), pa.float64()),
+        }
+    )
+
+
+def _bm25_query(sf_dir: str, query: str, k: int, operator: str,
+                filters: dict | None = None) -> pa.Table:
     from auctus_ray.index.search import Searcher
 
     res = docs_index(sf_dir)
     s = Searcher(res.index_dir)
-    eng_ids, scores = s.search(query, k=k, operator=operator)
-    orig = _translate_docids(res.index_dir, eng_ids)
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
-            "doc_id": pa.array(orig),
-            "score": pa.array(_round_half_away6(scores), pa.float64()),
-        }
-    )
+    eng_ids, scores = s.search(query, k=k, operator=operator, filters=filters)
+    return _hits_table(_translate_docids(res.index_dir, eng_ids), scores)
 
 
 def bm25_topk_or(sf_dir: str) -> pa.Table:
@@ -101,6 +108,12 @@ def bm25_topk_and(sf_dir: str) -> pa.Table:
 
 
 def _bm25_sql(terms: list[str], k: int, operator: str) -> str:
+    """DuckDB BM25 oracle. Tie-break parity: the ENGINE breaks equal
+    scores by engine docID, whose order is (sha256 key-hash, repo,
+    path, commit) — docid.py. The oracle reproduces it with the same
+    sha256 over (source, doc_id, doc_id); the residual hex-vs->>1
+    divergence needs two keys adjacent in the low hash bit AND a
+    bit-equal score (~n^2/2^63) to matter."""
     vals = ", ".join(f"('{t}')" for t in sorted(set(terms)))
     n_terms = len(set(terms))
     having = (
@@ -126,9 +139,14 @@ contrib AS (
   FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN g
 ),
 scores AS (SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id {having})
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, kh ASC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
-FROM scores ORDER BY score DESC, doc_id ASC LIMIT {k}
+FROM scores
+JOIN (SELECT doc_id,
+             substr(sha256(source || chr(0) || CAST(doc_id AS VARCHAR)
+                           || chr(0) || CAST(doc_id AS VARCHAR)), 1, 16) AS kh
+      FROM documents) USING (doc_id)
+ORDER BY score DESC, kh ASC, doc_id ASC LIMIT {k}
 """
 
 
@@ -144,21 +162,9 @@ def bm25_filtered_topk(sf_dir: str) -> pa.Table:
     reference ANDs source/type terms-filters with the text query,
     apiserver/search/__init__.py:81-107): lang in (en, fr). Scores are
     unchanged by the filter (it masks, it does not score)."""
-    from auctus_ray.index.search import Searcher
-
-    res = docs_index(sf_dir)
-    s = Searcher(res.index_dir)
-    eng_ids, scores = s.search(
-        "table scan query", k=10, operator="or",
+    return _bm25_query(
+        sf_dir, "table scan query", k=10, operator="or",
         filters={"lang": ["en", "fr"]},
-    )
-    orig = _translate_docids(res.index_dir, eng_ids)
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
-            "doc_id": pa.array(orig),
-            "score": pa.array(_round_half_away6(scores), pa.float64()),
-        }
     )
 
 
@@ -187,9 +193,14 @@ scores AS (
   WHERE doc_id IN (SELECT doc_id FROM documents WHERE lang IN ('en', 'fr'))
   GROUP BY doc_id
 )
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, kh ASC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
-FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+FROM scores
+JOIN (SELECT doc_id,
+             substr(sha256(source || chr(0) || CAST(doc_id AS VARCHAR)
+                           || chr(0) || CAST(doc_id AS VARCHAR)), 1, 16) AS kh
+      FROM documents) USING (doc_id)
+ORDER BY score DESC, kh ASC, doc_id ASC LIMIT 10
 """
 
 
@@ -293,13 +304,7 @@ def bm25_topk_incremental(sf_dir: str) -> pa.Table:
     eng_ids, scores = s.search("table scan query", k=10, operator="or")
     hits = s.hydrate_hits(eng_ids, scores)
     orig = np.array([int(p) for p in hits["path"].to_pylist()], dtype=np.int64)
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
-            "doc_id": pa.array(orig),
-            "score": pa.array(_round_half_away6(scores), pa.float64()),
-        }
-    )
+    return _hits_table(orig, scores)
 
 
 # ------------------------------------------------------------ cross_fields
@@ -345,14 +350,7 @@ def docs_cross_fields(sf_dir: str) -> pa.Table:
         eng_ids, scores = dist.search(CROSS_FIELDS_QUERY, k=10, operator="and")
     finally:
         dist.shutdown()
-    orig = _translate_docids(res_t.index_dir, eng_ids)
-    return pa.table(
-        {
-            "rank": pa.array(np.arange(1, len(orig) + 1, dtype=np.int64)),
-            "doc_id": pa.array(orig),
-            "score": pa.array(_round_half_away6(scores), pa.float64()),
-        }
-    )
+    return _hits_table(_translate_docids(res_t.index_dir, eng_ids), scores)
 
 
 # DuckDB oracle for blended cross_fields scoring: per-term df blended
@@ -411,9 +409,14 @@ scores AS (
   SELECT doc_id, SUM(c) AS score FROM contrib GROUP BY doc_id
   HAVING COUNT(*) = (SELECT COUNT(*) FROM q)
 )
-SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank,
+SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, kh ASC, doc_id ASC) AS BIGINT) AS rank,
        doc_id, ROUND(score, 6) AS score
-FROM scores ORDER BY score DESC, doc_id ASC LIMIT 10
+FROM scores
+JOIN (SELECT doc_id,
+             substr(sha256(source || chr(0) || CAST(doc_id AS VARCHAR)
+                           || chr(0) || CAST(doc_id AS VARCHAR)), 1, 16) AS kh
+      FROM documents) USING (doc_id)
+ORDER BY score DESC, kh ASC, doc_id ASC LIMIT 10
 """
 
 

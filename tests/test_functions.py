@@ -480,23 +480,48 @@ def test_grid_nearest_join_matches_brute_force():
     q = np.concatenate([left[:500] + rng.normal(0, 0.05, (500, 2)),
                         rng.uniform(0, 100, (200, 2))])
 
-    # brute force reference
+    # brute force reference (full-set median; the grid samples 2048
+    # points like the reference's own 100-point median rule, so its
+    # radius is close but not identical — compare matched sets at the
+    # GRID's radius, which is what exactness means here)
     uniq = np.unique(left, axis=0)
     d2 = ((uniq[:, None, :] - uniq[None, :, :]) ** 2).sum(axis=2)
     np.fill_diagonal(d2, np.inf)
-    max_dist = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
+    max_dist_full = 2.0 * np.median(np.sqrt(d2.min(axis=1)))
     qd2 = ((q[:, None, :] - left[None, :, :]) ** 2).sum(axis=2)
     bf_idx = qd2.argmin(axis=1)
     bf_dist = np.sqrt(qd2[np.arange(len(q)), bf_idx])
-    bf_matched = bf_dist <= max_dist
 
     gi = GridNearestIndex(left[:, 0], left[:, 1])
     g_idx, g_matched = gi.query(q[:, 0], q[:, 1])
-    assert gi.max_dist == pytest.approx(max_dist)
+    # sampled median stays close to the full-set median
+    assert gi.max_dist == pytest.approx(max_dist_full, rel=0.05)
+    bf_matched = bf_dist < gi.max_dist  # strict, the reference's drop rule
     assert (g_matched == bf_matched).all()
     # matched rows must snap to the identical left point
     m = bf_matched
     assert (g_idx[m] == bf_idx[m]).all()
+
+
+def test_grid_nearest_index_outlier_extent():
+    """Regression: one far outlier used to inflate the extent-derived
+    NN-grid cell so the whole cluster landed in one bucket and the
+    build degraded to O(n^2) Python; the sampled chunked NN keeps the
+    build bounded and the snap radius cluster-scaled."""
+    import time
+
+    from auctus_ray.functions.spatial import GridNearestIndex
+
+    rng = np.random.Generator(np.random.PCG64(5))
+    n = 12000
+    lats = np.concatenate([40 + rng.random(n) * 0.1, [100.0]])
+    lons = np.concatenate([-74 + rng.random(n) * 0.1, [100.0]])
+    t0 = time.time()
+    gi = GridNearestIndex(lats, lons)
+    assert time.time() - t0 < 30  # was ~quadratic (minutes at this n)
+    assert gi.max_dist < 0.01  # cluster-scaled, not outlier-scaled
+    idx, m = gi.query(lats[:200], lons[:200])
+    assert m.all() and (idx == np.arange(200)).all()
 
 
 def test_ivf_topk_recall_and_exactness(ray_session):
