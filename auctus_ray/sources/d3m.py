@@ -157,19 +157,17 @@ def write_d3m_dataset(ds, destination: str, dataset_id: str, *,
         schema = ds.schema
     else:
         schema = ds.schema().base_schema
-        batches = (
-            b if isinstance(b, pa.RecordBatch) else b.to_batches()
-            for b in ds.iter_batches(batch_format="pyarrow")
-        )
 
-        def _flat(gen):
-            for item in gen:
+        def _flat(it):
+            # iter_batches may yield RecordBatch or Table depending on
+            # the Ray version; one type test, no intermediate lists
+            for item in it:
                 if isinstance(item, pa.RecordBatch):
                     yield item
                 else:
-                    yield from item
+                    yield from item.to_batches()
 
-        batches = _flat(batches)
+        batches = _flat(ds.iter_batches(batch_format="pyarrow"))
 
     add_index = need_d3mindex and "d3mIndex" not in schema.names
     out_schema = schema

@@ -58,6 +58,7 @@ class SavReader:
         self._endian = "<"
         self._vars: list[_Var] = []
         self._long_names: dict[str, str] = {}
+        self._long_names_raw: bytes = b""
         self._encoding = "latin-1"
         self._read_header()
         self._read_dictionary()
@@ -109,7 +110,9 @@ class SavReader:
         n_missing = self._i32()
         self._i32()  # print format
         write_fmt = self._i32()
-        name = self._read(8).decode("ascii", "replace").rstrip()
+        # raw bytes: the encoding record (subtype 20) may come AFTER the
+        # variable records, so names decode lazily in columns()
+        name = self._read(8)
         if has_label:
             n = self._i32()
             self._read((n + 3) // 4 * 4)
@@ -125,11 +128,11 @@ class SavReader:
         size = self._i32()
         count = self._i32()
         payload = self._read(size * count)
-        if subtype == 13:  # long variable names: SHORT=Long\tSHORT=Long
-            for pair in payload.decode("ascii", "replace").split("\t"):
-                if "=" in pair:
-                    short, long = pair.split("=", 1)
-                    self._long_names[short.rstrip()] = long
+        if subtype == 13:
+            # long variable names SHORT=Long\tSHORT=Long — kept raw and
+            # decoded lazily in columns(): the encoding record (subtype
+            # 20) may come after this one
+            self._long_names_raw = payload
         elif subtype == 14:
             raise SavError(
                 "very long strings (>255 bytes, subtype 14) not supported"
@@ -164,7 +167,22 @@ class SavReader:
     # -- data -------------------------------------------------------------
     @property
     def columns(self) -> list[str]:
-        return [self._long_names.get(v.name, v.name) for v in self._vars]
+        enc = self._encoding
+        long_names = dict(self._long_names)
+        if self._long_names_raw:
+            for pair in self._long_names_raw.decode(enc, "replace").split("\t"):
+                if "=" in pair:
+                    short, long = pair.split("=", 1)
+                    long_names[short.rstrip()] = long
+        out = []
+        for v in self._vars:
+            name = (
+                v.name.decode(enc, "replace").rstrip()
+                if isinstance(v.name, bytes)
+                else v.name
+            )
+            out.append(long_names.get(name, name))
+        return out
 
     def _elements_raw(self):
         """Uncompressed stream: raw 8-byte elements until EOF."""
@@ -222,15 +240,23 @@ class SavReader:
                         else:
                             row.append(x)
                     else:
-                        raw = b"".join(
-                            next(elements) for _ in range(v.n_elements)
-                        )
+                        parts = []
+                        for _ in range(v.n_elements):
+                            # explicit next(): StopIteration inside a
+                            # genexp becomes RuntimeError (PEP 479) and
+                            # would bypass the truncation handler below
+                            parts.append(next(elements))
+                        raw = b"".join(parts)
                         row.append(
                             raw[: v.width].decode(self._encoding, "replace").rstrip()
                         )
             except StopIteration:
                 if row:
                     raise SavError("truncated case data")
+                if self.ncases >= 0 and emitted < self.ncases:
+                    raise SavError(
+                        f"truncated data: {emitted} of {self.ncases} cases"
+                    )
                 return
             yield row
             emitted += 1

@@ -84,13 +84,23 @@ class Manifest:
         self._seq = 0
         if os.path.exists(self.path):
             with open(self.path) as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
+                lines = f.readlines()
+            for i, line in enumerate(lines):
+                line = line.strip()
+                if not line:
+                    continue
+                try:
                     rec = json.loads(line)
-                    self._records[(rec["stage"], rec["partition"])] = rec
-                    self._seq = max(self._seq, rec.get("seq", 0))
+                except json.JSONDecodeError:
+                    if i == len(lines) - 1:
+                        # torn TAIL line: a kill mid-append is exactly
+                        # the crash this journal exists to survive —
+                        # the record simply never committed; its stage
+                        # re-runs on resume
+                        continue
+                    raise  # a torn line mid-file is real corruption
+                self._records[(rec["stage"], rec["partition"])] = rec
+                self._seq = max(self._seq, rec.get("seq", 0))
 
     def latest(self, stage: str, partition: str) -> dict | None:
         """The most recent record for (stage, partition), or None."""
@@ -119,6 +129,17 @@ class Manifest:
             "ts": time.time(),
         }
         self._records[(stage, partition)] = rec
+        # heal a torn tail before appending: a mid-append crash leaves a
+        # partial record with no trailing newline — TRUNCATE the
+        # uncommitted fragment (its mark never committed), else the next
+        # append would concatenate onto it and corrupt itself too
+        if os.path.exists(self.path) and os.path.getsize(self.path) > 0:
+            with open(self.path, "rb") as rf:
+                data = rf.read()
+            if not data.endswith(b"\n"):
+                cut = data.rfind(b"\n") + 1
+                with open(self.path, "wb") as wf:
+                    wf.write(data[:cut])
         with open(self.path, "a") as f:
             f.write(json.dumps(rec) + "\n")
             f.flush()
@@ -190,6 +211,18 @@ def resumable_partitioned_write(
     changed inputs invalidate exactly their partitions.
     """
     man = Manifest(out_dir)
+    # sweep stale part dirs (partitions removed/renamed since the last
+    # run — consumers glob part=*, so leftovers mean phantom rows) and
+    # crash-leftover .tmp dirs whose partition no longer exists (the
+    # build.py tokenized-group sweep, generalized to the shared sink)
+    import glob as _glob
+    import shutil as _shutil
+
+    current = {f"part={p}" for p in partitions}
+    for d in _glob.glob(os.path.join(out_dir, "part=*")):
+        base = os.path.basename(d)
+        if base not in current and base.split(".tmp")[0] not in current:
+            _shutil.rmtree(d, ignore_errors=True)
     results: dict[str, str] = {}
     for part, files in sorted(partitions.items()):
         fp = fingerprint(file_fingerprint(files), stage, *extra_fingerprint)

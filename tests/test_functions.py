@@ -1497,3 +1497,113 @@ def test_xlsx_date_cells(ray_session, tmp_path):
     assert lines[0] == "when,custom,amount"
     # 1900 mode: serial 44197 = 2021-01-01; 44198.5 = 2021-01-02 12:00
     assert lines[1] == "2021-01-01T00:00:00,2021-01-02T12:00:00,44197"
+
+
+def test_sav_truncation_and_encoding(tmp_path):
+    """Regressions: (1) a file truncated at a case BOUNDARY with a known
+    case count must raise SavError, not silently yield fewer rows;
+    (2) mid-string truncation raises SavError (not the PEP 479
+    RuntimeError a genexp produced); (3) declared-encoding column
+    names decode correctly even though the encoding record follows the
+    variable records."""
+    import struct as st
+    from datetime import datetime
+
+    import pytest as _pytest
+
+    from auctus_ray.sources.sav import SavError, SavReader
+
+    cases = [
+        (1.0, "alice", datetime(2020, 1, 1), datetime(2020, 1, 1, 1)),
+        (2.0, "bob", datetime(2020, 1, 2), datetime(2020, 1, 2, 2)),
+    ]
+    p = tmp_path / "t.sav"
+    _write_sav(p, 0, cases)
+    raw = p.read_bytes()
+
+    # (1) drop the ENTIRE last case (5 elements x 8 bytes)
+    (tmp_path / "cut.sav").write_bytes(raw[:-40])
+    with open(tmp_path / "cut.sav", "rb") as fp:
+        with _pytest.raises(SavError, match="1 of 2"):
+            list(SavReader(fp).rows())
+
+    # (2) cut INSIDE the second case's string elements
+    (tmp_path / "mid.sav").write_bytes(raw[:-24])
+    with open(tmp_path / "mid.sav", "rb") as fp:
+        with _pytest.raises(SavError, match="truncated"):
+            list(SavReader(fp).rows())
+
+    # (3) cp1252 long name; encoding record written AFTER subtype 13.
+    # Build with a same-length ASCII placeholder, then byte-patch it to
+    # the cp1252 encoding (lengths must match the record header).
+    p2 = tmp_path / "enc.sav"
+    _write_sav(p2, 0, cases, long_names={"AGE": "Xge"})
+    raw2 = bytearray(p2.read_bytes())
+    # splice a subtype-20 encoding record just before the 999 terminator
+    term = st.pack("<ii", 999, 0)
+    i = bytes(raw2).index(term)
+    enc_payload = b"WINDOWS-1252"
+    rec = st.pack("<iiii", 7, 20, 1, len(enc_payload)) + enc_payload
+    raw2[i:i] = rec
+    patched = bytes(raw2).replace(b"AGE=Xge", "AGE=\u00e2ge".encode("cp1252"))
+    p2.write_bytes(patched)
+    with open(p2, "rb") as fp:
+        r = SavReader(fp)
+        assert r.columns[0] == "âge"
+        assert len(list(r.rows())) == 2
+
+
+def test_manifest_tolerates_torn_tail(tmp_path):
+    """A kill mid-append leaves a partial trailing JSON line; the
+    journal must load (dropping the uncommitted record) — resume is the
+    whole point. Mid-file corruption still raises."""
+    import json as _json
+
+    import pytest as _pytest
+
+    from auctus_ray.state.manifest import Manifest
+
+    d = str(tmp_path / "idx")
+    m = Manifest(d)
+    m.mark("tok", "p1", "fp1", "done")
+    m.mark("tok", "p2", "fp2", "done")
+    path = tmp_path / "idx" / "manifest.jsonl"
+    with open(path, "a") as f:
+        f.write('{"stage": "tok", "partition": "p3", "fi')  # torn tail
+    m2 = Manifest(d)
+    assert m2.is_done("tok", "p1", "fp1") and m2.is_done("tok", "p2", "fp2")
+    assert m2.latest("tok", "p3") is None
+    # appending after the torn line keeps the journal loadable
+    m2.mark("tok", "p3", "fp3", "done")
+    assert Manifest(d).is_done("tok", "p3", "fp3")
+    # corruption NOT at the tail is an error
+    lines = open(path).read().splitlines()
+    lines.insert(1, "{broken")
+    open(path, "w").write("\n".join(lines) + "\n")
+    with _pytest.raises(_json.JSONDecodeError):
+        Manifest(d)
+
+
+def test_resumable_write_sweeps_stale_partitions(ray_session, tmp_path):
+    """Regression: partitions removed from the input dict left their
+    part= dirs (and crashed .tmp dirs) behind, so directory consumers
+    saw phantom rows."""
+    import os
+
+    from auctus_ray.state.manifest import resumable_partitioned_write
+
+    src = tmp_path / "in.txt"
+    src.write_text("x")
+
+    def run(files, tmp_dir):
+        with open(os.path.join(tmp_dir, "data.txt"), "w") as f:
+            f.write("ok")
+
+    out = str(tmp_path / "out")
+    resumable_partitioned_write({"a": [str(src)], "b": [str(src)]}, out, run)
+    os.makedirs(os.path.join(out, "part=zz.tmp-123"), exist_ok=True)
+    res = resumable_partitioned_write({"a": [str(src)]}, out, run)
+    assert res == {"a": "skipped"}
+    assert os.path.exists(os.path.join(out, "part=a"))
+    assert not os.path.exists(os.path.join(out, "part=b"))
+    assert not os.path.exists(os.path.join(out, "part=zz.tmp-123"))

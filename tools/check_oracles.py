@@ -59,6 +59,13 @@ def main():
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs, sqls = e.queries(), e.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        # a misspelled name must not silently verify nothing and print
+        # "FAILURES: none"
+        print(f"FAIL  unknown query name(s): {sorted(unknown)}")
+        print(f"FAILURES: {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
@@ -84,7 +91,14 @@ def main():
         ok_cols = list(got.columns) == list(expect.columns)
         ok_vals = ok_rows and ok_cols and got.equals(expect)
         if not ok_vals and ok_rows and ok_cols:
-            # detailed diff
+            # detailed diff (dtype-only mismatches would otherwise FAIL
+            # with no printed difference — equals() is dtype-strict)
+            for c in got.columns:
+                if got[c].dtype != expect[c].dtype:
+                    print(
+                        f"      col {c}: dtype got={got[c].dtype} "
+                        f"expect={expect[c].dtype}"
+                    )
             import numpy as np
 
             for c in got.columns:
