@@ -50,9 +50,11 @@ def brute_force_topk(ds, query_vecs: np.ndarray, k: int = 10,
         ids = batch[id_col].to_numpy(zero_copy_only=False)
         m = _normalize(_to_matrix(batch[vec_col]))
         if m.size == 0:
+            # empty block typed from the INPUT id column (hardcoded
+            # int64 schema-conflicted with string vec_ids downstream)
             return pa.table(
                 {"query_id": pa.array([], pa.int64()),
-                 id_col: pa.array([], pa.int64()),
+                 id_col: pa.nulls(0, batch.schema.field(id_col).type),
                  "cosine": pa.array([], pa.float64())}
             )
         sims = qm @ m.T  # (n_q, n_batch)
@@ -167,6 +169,10 @@ def lsh_topk(ds, query_vecs: np.ndarray, k: int = 10, dim: int | None = None,
     if dim is None:
         dim = q.shape[1]
     if n_planes is None:
+        # ds.count() is metadata-only for an untransformed parquet read
+        # (the driver-query shape); for a TRANSFORMED dataset it executes
+        # the pipeline once just for sizing — pass n_rows explicitly
+        # there to avoid the extra corpus pass
         n_planes = adaptive_n_planes(n_rows if n_rows is not None else ds.count())
     hasher = HyperplaneLSH(dim, n_planes, seed, id_col, vec_col, n_tables)
     q_buckets = set(hasher.bucket_of(_normalize(q)).ravel().tolist())

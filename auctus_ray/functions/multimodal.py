@@ -61,9 +61,20 @@ class ImageDecoder:
         self.fake = fake
 
     def _features(self, payload: bytes) -> np.ndarray:
-        # deterministic fake: blake2b-seeded values, unit-normalized
-        h = hashlib.blake2b(payload or b"", digest_size=8 * self.feature_dim).digest()
-        v = np.frombuffer(h, dtype=np.uint64).astype(np.float64)
+        # deterministic fake: blake2b-seeded values, unit-normalized.
+        # blake2b caps digest_size at 64 bytes, so dims > 8 chain
+        # counter-salted digests (the default feature_dim=16 crashed
+        # with ValueError before)
+        need = 8 * self.feature_dim
+        chunks = []
+        for i in range((need + 63) // 64):
+            chunks.append(
+                hashlib.blake2b(
+                    payload or b"", digest_size=min(64, need - 64 * i),
+                    salt=i.to_bytes(8, "big"),
+                ).digest()
+            )
+        v = np.frombuffer(b"".join(chunks), dtype=np.uint64).astype(np.float64)
         v = (v / 2.0**64) * 2 - 1
         n = np.linalg.norm(v)
         return v / n if n else v
@@ -301,10 +312,17 @@ class FrameSampler:
 def decode_features(ds, kind: str = "image", feature_dim: int = 16,
                     concurrency=(1, 2), batch_size: int = 64):
     """Media dataset -> feature dataset via the actor-pool decoder.
-    Small batch_size on purpose: payload rows are wide."""
+    Small batch_size on purpose: payload rows are wide. `kind` routes
+    to the matching decoder (it was silently ignored before)."""
+    if kind == "image":
+        cls, kwargs = ImageDecoder, {"feature_dim": feature_dim}
+    elif kind == "audio":
+        cls, kwargs = WavAudioDecoder, {}
+    else:
+        raise ValueError(f"unknown media kind {kind!r}")
     return ds.map_batches(
-        ImageDecoder,
-        fn_constructor_kwargs={"feature_dim": feature_dim},
+        cls,
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

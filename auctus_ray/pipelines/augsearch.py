@@ -20,6 +20,8 @@ reference, where both lists are ES responses.
 from __future__ import annotations
 
 import numpy as np
+
+from auctus_ray.util import round6 as _round6
 import pyarrow as pa
 
 from auctus_ray.pipelines.joinsearch import (
@@ -46,7 +48,7 @@ def augmentation_search(sf_dir: str, k: int = TOP_K_SIZE) -> pa.Table:
     u_ids = u["cand_table"].to_pylist()
     u_det = u["matched"].to_pylist()
     u_sc = [
-        float(np.floor(s / (nq * 1e9) * 1e6 + 0.5) / 1e6)
+        float(_round6(s / (nq * 1e9)))
         for s, nq in zip(u["sum_sim_e9"].to_pylist(), u["n_query_cols"].to_pylist())
     ]
 

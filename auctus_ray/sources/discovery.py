@@ -34,6 +34,7 @@ import uuid
 
 from auctus_ray.functions.scalars import encode_dataset_id, strip_html
 from auctus_ray.state.manifest import Manifest, file_fingerprint
+from auctus_ray.util import round6 as _round6
 
 
 class Discoverer:
@@ -1285,7 +1286,7 @@ def union_search_catalog(
         SketchTable(catalog_dir), query_cols, exclude=exclude, k=k
     )
     score6 = [
-        float(np.floor(s / (nq * 1e9) * 1e6 + 0.5) / 1e6)
+        float(_round6(s / (nq * 1e9)))
         for _, _, _, s in scored
     ]
     return pa.table(
@@ -1356,7 +1357,7 @@ def augmentation_search_catalog(
     table = SketchTable(catalog_dir)
     j_rows = join_best_per_dataset(table, q_sketches, exclude=exclude, k=k)
     u_rows = [
-        (d_, m_, float(np.floor(s_ / (nq * 1e9) * 1e6 + 0.5) / 1e6))
+        (d_, m_, float(_round6(s_ / (nq * 1e9))))
         for d_, m_, _n, s_ in union_scores(
             table, query_cols, exclude=exclude, k=k
         )

@@ -210,12 +210,13 @@ def _records_to_physical_lines(sample: str, delimiter: str, nb_records: int) -> 
 
 def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
     reader = csv.reader(fileobj, delimiter=delimiter)
+    budget = MAX_SKIPPED_ROWS + HEADER_CONSISTENT_ROWS
     run_start = 0
     run_cols = None
     run_len = 0
-    for i, row in enumerate(
-        itertools.islice(reader, MAX_SKIPPED_ROWS + HEADER_CONSISTENT_ROWS)
-    ):
+    n_seen = 0
+    for i, row in enumerate(itertools.islice(reader, budget)):
+        n_seen = i + 1
         if len(row) == run_cols:
             run_len += 1
             if run_len == HEADER_CONSISTENT_ROWS:
@@ -224,12 +225,15 @@ def _count_rows_to_skip_delim(fileobj, delimiter: str) -> int:
             run_start = i
             run_cols = len(row)
             run_len = 1
-    # budget/file exhausted before HEADER_CONSISTENT_ROWS confirmations:
-    # trust a final run that reaches EOF with >= 2 consistent rows
-    # (short files: garbage + header + one data row), but never a
-    # length-1 tail — on a ragged-width file (alternating column
-    # counts) that would silently skip up to 9 real rows
-    return run_start if run_len >= 2 else 0
+    # no HEADER_CONSISTENT_ROWS-stable run inside the budget. Trust a
+    # final run ONLY when the file genuinely ended there (short files:
+    # garbage + header + one data row) AND it has >= 2 consistent rows.
+    # Budget exhaustion is NOT EOF: trusting an unconfirmed tail there
+    # could return a skip beyond MAX_SKIPPED_ROWS and silently drop
+    # real data rows of a width-shifting file; a length-1 tail is never
+    # trusted (ragged alternating widths).
+    at_eof = n_seen < budget
+    return run_start if (at_eof and run_len >= 2) else 0
 
 
 _XLSX_NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
@@ -413,10 +417,20 @@ def xls_to_csv(path: str, out_path: str) -> None:
     from auctus_ray.sources.xls import XlsError
     from auctus_ray.sources.xls import xls_to_csv as _decode
 
+    import struct as _struct
+
     try:
         _decode(path, out_path)
     except XlsError as e:
         raise ConversionUnavailable(str(e)) from e
+    except (
+        _struct.error, IndexError, KeyError, UnicodeDecodeError,
+        ValueError, EOFError,
+    ) as e:
+        # corrupt/truncated BIFF content raises low-level decode errors
+        # from deep inside the parser; the documented contract is
+        # fail-fast ConversionUnavailable, never a raw struct.error
+        raise ConversionUnavailable(f"corrupt .xls: {e!r}") from e
 
 
 def spss_to_csv(path: str, out_path: str) -> None:

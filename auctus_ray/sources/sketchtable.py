@@ -39,6 +39,8 @@ import json
 import os
 
 import numpy as np
+
+from auctus_ray.util import round6 as _round6
 import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.parquet as pq
@@ -79,7 +81,7 @@ class SketchTable:
             with open(self._state_path(), encoding="utf-8") as f:
                 return json.load(f)
         except FileNotFoundError:
-            return {"next_seq": 0, "parts": [], "stale": {}}
+            return {"next_seq": 0, "parts": [], "stale": {}, "latest": {}}
 
     def _save(self, state: dict) -> None:
         os.makedirs(self.dir, exist_ok=True)
@@ -103,6 +105,9 @@ class SketchTable:
             return -1
         os.makedirs(self.dir, exist_ok=True)
         st = self._load()
+        # migration: pre-"latest" state files recorded every dataset in
+        # the stale map (old behavior) — seed latest from it once
+        st.setdefault("latest", dict(st["stale"]))
         seq = int(st["next_seq"])
         cols: dict[str, list] = {n: [] for n in SCHEMA.names}
         for fid in sorted(rows_by_dataset):
@@ -128,7 +133,14 @@ class SketchTable:
         st["parts"].append(fname)
         st["next_seq"] = seq + 1
         for fid in rows_by_dataset:
-            st["stale"][fid] = seq
+            # only RE-appends enter the staleness map (they supersede
+            # prior rows); first-time datasets used to be added too, so
+            # the map grew with total ingest — not churn — and forced a
+            # full-table compaction every <= max_stale NEW datasets
+            # (O(catalog^2) cumulative rewrite at the target scale)
+            if fid in st["latest"]:
+                st["stale"][fid] = seq
+            st["latest"][fid] = seq
         self._save(st)
         return seq
 
@@ -159,8 +171,11 @@ class SketchTable:
         files = [os.path.join(self.dir, p) for p in st["parts"]]
         if not files:
             return None
-        if columns is not None and "seq" not in columns:
-            columns = [*columns, "seq"]
+        if columns is not None:
+            # live() dereferences both unconditionally
+            for needed in ("seq", "dataset_id"):
+                if needed not in columns:
+                    columns = [*columns, needed]
         ds = ray.data.read_parquet(files, columns=columns)
         stale = st["stale"]
         if not stale and not exclude:
@@ -226,8 +241,16 @@ class SketchTable:
                 new_parts.append(fname)
         shutil.rmtree(tmp_dir, ignore_errors=True)
         old = set(st["parts"])
+        latest = {
+            k: v
+            for k, v in st.get("latest", dict(st["stale"])).items()
+            if st["stale"].get(k) != _DELETED_SEQ
+        }
         self._save(
-            {"next_seq": seq + 1, "parts": new_parts, "stale": {}}
+            {
+                "next_seq": seq + 1, "parts": new_parts, "stale": {},
+                "latest": latest,
+            }
         )
         for f in old:
             try:
@@ -511,7 +534,7 @@ def join_best_per_dataset(
         out = group.take(pa.array([w])).select(["dataset_id", "detail"])
         return out.append_column(
             "score",
-            pa.array([float(np.floor(s[w] * 1e6 + 0.5) / 1e6)], pa.float64()),
+            pa.array([float(_round6(s[w]))], pa.float64()),
         )
 
     rows = (

@@ -1607,3 +1607,89 @@ def test_resumable_write_sweeps_stale_partitions(ray_session, tmp_path):
     assert os.path.exists(os.path.join(out, "part=a"))
     assert not os.path.exists(os.path.join(out, "part=b"))
     assert not os.path.exists(os.path.join(out, "part=zz.tmp-123"))
+
+
+def test_multimodal_default_feature_dim(ray_session):
+    """Regression: feature_dim=16 (the DEFAULT) crashed — blake2b caps
+    digest_size at 64 bytes; dims > 8 now chain salted digests, and
+    dims <= 8 stay byte-identical to the old single digest."""
+    import hashlib
+
+    from auctus_ray.functions.multimodal import (
+        ImageDecoder,
+        decode_features,
+        make_fake_media_table,
+    )
+
+    t = make_fake_media_table(6)
+    out = ImageDecoder()(t)  # default dim=16: used to raise ValueError
+    assert len(out["features"][0].as_py()) == 16
+    # dim<=8 parity with the pre-fix single-digest definition
+    d8 = ImageDecoder(feature_dim=8)
+    payload = t["payload"][0].as_py()
+    v = d8._features(payload)
+    h = hashlib.blake2b(payload, digest_size=64).digest()
+    ref = np.frombuffer(h, dtype=np.uint64).astype(np.float64)
+    ref = (ref / 2.0**64) * 2 - 1
+    ref = ref / np.linalg.norm(ref)
+    assert np.allclose(v, ref)
+    # kind routing: audio selects the WAV decoder (was silently ignored)
+    import ray.data
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown media kind"):
+        decode_features(ray.data.from_arrow(t), kind="video3d")
+
+
+def test_skip_rows_budget_exhaustion_not_trusted():
+    """Regression: a >=2-row run at the END OF THE BUDGET (not EOF) was
+    trusted, returning skip counts above MAX_SKIPPED_ROWS and dropping
+    real rows of a width-shifting file."""
+    import io
+
+    from auctus_ray.sources.ingest import count_rows_to_skip
+
+    rows = ["a,b,c"] * 3 + ["a,b,c,d,e,f"] * 3 + ["a,b,c"] * 2
+    rows += ["a,b,c,d,e,f"] * 200
+    assert count_rows_to_skip(io.StringIO("\n".join(rows) + "\n")) == 0
+
+
+def test_xls_corrupt_content_fails_fast(tmp_path):
+    """Regression: corrupt BIFF content raised raw struct.error /
+    IndexError out of the decoder instead of ConversionUnavailable."""
+    import pytest as _pytest
+
+    from auctus_ray.sources.ingest import ConversionUnavailable, xls_to_csv
+
+    # valid OLE2 magic, then garbage
+    p = tmp_path / "bad.xls"
+    p.write_bytes(b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1" + b"\x00" * 500)
+    with _pytest.raises(ConversionUnavailable):
+        xls_to_csv(str(p), str(tmp_path / "out.csv"))
+
+
+def test_sketchtable_stale_map_tracks_churn_only(ray_session, tmp_path):
+    """Regression: every APPEND entered the staleness map, so steady
+    ingest of new datasets forced a full-table compaction per ~1024
+    datasets; only re-appends (churn) belong there."""
+    from auctus_ray.sources.sketchtable import SketchTable
+
+    t = SketchTable(str(tmp_path))
+    row = [{"column_name": "c", "tclass": "str", "n_perm": 4,
+            "card": 2, "mins": b"\x00" * 32}]
+    t.append({"d1": row})
+    t.append({"d2": row})
+    st = t._load()
+    assert st["stale"] == {}  # first-time appends: no churn
+    assert set(st["latest"]) == {"d1", "d2"}
+    t.append({"d1": row})  # re-append: supersedes -> churn
+    st = t._load()
+    assert set(st["stale"]) == {"d1"}
+    # live view: exactly one row per dataset (old d1 rows hidden)
+    ds = t.dataset()
+    got = ds.to_pandas()
+    assert sorted(got["dataset_id"]) == ["d1", "d2"]
+    # pruned reads that omit dataset_id still work (auto-added)
+    ds2 = t.dataset(columns=["column_name", "tclass"])
+    assert len(ds2.to_pandas()) == 2
