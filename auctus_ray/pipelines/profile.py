@@ -543,9 +543,12 @@ def _sql_profile_stats(table: str, cols: list[str],
                 "  CAST(NULL AS DOUBLE) AS min_val,\n"
                 "  CAST(NULL AS DOUBLE) AS max_val"
             )
+        # "EXPR:" marks a raw SQL expression (scale-dependent semantics
+        # like the categorical flag); plain values are literals
+        sem_sql = sem[5:] if sem.startswith("EXPR:") else f"'{sem}'"
         parts.append(
             f"SELECT '{col}' AS column, '{st}' AS structural_type,\n"
-            f"  '{sem}' AS semantic_types,\n"
+            f"  {sem_sql} AS semantic_types,\n"
             f"  COUNT(*) AS n_rows, {dist} AS n_distinct,\n"
             f"  {stats}\nFROM {table}"
         )
@@ -554,7 +557,17 @@ def _sql_profile_stats(table: str, cols: list[str],
 
 # orders expectations: *key -> Integer+identifier; totalprice -> Float;
 # status/priority -> Text+Enumeration (<=10% distinct); orderdate ->
-# Text+DateTime (strict date parse)
+# Text+DateTime, PLUS Enumeration when the distinct-date ratio crosses
+# the 10% categorical threshold — the reference applies the categorical
+# rule to every non-free-text Text column (profile_types.py:285-294),
+# DateTime included, and the ratio is scale-dependent (sf0.01: ~16%
+# distinct -> no; sf0.1: ~1.6% -> yes). LEAST(.., 4096) mirrors the
+# engine's capped distinct sample.
+_ORDERDATE_SEM = (
+    "EXPR:'" + T_DATE_TIME + "' || CASE WHEN "
+    "LEAST(COUNT(DISTINCT o_orderdate), 4096) <= 0.10 * COUNT(*) "
+    "THEN ';" + T_CATEGORICAL + "' ELSE '' END"
+)
 SQL_PROFILE_STATS_ORDERS = _sql_profile_stats(
     "orders",
     _ORACLE_STAT_COLS,
@@ -564,7 +577,7 @@ SQL_PROFILE_STATS_ORDERS = _sql_profile_stats(
         "o_totalprice": (T_FLOAT, ""),
         "o_orderstatus": (T_TEXT, T_CATEGORICAL),
         "o_orderpriority": (T_TEXT, T_CATEGORICAL),
-        "o_orderdate": (T_TEXT, T_DATE_TIME),
+        "o_orderdate": (T_TEXT, _ORDERDATE_SEM),
     },
     _ORACLE_DISTINCT_COLS,
 )
