@@ -185,3 +185,68 @@ def test_repetition_stats_planted(ray_session):
     out = repetition_stats(ray.data.from_arrow(t), k=3).take_all()
     got = {r["doc_id"]: (r["n_grams"], r["n_distinct"], r["rep_ratio"]) for r in out}
     assert got == {1: (4, 2, 0.5), 2: (2, 2, 0.0), 3: (1, 1, 0.0)}
+
+
+# ---------------------------------------------------------------- properties
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**62), max_size=50))
+def test_split_buckets_range_and_determinism(ids):
+    arr = np.array(ids, np.int64)
+    b1 = split_buckets(arr)
+    b2 = split_buckets(arr.copy())
+    assert (b1 == b2).all()
+    if len(ids):
+        assert b1.min() >= 0 and b1.max() <= 99
+    # permutation-invariant per id
+    perm = np.random.permutation(len(ids))
+    assert (split_buckets(arr[perm]) == b1[perm]).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet="ab c.@-123\n", max_size=60))
+def test_redact_idempotent_and_parity(raw):
+    """Redaction is idempotent (replacements never re-match) and always
+    matches DuckDB's RE2 on arbitrary input."""
+    t1 = redact_batch(pa.table({"text": pa.array([raw])})).column("clean")
+    t2 = redact_batch(
+        pa.table({"text": t1})
+    ).column("clean")
+    assert t1.to_pylist() == t2.to_pylist()
+    con = duckdb.connect()
+    expr = "t"
+    for pat, repl in PII_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    want = con.execute(f"SELECT {expr} FROM (SELECT ? AS t)", [raw]).fetchone()[0]
+    assert t1.to_pylist()[0] == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcd ", min_size=0, max_size=40), max_size=8
+    )
+)
+def test_repetition_stats_invariants(texts):
+    """n_distinct <= n_grams, rep_ratio in [0,1], and doc identity is
+    independent of batch composition."""
+    from auctus_ray.functions.curation import repetition_stats
+    import ray.data
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    rows = repetition_stats(ray.data.from_arrow(t), k=3).take_all()
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_grams"]
+        assert 0.0 <= r["rep_ratio"] <= 1.0
+    # rows only for docs with >= 1 token
+    want_ids = {i for i, x in enumerate(texts) if x.split()}
+    assert {r["doc_id"] for r in rows} == want_ids
